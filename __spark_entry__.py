@@ -1,38 +1,275 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship build+query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 / §2.9).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+zkey-internal operators whose key values are, by design, the reference
+encode's float32 artifacts and not SQL-expressible; those get rows-only
+checks and are golden-tested against the compiled reference in tests/).
+
+Lockstep rules that make full value-hash oracles possible (see
+linear_quadtree_spark/sources/synth.py): geotags derive from doc_id via
+identical SQL text in both engines; polygon/kNN fixtures are embedded as
+exact repr literals; float aggregates go through exact DECIMAL sums cast
+to DOUBLE once; all other returned columns are integers.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from linear_quadtree_spark import DEFAULT_BOUNDS  # noqa: E402
+from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql  # noqa: E402
+from linear_quadtree_spark.operators.build import LQTTable  # noqa: E402
+from linear_quadtree_spark.operators.spatial import (  # noqa: E402
+    bbox_query,
+    knn_join,
+    point_in_polygon_join,
+    tile_stats,
+)
+from linear_quadtree_spark.sources.synth import (  # noqa: E402
+    geotagged_docs,
+    knn_queries_df,
+    knn_queries_values_sql,
+    polygon_edges_values_sql,
+    polygons_df,
+)
+
+# fixture sizes (shared by Spark queries and oracle SQL)
+N_POLYGONS = 12
+N_KNN_QUERIES = 12
+KNN_K = 5
+BBOX = (1020.0, 1045.0, 1030.0, 1070.0)
+GEO_ZOOM_CELLS = 16.0  # zoom 4 → 16×16 geometric grid
+
+_PTS_CTE = (
+    "pts AS (SELECT doc_id, "
+    f"CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px, "
+    f"CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents)"
+)
 
 
+def _build_table(spark: SparkSession, sf_dir: str) -> LQTTable:
+    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
+    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=False)
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the linear quadtree over sf0.001 documents and run a
+    bbox range query through the zs-pruned fast path + exact refine."""
+    tbl = _build_table(spark, "/root/testdata/sf0.001")
+    return bbox_query(tbl, *BBOX).select("doc_id", "x", "y", "zkey", "zs")
+
+
+# ------------------------------------------------------------------- queries
+def _q_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction correctness summary: per root-quadrant row counts over
+    the built (sorted) tree — reference zkey semantics incl. collapsed keys,
+    hence rows-only (zkeys are float32 encode artifacts, not SQL-expressible).
+    Golden-verified against the compiled reference in tests/test_encode.py."""
+    tbl = _build_table(spark, sf_dir)
+    full = tbl.main.unionByName(tbl.side)
+    return (
+        full.withColumn("quad", F.shiftrightunsigned(F.col("zkey"), 62))
+        .groupBy("quad")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("quad")
+    )
+
+
+def _q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _build_table(spark, sf_dir)
+    return bbox_query(tbl, *BBOX).select("doc_id")
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _build_table(spark, sf_dir)
+    polys = polygons_df(spark, N_POLYGONS)
+    out = point_in_polygon_join(tbl, polys, level=8)
+    return out.select("doc_id", F.col("poly_id").cast("int").alias("poly_id"))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _build_table(spark, sf_dir)
+    q = knn_queries_df(spark, N_KNN_QUERIES)
+    out = knn_join(tbl, q, KNN_K)
+    return out.select(
+        F.col("qid").cast("int").alias("qid"),
+        "doc_id",
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile assignment from zkey top bits (reference key semantics;
+    rows-only — see _q_build_stats). Cross-checked against the geometric
+    tiling in tests/test_queries.py."""
+    tbl = _build_table(spark, sf_dir)
+    return (
+        tile_stats(tbl, zoom=4)
+        .select("tile_id", "n_points")
+        .orderBy("tile_id")
+    )
+
+
+def _q_geo_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric raster tiling (pure Catalyst expressions, no UDF):
+    tile = floor((y-1000)*16/100)*16 + floor((x-1000)*16/100)."""
+    pts = geotagged_docs(spark, sf_dir)
+    px = F.col("x").cast("double")
+    py = F.col("y").cast("double")
+    tx = F.floor((px - F.lit(1000.0)) * F.lit(GEO_ZOOM_CELLS) / F.lit(100.0))
+    ty = F.floor((py - F.lit(1000.0)) * F.lit(GEO_ZOOM_CELLS) / F.lit(100.0))
+    return (
+        pts.withColumn("tile", (ty * F.lit(16) + tx).cast("long"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("doc_id").alias("sum_doc_id"))
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — exact DECIMAL sums cast to DOUBLE
+    once, so Spark and DuckDB agree bitwise regardless of row order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(20,2)")
+    price = F.col("l_extendedprice").cast("decimal(20,2)")
+    disc = F.col("l_discount").cast("decimal(20,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum((price * (F.lit(1) - disc)).cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rk").cast("int").alias("rk"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lqt_build_stats": _q_build_stats,
+        "bbox_query": _q_bbox,
+        "pip_join": _q_pip_join,
+        "knn": _q_knn,
+        "tile_stats": _q_tile_stats,
+        "geo_tile_stats": _q_geo_tile_stats,
+        "events_hourly": _q_events_hourly,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# -------------------------------------------------------------------- oracle
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    x0, x1, y0, y1 = BBOX
+    return {
+        "bbox_query": f"""
+WITH {_PTS_CTE}
+SELECT doc_id FROM pts
+WHERE px >= {x0!r} AND px <= {x1!r} AND py >= {y0!r} AND py <= {y1!r}
+""",
+        "pip_join": f"""
+WITH {_PTS_CTE},
+edges(poly_id, x1v, y1v, x2v, y2v) AS (VALUES
+    {polygon_edges_values_sql(N_POLYGONS)}),
+c AS (
+  SELECT p.doc_id, e.poly_id,
+         CASE WHEN (e.y1v > p.py) != (e.y2v > p.py)
+              THEN CASE WHEN p.px < (e.x2v - e.x1v) * (p.py - e.y1v) / (e.y2v - e.y1v) + e.x1v
+                        THEN 1 ELSE 0 END
+              ELSE 0 END AS cr
+  FROM pts p CROSS JOIN edges e
+)
+SELECT doc_id, CAST(poly_id AS INTEGER) AS poly_id
+FROM c GROUP BY doc_id, poly_id HAVING SUM(cr) % 2 = 1
+""",
+        "knn": f"""
+WITH {_PTS_CTE},
+q(qid, qx, qy) AS (VALUES
+    {knn_queries_values_sql(N_KNN_QUERIES)}),
+d AS (
+  SELECT q.qid, p.doc_id,
+         (p.px - q.qx) * (p.px - q.qx) + (p.py - q.qy) * (p.py - q.qy) AS dist2
+  FROM q CROSS JOIN pts p
+),
+r AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rn
+  FROM d
+)
+SELECT CAST(qid AS INTEGER) AS qid, doc_id, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= {KNN_K}
+""",
+        "geo_tile_stats": f"""
+WITH {_PTS_CTE}
+SELECT CAST(FLOOR((py - 1000.0) * {GEO_ZOOM_CELLS!r} / 100.0) * 16
+            + FLOOR((px - 1000.0) * {GEO_ZOOM_CELLS!r} / 100.0) AS BIGINT) AS tile,
+       COUNT(*) AS n_points,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM pts GROUP BY 1
+""",
+        "events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2))
+                     * (1 - CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(30,4)))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders_per_cust": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
+""",
+    }

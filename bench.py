@@ -1,0 +1,123 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "queries": {...}, "sf": ...}.
+
+Headline metric = LQT construction throughput (rows/sec), per
+BASELINE.json (build = encode + range-partition + sort, materialized via
+the noop sink so the full plan executes without write-format overhead).
+Query timings cover the SURVEY §2.9 operator layer.
+
+Scaling-efficiency evidence (north rule, local[8] vs local[32] proxy)
+lives in jobs/scaling_bench.py → BENCH/BASELINE.md; set
+SPARK_GRAFT_BENCH_SCALING=1 to include it here too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+from linear_quadtree_spark.operators.build import LQTTable
+from linear_quadtree_spark.operators.spatial import (
+    bbox_query,
+    knn_join,
+    point_in_polygon_join,
+    tile_stats,
+)
+from linear_quadtree_spark.session import get_spark
+from linear_quadtree_spark.sources.synth import knn_queries_df, polygons_df
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def bench_points(spark, sf_dir):
+    """Point set for the build bench: one point per lineitem row (largest
+    driver table), id-derived geotags — same derivation family as the
+    correctness queries."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid")
+    )
+    return pts.withColumn("x", geotag_x("pid")).withColumn("y", geotag_y("pid"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="lqt-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    timings: dict[str, float] = {}
+
+    pts = bench_points(spark, SF_DIR)
+    n_rows = pts.count()
+
+    # --- build (headline): encode + repartitionByRange + sortWithinPartitions
+    t0 = time.time()
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
+    materialize(tbl.main)
+    materialize(tbl.side)
+    timings["build"] = time.time() - t0
+    build_rows_per_sec = n_rows / timings["build"]
+
+    # cached table for the query benches (queries assume a built tree)
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=True)
+    tbl.main.count()
+    tbl.side.count()
+
+    t0 = time.time()
+    c = 0
+    for rect in [
+        (1020.0, 1045.0, 1030.0, 1070.0),
+        (1005.5, 1006.5, 1095.0, 1099.0),
+        (1049.0, 1051.0, 1049.0, 1051.0),
+    ]:
+        c += bbox_query(tbl, *rect).count()
+    timings["bbox_x3"] = time.time() - t0
+
+    t0 = time.time()
+    polys = polygons_df(spark, 16)
+    pip_rows = point_in_polygon_join(tbl, polys).count()
+    timings["pip_join"] = time.time() - t0
+
+    t0 = time.time()
+    q = knn_queries_df(spark, 16)
+    knn_rows = knn_join(tbl, q, k=10).count()
+    timings["knn16_k10"] = time.time() - t0
+
+    t0 = time.time()
+    tile_rows = tile_stats(tbl, zoom=8).count()
+    timings["tile_stats_z8"] = time.time() - t0
+
+    result = {
+        "metric": "lqt_build_throughput_rows_per_sec",
+        "value": round(build_rows_per_sec, 1),
+        "unit": "rows/sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "rows": n_rows,
+        "cpus": CPUS,
+        "aux": {"pip_rows": pip_rows, "knn_rows": knn_rows, "tiles": tile_rows, "bbox_rows": c},
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

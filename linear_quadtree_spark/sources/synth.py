@@ -1,0 +1,109 @@
+"""Deterministic spatial fixtures over the driver's relational tables.
+
+The test tables carry no geometry, so spatial inputs are derived:
+
+* point coordinates: Knuth-hash geotags of ``doc_id``
+  (functions/geotag.py — same SQL text evaluated by Spark and DuckDB);
+* polygons / kNN query points: computed HERE in Python IEEE doubles and
+  embedded as decimal literals in both the Spark plan and the oracle SQL
+  (``repr`` of a Python float round-trips exactly, so both engines parse
+  the identical double) — lockstep by construction.
+
+Polygon shape: hexagons from half-integer offsets (exact in binary), so
+vertex coordinates are exact products/sums of doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+
+__all__ = [
+    "geotagged_docs",
+    "poly_params",
+    "polygons_df",
+    "polygon_edges_values_sql",
+    "knn_query_params",
+    "knn_queries_df",
+    "knn_queries_values_sql",
+]
+
+#: hexagon vertex offsets (ring order) — exact binary fractions
+POLY_OFFSETS = [(1.0, 0.0), (0.5, 1.0), (-0.5, 1.0), (-1.0, 0.0), (-0.5, -1.0), (0.5, -1.0)]
+
+
+def geotagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table + derived float32 geotag columns (x, y)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn("x", geotag_x("doc_id")).withColumn("y", geotag_y("doc_id"))
+
+
+# ------------------------------------------------------------------ polygons
+def poly_params(poly_id: int) -> tuple[float, float, float]:
+    """(cx, cy, r) for one polygon — plain Python doubles."""
+    cx = 1005.0 + 90.0 * (((poly_id * 2654435761 + 40503) % 4294967296) / 4294967296.0)
+    cy = 1005.0 + 90.0 * (((poly_id * 2246822519 + 1013904223) % 4294967296) / 4294967296.0)
+    r = 1.0 + 11.0 * (((poly_id * 69069 + 12345) % 1024) / 1024.0)
+    return cx, cy, r
+
+
+def poly_vertices(poly_id: int) -> tuple[list[float], list[float]]:
+    cx, cy, r = poly_params(poly_id)
+    xs = [cx + r * ax for ax, _ in POLY_OFFSETS]
+    ys = [cy + r * ay for _, ay in POLY_OFFSETS]
+    return xs, ys
+
+
+def polygons_df(spark: SparkSession, m: int) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("poly_id", IntegerType(), False),
+            StructField("xs", ArrayType(DoubleType()), False),
+            StructField("ys", ArrayType(DoubleType()), False),
+        ]
+    )
+    rows = [(p, *poly_vertices(p)) for p in range(m)]
+    return spark.createDataFrame(rows, schema)
+
+
+def polygon_edges_values_sql(m: int) -> str:
+    """DuckDB VALUES list of polygon edges (poly_id, x1v, y1v, x2v, y2v)
+    with exact literal doubles."""
+    rows = []
+    for p in range(m):
+        xs, ys = poly_vertices(p)
+        n = len(xs)
+        for i in range(n):
+            j = (i + 1) % n
+            rows.append(f"({p}, {xs[i]!r}, {ys[i]!r}, {xs[j]!r}, {ys[j]!r})")
+    return ",\n    ".join(rows)
+
+
+# --------------------------------------------------------------- kNN queries
+def knn_query_params(qid: int) -> tuple[float, float]:
+    qx = 1000.0 + 100.0 * (((qid * 48271 + 11) % 1000) / 1000.0)
+    qy = 1000.0 + 100.0 * (((qid * 69621 + 73) % 1000) / 1000.0)
+    return qx, qy
+
+
+def knn_queries_df(spark: SparkSession, n_queries: int) -> DataFrame:
+    rows = [(q, *knn_query_params(q)) for q in range(n_queries)]
+    return spark.createDataFrame(rows, ["qid", "qx", "qy"]).withColumn(
+        "qid", F.col("qid").cast("int")
+    )
+
+
+def knn_queries_values_sql(n_queries: int) -> str:
+    return ",\n    ".join(
+        f"({q}, {knn_query_params(q)[0]!r}, {knn_query_params(q)[1]!r})"
+        for q in range(n_queries)
+    )

@@ -1,0 +1,165 @@
+"""Spatial operators vs brute-force DataFrame oracles (SURVEY §5.2),
+including adversarial midline/out-of-bounds fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.config import DEFAULT_BOUNDS
+from linear_quadtree_spark.operators.build import LQTTable
+from linear_quadtree_spark.operators.spatial import (
+    bbox_query,
+    knn_join,
+    point_in_polygon_join,
+    tile_stats,
+)
+from linear_quadtree_spark.functions.geometry import point_in_polygon_np
+from linear_quadtree_spark.sources.synth import knn_queries_df, polygons_df
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "x": (1000 + 100 * rng.random(n)).astype(np.float32),
+            "y": (1000 + 100 * rng.random(n)).astype(np.float32),
+        }
+    )
+    # adversarial rows: root/level-2 midlines, corners, out-of-bounds
+    adv = pd.DataFrame(
+        {
+            "x": np.array(
+                [1050.0, 1050.0, 1025.0, 1000.0, 1100.0, 500.0, 1050.0, 1075.0],
+                np.float32,
+            ),
+            "y": np.array(
+                [1050.0, 1025.0, 1025.0, 1000.0, 1100.0, 1050.0, 1033.3, 1075.0],
+                np.float32,
+            ),
+        }
+    )
+    pdf = pd.concat([pdf, adv], ignore_index=True)
+    pdf["key"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def tbl(spark, points_pdf):
+    df = spark.createDataFrame(points_pdf)
+    t = LQTTable.build(df, DEFAULT_BOUNDS, tiebreaker="key")
+    yield t
+    t.main.unpersist()
+    t.side.unpersist()
+
+
+@pytest.mark.parametrize(
+    "rect",
+    [
+        (1020.0, 1045.0, 1030.0, 1070.0),
+        (1049.9, 1050.1, 1049.9, 1050.1),  # straddles the root midpoint
+        (1000.0, 1100.0, 1000.0, 1100.0),  # full space
+        (1024.9, 1025.1, 1024.9, 1025.1),  # level-2 midline
+        (1099.0, 1100.0, 1099.0, 1100.0),  # top corner (zkey > 2^63)
+    ],
+)
+def test_bbox_matches_bruteforce(tbl, points_pdf, rect, spark):
+    x0, x1, y0, y1 = rect
+    got = sorted(r.key for r in bbox_query(tbl, *rect).select("key").collect())
+    m = points_pdf
+    exp = sorted(
+        m[(m.x >= x0) & (m.x <= x1) & (m.y >= y0) & (m.y <= y1)].key.tolist()
+    )
+    assert got == exp
+
+
+def test_pip_join_matches_bruteforce(tbl, points_pdf, spark):
+    polys = polygons_df(spark, 8)
+    got = {(r.key, r.poly_id) for r in point_in_polygon_join(tbl, polys).select("key", "poly_id").collect()}
+    exp = set()
+    for prow in polys.collect():
+        inside = point_in_polygon_np(
+            points_pdf.x.to_numpy(np.float64),
+            points_pdf.y.to_numpy(np.float64),
+            np.array(prow.xs),
+            np.array(prow.ys),
+        )
+        exp |= {(int(k), prow.poly_id) for k in points_pdf.key[inside]}
+    assert got == exp
+
+
+def test_knn_matches_bruteforce(tbl, points_pdf, spark):
+    k = 7
+    q = knn_queries_df(spark, 6)
+    got = {
+        (r.qid, r.key, r.rn)
+        for r in knn_join(tbl, q, k).select("qid", "key", "rn").collect()
+    }
+    exp = set()
+    for qrow in q.collect():
+        dx = points_pdf.x.to_numpy(np.float64) - qrow.qx
+        dy = points_pdf.y.to_numpy(np.float64) - qrow.qy
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((points_pdf.key.to_numpy(), d2))[:k]
+        exp |= {(qrow.qid, int(points_pdf.key[i]), rn + 1) for rn, i in enumerate(order)}
+    assert got == exp
+
+
+def test_knn_k_larger_than_table(spark):
+    pdf = pd.DataFrame(
+        {"x": np.float32([1010.0, 1020.0]), "y": np.float32([1010.0, 1020.0]), "key": [0, 1]}
+    )
+    t = LQTTable.build(spark.createDataFrame(pdf), DEFAULT_BOUNDS, tiebreaker="key", persist=False)
+    out = knn_join(t, knn_queries_df(spark, 2), k=5)
+    # both rows returned for each query, never more
+    counts = {r.qid: r.cnt for r in out.groupBy("qid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(v == 2 for v in counts.values())
+
+
+def test_tile_stats_consistent_with_geometry(tbl, points_pdf):
+    """zkey-derived tiles == geometric tiles for prefix-faithful rows
+    (boundary/degenerate rows legitimately differ — reference semantics)."""
+    zoom = 4
+    got = tile_stats(tbl, zoom)
+    rows = (
+        tbl.main.withColumn("tile_id", F.shiftrightunsigned(F.col("zkey"), 64 - 2 * zoom))
+        .select("key", "tile_id", "x", "y", "zlvl")
+        .collect()
+    )
+    for r in rows:
+        if r.zlvl < zoom:
+            continue
+        tx = int(np.floor((np.float64(r.x) - 1000.0) * 16.0 / 100.0))
+        ty = int(np.floor((np.float64(r.y) - 1000.0) * 16.0 / 100.0))
+        # strict-> semantics put exact-boundary points in the lower cell;
+        # only assert for points not exactly on the geometric grid
+        fx = (np.float64(r.x) - 1000.0) * 16.0 / 100.0
+        fy = (np.float64(r.y) - 1000.0) * 16.0 / 100.0
+        if fx == tx or fy == ty:
+            continue
+        # zkey tile ids are Morton-interleaved (tile = key prefix, F6)
+        morton = 0
+        for b in range(3, -1, -1):
+            morton = (morton << 2) | (((ty >> b) & 1) << 1) | ((tx >> b) & 1)
+        assert r.tile_id == morton, (r.key, r.x, r.y)
+    # count preservation
+    total = got.agg(F.sum("n_points")).collect()[0][0]
+    assert total == len(points_pdf)
+
+
+def test_build_sortedness_and_count(tbl, points_pdf):
+    """test_mergesort analog (main.cpp:425-430): global pairwise sortedness
+    via lag window + partition-range disjointness + count preservation."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("zs")
+    viol = (
+        tbl.main.select("zs")
+        .withColumn("prev", F.lag("zs").over(w))
+        .filter(F.col("prev") > F.col("zs"))
+        .count()
+    )
+    assert viol == 0
+    assert tbl.main.count() + tbl.side.count() == len(points_pdf)
