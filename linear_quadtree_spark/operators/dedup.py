@@ -1,0 +1,298 @@
+"""Near-duplicate detection operators — MinHash+LSH, SimHash, and exact
+sparse n-gram Jaccard — with DuckDB oracle-SQL twins.
+
+All three share the scale-first pipeline shape:
+
+    per-doc sketch (pure map, JVM HOF expressions, no shuffle)
+      → explode small sketch (bands / shingles)
+      → equi-join on bucket key (the ONE shuffle; AQE skew-split applies)
+      → pair aggregation / exact verification
+      → integer-only outputs
+
+Per-doc sketches are tiny (16 minhashes / 1 simhash / ≤ hundreds of
+shingle hashes), so the exploded relation is O(n·sketch), not O(n²);
+candidate pairs are verified exactly before being reported, so the output
+is deterministic and oracle-checkable even though LSH recall < 1.
+
+The reference repo has no dedup operators (SURVEY §2.9); these are the
+payload-side training-data ops the north rule's page table needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.functions.sketch import sketch_docs
+from linear_quadtree_spark.functions.textexpr import (
+    DUCK,
+    SPARK,
+    band_hashes_expr,
+    minhash_sig_expr,
+    shingles_expr,
+    simhash_expr,
+    tokens_expr,
+    word_hashes_expr,
+)
+
+__all__ = [
+    "with_shingles",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_sql_duck",
+    "simhash_sketch",
+    "simhash_sketch_sql_duck",
+    "simhash_pairs",
+    "simhash_pairs_sql_duck",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_sql_duck",
+]
+
+K_SHINGLE = 3
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SIMHASH_BITS = 32
+#: SimHash band split: 4 chunks of 8 bits — pigeonhole-exact for
+#: hamming <= 3 (at least one chunk is untouched).
+SIMHASH_BANDS = 4
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds `shd` (distinct word-3-gram hash set), `sig` (MinHash
+    signature), `simhash` — one Arrow pass (functions/sketch.py; the
+    equivalent chained-HOF expressions re-evaluate the char fold
+    O(tokens·perms)× after CollapseProject inlining — measured 100 ms/doc
+    vs <0.1 ms here). Callers that branch the result (self-joins) should
+    persist it to avoid re-running the UDF per branch."""
+    return sketch_docs(docs, text_col)
+
+
+def _duck_shd_cte(src: str, text_col: str, id_col: str) -> str:
+    """DuckDB CTEs producing shd(id, shd) — lockstep with with_shingles."""
+    e = DUCK
+    return f"""t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+w AS (SELECT {id_col}, {word_hashes_expr(e, "toks")} AS wh FROM t),
+shd AS (SELECT {id_col}, {e.adistinct(shingles_expr(e, "wh", K_SHINGLE))} AS shd FROM w)"""
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, id_col: str, tau_pct: int) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their shingle sets and
+    keep pairs with exact Jaccard >= tau_pct/100 — integer cross-multiply,
+    no float compare."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shd").alias("shd_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shd").alias("shd_b"))
+    j = cand.join(a, "id_a").join(b, "id_b")
+    j = j.withColumn("inter", F.expr(SPARK.intersect_size("shd_a", "shd_b")).cast("long"))
+    j = j.withColumn(
+        "union_sz", F.expr(SPARK.size("shd_a")).cast("long") + F.expr(SPARK.size("shd_b")) - F.col("inter")
+    )
+    return (
+        j.filter((F.col("union_sz") > 0) & (F.col("inter") * 100 >= F.lit(tau_pct) * F.col("union_sz")))
+        .select("id_a", "id_b", "inter", "union_sz")
+    )
+
+
+# -------------------------------------------------------------- MinHash LSH
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 80,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: shingle → 16-perm signature →
+    4 bands of 4 → bucket equi-join → exact-Jaccard verify.
+
+    Plan: the exploded band relation is 4 rows/doc; the self-join shuffles
+    on (band, bucket) — bucket cardinality ~#distinct docs, so no skew
+    beyond true duplicate clusters (which are the signal). Candidate pairs
+    are distinct-ed BEFORE the verify join, so each pair's set comparison
+    runs once."""
+    sk = with_shingles(docs, text_col).select(id_col, "shd", "sig").persist()
+    sets = sk.select(id_col, "shd")
+    bh = sk.withColumn("bh", F.expr(band_hashes_expr(SPARK, "sig", BANDS, ROWS_PER_BAND)))
+    bandrel = bh.select(id_col, F.posexplode("bh").alias("band", "bucket"))
+    la = bandrel.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    lb = bandrel.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(cand, sets, id_col, tau_pct)
+
+
+def minhash_lsh_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 80,
+) -> str:
+    e = DUCK
+    return f"""
+WITH {_duck_shd_cte(src, text_col, id_col)},
+sig AS (SELECT {id_col}, shd, {minhash_sig_expr(e, "shd", NUM_PERM)} AS sig FROM shd),
+bh AS (SELECT {id_col}, shd, {band_hashes_expr(e, "sig", BANDS, ROWS_PER_BAND)} AS bh FROM sig),
+bandrel AS (
+  SELECT {id_col}, band, bh[band + 1] AS bucket
+  FROM bh CROSS JOIN (SELECT unnest(generate_series(0, {BANDS - 1})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bandrel a JOIN bandrel b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}),
+v AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shd, sb.shd)) AS BIGINT) AS inter,
+         CAST(len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)) AS BIGINT) AS union_sz
+  FROM cand c
+  JOIN shd sa ON sa.{id_col} = c.id_a
+  JOIN shd sb ON sb.{id_col} = c.id_b)
+SELECT id_a, id_b, inter, union_sz
+FROM v WHERE union_sz > 0 AND inter * 100 >= {tau_pct} * union_sz
+"""
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): 32-bit SimHash over token hashes — pure map (one
+    Arrow pass, functions/sketch.py)."""
+    return sketch_docs(docs, text_col).select(id_col, "simhash")
+
+
+def simhash_sketch_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    e = DUCK
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+w AS (SELECT {id_col}, {word_hashes_expr(e, "toks")} AS wh FROM t)
+SELECT {id_col}, {simhash_expr(e, "wh", SIMHASH_BITS)} AS simhash FROM w
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming (default 3).
+
+    EXACT for max_hamming <= SIMHASH_BITS/SIMHASH_BANDS - ... by
+    pigeonhole: with 4 bands of 8 bits and <= 3 differing bits, at least
+    one band matches, so the band equi-join loses nothing; the
+    bit_count(xor) filter then removes false candidates."""
+    sk = simhash_sketch(docs, text_col, id_col).persist()
+    chunk = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sk.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * chunk).bitwiseAND(F.lit((1 << chunk) - 1)).alias("bucket"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    la = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    lb = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    pairs = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def simhash_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    e = DUCK
+    chunk = SIMHASH_BITS // SIMHASH_BANDS
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+w AS (SELECT {id_col}, {word_hashes_expr(e, "toks")} AS wh FROM t),
+sk AS (SELECT {id_col}, {simhash_expr(e, "wh", SIMHASH_BITS)} AS simhash FROM w),
+bands AS (
+  SELECT {id_col}, simhash, band, (simhash >> (band * {chunk})) & {(1 << chunk) - 1} AS bucket
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) b),
+pairs AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col})
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+# -------------------------------------------------------- exact n-gram sets
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 60,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard >= tau over word-3-gram sets, via the sparse
+    inverted-index join (docs sharing zero shingles never meet — no O(n²)
+    cross join).
+
+    Plan: explode distinct shingles → self-equi-join on shingle hash →
+    per-pair intersection count (one hash aggregate) → join per-doc set
+    sizes → integer threshold. `max_doc_freq` drops shingle postings
+    longer than the cap before the join — the standard guard against
+    boilerplate shingles whose postings would otherwise explode
+    quadratically at web scale (a correctness trade documented at the
+    call site; None = exact)."""
+    sets = with_shingles(docs, text_col).select(id_col, "shd").persist()
+    sizes = sets.select(F.col(id_col), F.expr(SPARK.size("shd")).cast("long").alias("nsh"))
+    post = sets.select(id_col, F.explode("shd").alias("s"))
+    if max_doc_freq is not None:
+        freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_doc_freq)
+        post = post.join(F.broadcast(freq.select("s")), "s")
+    pa = post.select(F.col(id_col).alias("id_a"), "s")
+    pb = post.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb")), "id_b")
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter((F.col("union_sz") > 0) & (F.col("inter") * 100 >= F.lit(tau_pct) * F.col("union_sz")))
+    )
+    return out.select("id_a", "id_b", "inter", "union_sz")
+
+
+def ngram_jaccard_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 60,
+) -> str:
+    return f"""
+WITH {_duck_shd_cte(src, text_col, id_col)},
+sizes AS (SELECT {id_col}, CAST(len(shd) AS BIGINT) AS nsh FROM shd),
+post AS (SELECT {id_col}, unnest(shd) AS s FROM shd),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.inter, sa.nsh + sb.nsh - i.inter AS union_sz
+FROM inter i
+JOIN sizes sa ON sa.{id_col} = i.id_a
+JOIN sizes sb ON sb.{id_col} = i.id_b
+WHERE sa.nsh + sb.nsh - i.inter > 0
+  AND i.inter * 100 >= {tau_pct} * (sa.nsh + sb.nsh - i.inter)
+"""

@@ -1,0 +1,252 @@
+"""Text-analysis operators for a web-scale training-data pipeline:
+tokenization stats, quality scoring, language ID, and document
+fingerprinting — plus their DuckDB oracle-SQL twins.
+
+Design rules (all enforced by the `functions/textexpr.py` combinators):
+
+* **JVM-only hot path** — every operator is higher-order-function column
+  expressions over arrays (no Python UDFs anywhere in this module); at
+  100 TB the per-doc work is embarrassingly parallel map work with no
+  shuffle except the final aggregate the caller asks for.
+* **Integer outputs** — ratios are parts-per-mille / centi integers via
+  integer division, so the driver's value-hash comparison is exact.
+* **Lockstep oracles** — each Spark operator has a `*_sql_duck()` twin
+  built from the SAME expression builders rendered for DuckDB.
+
+The reference repo contains no text operators (SURVEY §2.9 — it is a
+spatial construction kernel); this layer is the payload-side processing
+the north rule's Common-Crawl-style page table needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.functions.textexpr import (
+    DUCK,
+    P2,
+    B2,
+    SEED2,
+    SPARK,
+    char_hash_expr,
+    count_in_set_expr,
+    ndistinct_expr,
+    punct_count_expr,
+    size_expr,
+    text_fp_expr,
+    tokens_expr,
+    total_len_expr,
+    word_hashes_expr,
+)
+
+__all__ = [
+    "STOPWORDS_EN",
+    "LANG_LEXICON",
+    "token_stats",
+    "token_stats_sql_duck",
+    "quality_score",
+    "quality_score_sql_duck",
+    "lang_id",
+    "lang_id_sql_duck",
+    "fingerprint",
+    "fingerprint_sql_duck",
+    "exact_dedup",
+    "exact_dedup_sql_duck",
+]
+
+#: English stopword sample used by the quality heuristic.
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"]
+
+#: Tiny per-language discriminative lexicons (language-ID heuristic).
+#: Ordered dict-of-lists; prediction ties break on lexicographic lang.
+LANG_LEXICON: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "that", "it", "for"],
+    "es": ["el", "los", "las", "por", "una", "con", "para", "como"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("toks", F.expr(tokens_expr(SPARK, text_col)))
+
+
+# ------------------------------------------------------------- token stats
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, total_token_chars, n_stopwords)."""
+    e = SPARK
+    d = _with_tokens(docs, text_col)
+    return d.select(
+        F.col(id_col),
+        F.expr(size_expr(e, "toks")).alias("n_tokens"),
+        F.expr(ndistinct_expr(e, "toks")).alias("n_distinct"),
+        F.expr(total_len_expr(e, "toks")).alias("total_token_chars"),
+        F.expr(count_in_set_expr(e, "toks", STOPWORDS_EN)).alias("n_stopwords"),
+    )
+
+
+def token_stats_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    e = DUCK
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src})
+SELECT {id_col},
+       {size_expr(e, "toks")} AS n_tokens,
+       {ndistinct_expr(e, "toks")} AS n_distinct,
+       {total_len_expr(e, "toks")} AS total_token_chars,
+       {count_in_set_expr(e, "toks", STOPWORDS_EN)} AS n_stopwords
+FROM t
+"""
+
+
+# ---------------------------------------------------------- quality score
+def _quality_exprs(e, text_col: str) -> dict[str, str]:
+    """Shared step expressions over a relation with a `toks` column."""
+    nt = size_expr(e, "toks")
+    return {
+        "n_tokens": nt,
+        "n_punct": f"CAST({punct_count_expr(e, text_col)} AS BIGINT)",
+        "stop_pm": f"CASE WHEN ({nt}) > 0 THEN "
+        f"{e.idiv(count_in_set_expr(e, 'toks', STOPWORDS_EN) + ' * 1000', nt)} "
+        "ELSE CAST(0 AS BIGINT) END",
+        "mean_len_centi": f"CASE WHEN ({nt}) > 0 THEN "
+        f"{e.idiv(total_len_expr(e, 'toks') + ' * 100', nt)} "
+        "ELSE CAST(0 AS BIGINT) END",
+    }
+
+
+_QUALITY_SCORE_TMPL = (
+    "1000 - CASE WHEN n_tokens < 20 THEN 300 ELSE 0 END"
+    " - CASE WHEN stop_pm < 30 THEN 200 ELSE 0 END"
+    " - CASE WHEN mean_len_centi < 250 OR mean_len_centi > 800 THEN 200 ELSE 0 END"
+    " - CASE WHEN n_punct * 10 > n_tokens THEN 100 ELSE 0 END"
+)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality components (all integers) + a 0–1000 score:
+    length, stopword density, mean token length, punctuation density —
+    the standard Gopher/C4-style filters in integer arithmetic."""
+    d = _with_tokens(docs, text_col)
+    parts = _quality_exprs(SPARK, text_col)
+    for name, ex in parts.items():
+        d = d.withColumn(name, F.expr(ex))
+    return d.select(
+        id_col, "n_tokens", "n_punct", "stop_pm", "mean_len_centi",
+        F.expr(_QUALITY_SCORE_TMPL).cast("long").alias("quality"),
+    )
+
+
+def quality_score_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    parts = _quality_exprs(DUCK, text_col)
+    cols = ",\n       ".join(f"{ex} AS {name}" for name, ex in parts.items())
+    return f"""
+WITH t AS (SELECT {id_col}, {text_col}, {tokens_expr(DUCK, text_col)} AS toks FROM {src}),
+q AS (SELECT {id_col}, {cols} FROM t)
+SELECT {id_col}, n_tokens, n_punct, stop_pm, mean_len_centi,
+       CAST({_QUALITY_SCORE_TMPL} AS BIGINT) AS quality
+FROM q
+"""
+
+
+# -------------------------------------------------------------- language ID
+def _lang_score_cols(e) -> dict[str, str]:
+    return {f"s_{lang}": count_in_set_expr(e, "toks", words) for lang, words in LANG_LEXICON.items()}
+
+
+def _lang_pred_expr() -> str:
+    """Argmax over the per-lang scores; ties break to the lexicographically
+    first language (dict order is sorted); all-zero → 'und'."""
+    langs = sorted(LANG_LEXICON)
+    m = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    chain = " ".join(f"WHEN s_{lg} = _m THEN '{lg}'" for lg in langs)
+    return f"CASE WHEN _m = 0 THEN 'und' {chain} END", m
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, score) — lexicon-vote n-gram heuristic. A broadcast
+    lexicon join in disguise: the lexicon rides the plan as literals, so
+    the operator is a pure map (no shuffle) at any scale."""
+    d = _with_tokens(docs, text_col)
+    for name, ex in _lang_score_cols(SPARK).items():
+        d = d.withColumn(name, F.expr(ex))
+    pred, m = _lang_pred_expr()
+    d = d.withColumn("_m", F.expr(m))
+    return d.select(
+        id_col,
+        F.expr(pred).alias("pred_lang"),
+        F.col("_m").alias("score"),
+    )
+
+
+def lang_id_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    scores = ",\n       ".join(f"{ex} AS {name}" for name, ex in _lang_score_cols(DUCK).items())
+    pred, m = _lang_pred_expr()
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(DUCK, text_col)} AS toks FROM {src}),
+s AS (SELECT {id_col}, {scores} FROM t),
+g AS (SELECT *, {m} AS _m FROM s)
+SELECT {id_col}, {pred} AS pred_lang, _m AS score FROM g
+"""
+
+
+# ------------------------------------------------------------ fingerprints
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp1, fp2): two independent rolling-hash fingerprints of the
+    raw text. The pair is a 60-bit composite — at 10^12 docs a single
+    30-bit hash would collide constantly; the pair's collision odds are
+    ~n²/2^60·scale, and equality on (fp1, fp2, length) is the exact-dedup
+    key."""
+    e = SPARK
+    return docs.select(
+        F.col(id_col),
+        F.expr(text_fp_expr(e, text_col)).alias("fp1"),
+        F.expr(text_fp_expr(e, text_col, P2, B2, SEED2)).alias("fp2"),
+        F.length(text_col).cast("long").alias("text_len"),
+    )
+
+
+def fingerprint_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    e = DUCK
+    return f"""
+SELECT {id_col},
+       {text_fp_expr(e, text_col)} AS fp1,
+       {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
+       CAST(length({text_col}) AS BIGINT) AS text_len
+FROM {src}
+"""
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact deduplication by content fingerprint: one row per distinct
+    text, keeping the minimum id, with the copy count.
+
+    Scale shape: map (fingerprint) → single hash-aggregate shuffle on
+    (fp1, fp2, text_len). No sort, no join; partial aggregation
+    (map-side combine) makes the shuffle carry one row per distinct text
+    per task. This is THE 100 TB exact-dedup plan."""
+    fp = fingerprint(docs, text_col, id_col)
+    return (
+        fp.groupBy("fp1", "fp2", "text_len")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("kept_id", "n_copies")
+    )
+
+
+def exact_dedup_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    e = DUCK
+    return f"""
+WITH fp AS (
+  SELECT {id_col},
+         {text_fp_expr(e, text_col)} AS fp1,
+         {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
+         CAST(length({text_col}) AS BIGINT) AS text_len
+  FROM {src})
+SELECT MIN({id_col}) AS kept_id, COUNT(*) AS n_copies
+FROM fp GROUP BY fp1, fp2, text_len
+"""

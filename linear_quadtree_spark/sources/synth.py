@@ -47,6 +47,48 @@ def geotagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("x", geotag_x("doc_id")).withColumn("y", geotag_y("doc_id"))
 
 
+# ----------------------------------------------------- dedup corpus fixture
+#: id offsets for the deterministic duplicate mirrors (clear of real ids)
+EXACT_DUP_OFFSET = 2_000_000_000
+NEAR_DUP_OFFSET = 1_000_000_000
+NEAR_DUP_SUFFIX = " dup dup"
+
+
+def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup test corpus: documents ∪ exact-duplicate mirror (every
+    7th doc, text unchanged) ∪ near-duplicate mirror (every 10th doc, two
+    tokens appended). The driver tables have no duplicate texts, so the
+    dedup operators are exercised on this deterministic augmentation —
+    `corpus_cte_duck()` builds the identical corpus on the oracle side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(EXACT_DUP_OFFSET))
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(NEAR_DUP_OFFSET))
+        .withColumn("text", F.concat(F.col("text"), F.lit(NEAR_DUP_SUFFIX)))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def corpus_cte_duck() -> str:
+    """DuckDB CTE body producing the identical corpus relation."""
+    return (
+        "corpus AS ("
+        "SELECT doc_id, text, lang, source FROM documents "
+        "UNION ALL "
+        f"SELECT doc_id + {EXACT_DUP_OFFSET}, text, lang, source "
+        "FROM documents WHERE doc_id % 7 = 0 "
+        "UNION ALL "
+        f"SELECT doc_id + {NEAR_DUP_OFFSET}, text || '{NEAR_DUP_SUFFIX}', lang, source "
+        "FROM documents WHERE doc_id % 10 = 0)"
+    )
+
+
 # ------------------------------------------------------------------ polygons
 def poly_params(poly_id: int) -> tuple[float, float, float]:
     """(cx, cy, r) for one polygon — plain Python doubles."""
