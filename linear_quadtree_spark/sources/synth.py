@@ -75,6 +75,51 @@ def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(exact).unionByName(near)
 
 
+#: embedding near-dup mirror: every 5th vector, first component +0.5
+EMB_DUP_OFFSET = 1_000_000_000
+EMB_DUP_MOD = 5
+
+
+def corpus_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup corpus: embeddings (as DOUBLE arrays) ∪ a
+    deterministic perturbed mirror of every 5th vector (first component
+    +0.5 → cosine ≈ 0.9 to its source; unrelated pairs stay < 0.5).
+    `emb_corpus_cte_duck()` is the oracle twin — identical IEEE doubles."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = embs.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb"),
+        "label",
+    )
+    mirror = (
+        embs.filter(F.col("vec_id") % EMB_DUP_MOD == 0)
+        .select(
+            (F.col("vec_id") + F.lit(EMB_DUP_OFFSET)).alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, size(embedding)), i -> "
+                "CASE WHEN i = 1 THEN CAST(element_at(embedding, 1) AS DOUBLE) + 0.5 "
+                "ELSE CAST(element_at(embedding, i) AS DOUBLE) END)"
+            ).alias("emb"),
+            "label",
+        )
+    )
+    return base.unionByName(mirror)
+
+
+def emb_corpus_cte_duck() -> str:
+    return (
+        "emb_corpus AS ("
+        "SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb, label "
+        "FROM embeddings "
+        "UNION ALL "
+        f"SELECT vec_id + {EMB_DUP_OFFSET}, "
+        "list_transform(generate_series(1, len(embedding)), i -> "
+        "CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.5 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END), label "
+        f"FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = 0)"
+    )
+
+
 def corpus_cte_duck() -> str:
     """DuckDB CTE body producing the identical corpus relation."""
     return (

@@ -1,0 +1,70 @@
+"""Lockstep + property tests for the embedding similarity operators."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from linear_quadtree_spark.operators import similarity as S
+from linear_quadtree_spark.sources.synth import (
+    EMB_DUP_MOD,
+    EMB_DUP_OFFSET,
+    corpus_embs,
+    emb_corpus_cte_duck,
+)
+
+QIDS = [3, 17, 42, 99, 123, 256, 321, 444]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _with_corpus(sql: str) -> str:
+    return sql.replace("WITH ", f"WITH {emb_corpus_cte_duck()}, ", 1)
+
+
+def test_ann_topk_lockstep_and_exactness(spark, sf_dir, duck):
+    embs = corpus_embs(spark, sf_dir)
+    got = _norm(S.ann_topk_bruteforce(embs, QIDS, k=10).toPandas())
+    exp = _norm(duck.execute(_with_corpus(S.ann_topk_bruteforce_sql_duck(QIDS, k=10))).fetch_df())
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+    # independent numpy oracle on ranking (not just cross-engine)
+    pdf = embs.toPandas()
+    E = np.array(pdf["emb"].tolist())
+    ids = pdf["vec_id"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for q in QIDS[:3]:
+        qi = np.where(ids == q)[0][0]
+        cos = En @ En[qi]
+        cos[qi] = -2
+        order = np.lexsort((ids, -cos))[:10]
+        expect_ids = set(ids[order])
+        got_ids = set(got[got["qid"] == q]["vec_id"])
+        assert got_ids == expect_ids
+
+
+def test_emb_neardup_lockstep_and_recall(spark, sf_dir, duck):
+    embs = corpus_embs(spark, sf_dir)
+    got = _norm(S.emb_neardup_pairs(embs).toPandas())
+    exp = _norm(duck.execute(_with_corpus(S.emb_neardup_pairs_sql_duck())).fetch_df())
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+    # all reported pairs pass the threshold; planted mirrors dominate
+    assert (got["cos_ppm"] >= 800_000).all()
+    planted = got[(got["id_a"] < EMB_DUP_OFFSET) & (got["id_b"] - got["id_a"] == EMB_DUP_OFFSET)]
+    n_planted = duck.execute(
+        f"SELECT count(*) FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = 0"
+    ).fetchone()[0]
+    assert len(planted) >= 0.85 * n_planted  # 4x4 banding ⇒ ~95% recall at cos≈0.9
