@@ -183,10 +183,15 @@ def tokens_expr(e: Eng, col: str) -> str:
 
 def char_hash_expr(e: Eng, var: str, p: int = P1, b: int = B1, seed: int = SEED1) -> str:
     """Polynomial rolling hash of a string's Unicode codepoints:
-    h = fold(h*b + code) mod p. Identical in both engines incl. non-ASCII
-    (both `ascii()` return the first codepoint)."""
+    h = fold(h*b + code) mod p; empty string → seed. Identical in both
+    engines incl. non-ASCII (both `ascii()` return the first codepoint).
+    DuckDB needs an explicit empty guard: its string_split('','') yields
+    [''] (one zero codepoint) where Spark's split yields []."""
     codes = e.transform(e.split_chars(var), "c", _big("ascii(c)"))
-    return e.fold(codes, _big(seed), "a", "c", f"(a * {b} + c) % {p}")
+    folded = e.fold(codes, _big(seed), "a", "c", f"(a * {b} + c) % {p}")
+    if e.name == "duck":
+        return f"CASE WHEN length({var}) = 0 THEN {_big(seed)} ELSE {folded} END"
+    return folded
 
 
 def word_hashes_expr(e: Eng, toks_col: str, p: int = P1, b: int = B1, seed: int = SEED1) -> str:

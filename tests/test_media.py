@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary container round trip, mapInPandas
+decode vs the text-derived DuckDB oracle, frame-sampling flatMap, and the
+stubbed real-codec boundary."""
+
+import duckdb
+import pytest
+
+from linear_quadtree_spark.operators import media as M
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_payload_is_binary_and_parseable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.synth_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.filter("doc_id = 2").first()  # 2 % 3 == 2 → video
+    assert bytes(row.payload).startswith(b"VID1|")
+
+
+def test_decode_metadata_oracle(spark, sf_dir, duck):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _norm(M.decode_metadata(M.synth_media(docs)).toPandas())
+    exp = _norm(duck.execute(M.media_metadata_sql_duck()).fetch_df())
+    assert got.shape == exp.shape
+    eq = (got.values == exp.values) | (got.isna().values & exp.isna().values)
+    assert eq.all()
+    # schema partition: images/videos have dims, audio has rate+duration
+    assert got[got["media_type"] == "audio"]["width"].isna().all()
+    assert got[got["media_type"] == "image"]["sample_rate"].isna().all()
+
+
+def test_sample_frames_oracle(spark, sf_dir, duck):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _norm(M.sample_frames(M.synth_media(docs)).toPandas())
+    exp = _norm(duck.execute(M.frame_fps_sql_duck()).fetch_df())
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+    # every video doc emits exactly its header's frame count
+    per_doc = got.groupby("doc_id").size()
+    assert ((per_doc - 4) == per_doc.index % 5).all()
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_image_real(b"IMG1|1|1|x")
