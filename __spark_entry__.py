@@ -34,12 +34,25 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     point_in_polygon_join,
     tile_stats,
 )
+from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
+from linear_quadtree_spark.operators import dedup as _dedup  # noqa: E402
+from linear_quadtree_spark.operators import media as _media  # noqa: E402
+from linear_quadtree_spark.operators import similarity as _sim  # noqa: E402
+from linear_quadtree_spark.operators import text as _text  # noqa: E402
 from linear_quadtree_spark.sources.synth import (  # noqa: E402
+    corpus_cte_duck,
+    corpus_docs,
+    corpus_embs,
+    emb_corpus_cte_duck,
     geotagged_docs,
     knn_queries_df,
     knn_queries_values_sql,
     polygon_edges_values_sql,
     polygons_df,
+)
+from linear_quadtree_spark.streaming.sessionize import (  # noqa: E402
+    sessionize_batch,
+    sessionize_batch_sql_duck,
 )
 
 # fixture sizes (shared by Spark queries and oracle SQL)
@@ -58,7 +71,9 @@ _PTS_CTE = (
 
 def _build_table(spark: SparkSession, sf_dir: str) -> LQTTable:
     pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
-    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=False)
+    # persist: iterative consumers (kNN ring expansion) re-scan the built
+    # tree per round — without caching every round re-runs the encode UDF
+    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True)
 
 
 # --------------------------------------------------------------------- entry
@@ -183,6 +198,154 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- text / dedup layer
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_stats(spark, sf_dir):
+    return _text.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return _text.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return _text.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return _text.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return _text.exact_dedup(corpus_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return _dedup.minhash_lsh_pairs(corpus_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return _dedup.simhash_sketch(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return _dedup.simhash_pairs(corpus_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return _dedup.ngram_jaccard_pairs(corpus_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------- similarity layer
+ANN_QIDS = [3, 17, 42, 99, 123, 256, 321, 444]
+
+
+def _q_ann_topk(spark, sf_dir):
+    return _sim.ann_topk_bruteforce(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    return _sim.emb_neardup_pairs(corpus_embs(spark, sf_dir))
+
+
+# --------------------------------------------------------- media / stream
+def _q_media_metadata(spark, sf_dir):
+    return _media.decode_metadata(_media.synth_media(_docs(spark, sf_dir)))
+
+
+def _q_media_frames(spark, sf_dir):
+    return _media.sample_frames(_media.synth_media(_docs(spark, sf_dir)))
+
+
+def _q_sessionize(spark, sf_dir):
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
+
+
+# -------------------------------------------------------- alternate index
+GEOCELL_LEVEL = 6
+
+
+def _q_geocell_stats(spark, sf_dir):
+    pts = geotagged_docs(spark, sf_dir)
+    return (
+        pts.withColumn("geocell", geocell_col("x", "y", DEFAULT_BOUNDS, GEOCELL_LEVEL))
+        .groupBy("geocell")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("doc_id").alias("sum_doc_id"))
+    )
+
+
+# ------------------------------------------------------- relational joins
+def _q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → broadcast hash joins →
+    decimal-exact revenue aggregate → deterministic top-10."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    price = F.col("l_extendedprice").cast("decimal(20,2)")
+    disc = F.col("l_discount").cast("decimal(20,2)")
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((price * (F.lit(1) - disc)).cast("decimal(30,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def _q_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join through two dimension chains (supplier
+    and customer both resolve to the same nation) with broadcast dims."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(20,2)")
+    disc = F.col("l_discount").cast("decimal(20,2)")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup = supplier.join(F.broadcast(dims), supplier.s_nationkey == dims.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum((price * (F.lit(1) - disc)).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lqt_build_stats": _q_build_stats,
@@ -194,10 +357,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_cust": _q_top_orders_per_cust,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        # deduplication
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "emb_neardup_pairs": _q_emb_neardup,
+        # multimodal
+        "media_metadata": _q_media_metadata,
+        "media_frames": _q_media_frames,
+        # sessionization (batch twin of the streaming operator)
+        "sessionize": _q_sessionize,
+        # alternate index
+        "geocell_stats": _q_geocell_stats,
+        # relational joins
+        "q3_shipping": _q_q3_shipping,
+        "q5_region_revenue": _q_q5_region_revenue,
     }
 
 
 # -------------------------------------------------------------------- oracle
+def _corpus(sql: str) -> str:
+    """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
+    return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
+        else f"WITH {corpus_cte_duck()} {sql}"
+
+
+def _emb_corpus(sql: str) -> str:
+    return sql.replace("WITH ", f"WITH {emb_corpus_cte_duck()}, ", 1) if "WITH " in sql \
+        else f"WITH {emb_corpus_cte_duck()} {sql}"
+
+
 def oracle_sql() -> dict[str, str]:
     x0, x1, y0, y1 = BBOX
     return {
@@ -271,5 +469,64 @@ WITH r AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
+""",
+        # ---- text analysis (lockstep SQL twins from operators/text.py)
+        "token_stats": _text.token_stats_sql_duck(),
+        "quality_score": _text.quality_score_sql_duck(),
+        "lang_id": _text.lang_id_sql_duck(),
+        "doc_fingerprint": _text.fingerprint_sql_duck(),
+        # ---- dedup (corpus CTE plants deterministic duplicates)
+        "exact_dedup": _corpus(_text.exact_dedup_sql_duck("corpus")),
+        "minhash_lsh_pairs": _corpus(_dedup.minhash_lsh_pairs_sql_duck("corpus")),
+        "simhash": _dedup.simhash_sketch_sql_duck(),
+        "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),
+        "ngram_jaccard_pairs": _corpus(_dedup.ngram_jaccard_pairs_sql_duck("corpus")),
+        # ---- similarity
+        "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),
+        "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),
+        # ---- multimodal (oracle recomputes from source text)
+        "media_metadata": _media.media_metadata_sql_duck(),
+        "media_frames": _media.frame_fps_sql_duck(),
+        # ---- sessionization
+        "sessionize": sessionize_batch_sql_duck("events", 30),
+        # ---- alternate index
+        "geocell_stats": f"""
+WITH {_PTS_CTE}
+SELECT {geocell_sql_duck('px', 'py', DEFAULT_BOUNDS, GEOCELL_LEVEL)} AS geocell,
+       COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM pts GROUP BY 1
+""",
+        # ---- relational joins
+        "q3_shipping": """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(20,2))) AS DECIMAL(30,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < DATE '1995-03-15'
+    AND l.l_shipdate > DATE '1995-03-15'
+  GROUP BY 1, 2, 3)
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority, revenue
+FROM j ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT n.n_name,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(20,2))) AS DECIMAL(30,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+GROUP BY 1
 """,
     }

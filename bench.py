@@ -105,6 +105,44 @@ def main() -> None:
     tile_rows = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = time.time() - t0
 
+    # --- training-data pipeline layer (documents / embeddings tables)
+    from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from linear_quadtree_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        emb_neardup_pairs,
+    )
+    from linear_quadtree_spark.operators.text import exact_dedup, quality_score, token_stats
+    from linear_quadtree_spark.sources.synth import corpus_docs, corpus_embs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corp = corpus_docs(spark, SF_DIR)
+
+    t0 = time.time()
+    ts_rows = token_stats(docs).count()
+    qs_rows = quality_score(docs).count()
+    timings["text_stats"] = time.time() - t0
+
+    t0 = time.time()
+    ded_rows = exact_dedup(corp).count()
+    timings["exact_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    mh_rows = minhash_lsh_pairs(corp).count()
+    timings["minhash_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    sh_rows = simhash_pairs(corp).count()
+    timings["simhash_pairs"] = time.time() - t0
+
+    embs = corpus_embs(spark, SF_DIR)
+    t0 = time.time()
+    ann_rows = ann_topk_bruteforce(embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10).count()
+    timings["ann_topk"] = time.time() - t0
+
+    t0 = time.time()
+    nd_rows = emb_neardup_pairs(embs).count()
+    timings["emb_neardup"] = time.time() - t0
+
     result = {
         "metric": "lqt_build_throughput_rows_per_sec",
         "value": round(build_rows_per_sec, 1),
@@ -113,7 +151,19 @@ def main() -> None:
         "sf": SF_DIR,
         "rows": n_rows,
         "cpus": CPUS,
-        "aux": {"pip_rows": pip_rows, "knn_rows": knn_rows, "tiles": tile_rows, "bbox_rows": c},
+        "aux": {
+            "pip_rows": pip_rows,
+            "knn_rows": knn_rows,
+            "tiles": tile_rows,
+            "bbox_rows": c,
+            "token_stats_rows": ts_rows,
+            "quality_rows": qs_rows,
+            "exact_dedup_rows": ded_rows,
+            "minhash_pairs": mh_rows,
+            "simhash_pairs": sh_rows,
+            "ann_rows": ann_rows,
+            "emb_neardup_rows": nd_rows,
+        },
     }
     spark.stop()
     print(json.dumps(result))
