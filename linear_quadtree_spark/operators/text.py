@@ -74,8 +74,22 @@ def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- token stats
+#: BPE-ish sub-token pattern: letter runs, digit runs, and punctuation
+#: runs each count separately (the GPT-2 pre-tokenizer shape, ASCII-safe
+#: so Java regex and RE2 agree).
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def _bpe_count(e, text_col: str) -> str:
+    if e.name == "spark":
+        # Spark has no regexp_matches-count; count = extracted-array size
+        return f"CAST(size(regexp_extract_all(lower({text_col}), '{BPE_RE.replace(chr(92), chr(92) * 2)}', 0)) AS BIGINT)"
+    return f"CAST(len(regexp_extract_all(lower({text_col}), '{BPE_RE}')) AS BIGINT)"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens, n_distinct, total_token_chars, n_stopwords)."""
+    """(id, n_tokens, n_distinct, total_token_chars, n_stopwords,
+    n_bpe_tokens): whitespace tokens + BPE-ish sub-token count."""
     e = SPARK
     d = _with_tokens(docs, text_col)
     return d.select(
@@ -84,18 +98,20 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.expr(ndistinct_expr(e, "toks")).alias("n_distinct"),
         F.expr(total_len_expr(e, "toks")).alias("total_token_chars"),
         F.expr(count_in_set_expr(e, "toks", STOPWORDS_EN)).alias("n_stopwords"),
+        F.expr(_bpe_count(e, text_col)).alias("n_bpe_tokens"),
     )
 
 
 def token_stats_sql_duck(src: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     e = DUCK
     return f"""
-WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src})
+WITH t AS (SELECT {id_col}, {text_col}, {tokens_expr(e, text_col)} AS toks FROM {src})
 SELECT {id_col},
        {size_expr(e, "toks")} AS n_tokens,
        {ndistinct_expr(e, "toks")} AS n_distinct,
        {total_len_expr(e, "toks")} AS total_token_chars,
-       {count_in_set_expr(e, "toks", STOPWORDS_EN)} AS n_stopwords
+       {count_in_set_expr(e, "toks", STOPWORDS_EN)} AS n_stopwords,
+       {_bpe_count(e, text_col)} AS n_bpe_tokens
 FROM t
 """
 
