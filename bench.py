@@ -68,6 +68,13 @@ def main() -> None:
     pts = bench_points(spark, SF_DIR)
     n_rows = pts.count()
 
+    # warm JVM codegen + every Python worker slot outside the clock
+    warm = LQTTable.build(
+        pts.repartition(4 * CPUS), DEFAULT_BOUNDS, tiebreaker="pid", persist=False
+    )
+    materialize(warm.main)
+    warm.unpersist()
+
     # --- build (headline): encode + repartitionByRange + sortWithinPartitions
     t0 = time.time()
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
@@ -140,7 +147,8 @@ def main() -> None:
     timings["ann_topk"] = time.time() - t0
 
     t0 = time.time()
-    nd_rows = emb_neardup_pairs(embs).count()
+    from linear_quadtree_spark.operators.similarity import _make_planes
+    nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
     timings["emb_neardup"] = time.time() - t0
 
     result = {

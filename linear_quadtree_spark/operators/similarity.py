@@ -141,15 +141,24 @@ def emb_neardup_pairs(
     tau_ppm: int = 800_000,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine >= tau via hyperplane-LSH
     bucketing: 16 sign bits → 4 nibble-bands → bucket equi-join → exact
     cosine verify (integer ppm threshold). 4×4-bit banding gives ~95%
     recall at cos 0.9 (P(bit)≈0.86 → 1-(1-0.86⁴)⁴); wider bands are more
-    selective but miss moderate-angle pairs — at web scale raise
-    N_PLANES and keep band width ≈ 4-6 bits."""
+    selective but miss moderate-angle pairs. Sizing rule: bucket count
+    per band (2^band_bits) should exceed ~n/50 or candidate sets grow
+    quadratically — pass more `planes` (e.g. _make_planes(32)) as the
+    table grows; the default 16/4×4 suits the sf0.01 correctness corpus
+    and its oracle twin."""
+    planes = HYPERPLANES if planes is None else planes
+    n_bands = LSH_BANDS if bands is None else bands
+    band_bits = len(planes) // n_bands
+    band_mask = (1 << band_bits) - 1
     sk = embs.withColumn(
-        "hbits", F.expr(hyperplane_bits_expr(SPARK, emb_col, HYPERPLANES))
+        "hbits", F.expr(hyperplane_bits_expr(SPARK, emb_col, planes))
     ).persist()
     bands = sk.select(
         id_col,
@@ -159,11 +168,11 @@ def emb_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("hbits"), b * BAND_BITS)
-                        .bitwiseAND(F.lit(BAND_MASK))
+                        F.shiftrightunsigned(F.col("hbits"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
