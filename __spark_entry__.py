@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from linear_quadtree_spark import DEFAULT_BOUNDS  # noqa: E402
+from linear_quadtree_spark.cache import release_caches  # noqa: E402
 from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql  # noqa: E402
 from linear_quadtree_spark.operators.build import LQTTable  # noqa: E402
 from linear_quadtree_spark.operators.spatial import (  # noqa: E402
@@ -346,8 +347,24 @@ def _q_q5_region_revenue(spark, sf_dir):
     )
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Entering a query releases the PREVIOUS query's operator-internal
+    caches (built LQT tables, sketch relations) — the driver has already
+    collected the previous result, so storage stays bounded to one
+    query's working set across the full sweep."""
+
+    def wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrap
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _scoped(v) for k, v in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lqt_build_stats": _q_build_stats,
         "bbox_query": _q_bbox,
         "pip_join": _q_pip_join,

@@ -34,6 +34,13 @@ def stage_done(path: str) -> bool:
     return (Path(path) / "main" / "_SUCCESS").exists()
 
 
+def metrics_done(path: str) -> bool:
+    """The metrics append is its own stage with its own completion marker:
+    a crash between save() and log_metrics() must not leave a build that
+    permanently skips metrics on re-run."""
+    return (Path(path) / "metrics" / "_SUCCESS").exists()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -50,6 +57,12 @@ def main() -> None:
     if stage_done(args.out):
         print(f"stage build: SKIP (resume — {args.out} complete)", file=sys.stderr)
         tbl = LQTTable.load(spark, args.out, DEFAULT_BOUNDS, tiebreaker="doc_id")
+        if not metrics_done(args.out):
+            # resume at the first incomplete stage: the metrics append
+            # (partition ids then describe the durable saved layout —
+            # which is what downstream lineage consumers read anyway)
+            tbl.log_metrics(f"{args.out}/metrics", build_id)
+            print("stage metrics: DONE (resumed)", file=sys.stderr)
     else:
         pages = pages_table(spark, args.sf_dir)
         tbl = LQTTable.build(

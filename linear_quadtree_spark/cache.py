@@ -1,0 +1,73 @@
+"""Deterministic lifecycle for operator-internal persisted DataFrames.
+
+Several operators persist an intermediate (a sketch relation, a round
+cache) because their plan branches — without the persist, Catalyst
+re-executes the producing stage once per branch (measured 5-7× for the
+encode UDF, see operators/build.py). But `.persist()` handles that leak
+in a long-lived driver: repeated operator calls accumulate cached blocks
+in executor storage until the session dies.
+
+This module gives those internal caches an owner:
+
+* ``track(df)`` — persist ``df`` and register the handle with the
+  innermost active :func:`cache_scope`, or with the module-global
+  registry when no scope is active.
+* ``cache_scope()`` — context manager; on exit, unpersists everything
+  tracked inside it. Wrap one query's *materialization* in a scope and
+  its internal caches are released deterministically.
+* ``release_caches()`` — drain the global registry; callers with a
+  "previous results are consumed" boundary (the driver harness between
+  queries, a REPL user between jobs) call this to bound storage to the
+  current query's working set.
+
+Unpersisting is safe at any point — Spark recomputes lazily if a
+released handle is re-used — so over-eager release costs time, never
+correctness.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["track", "cache_scope", "release_caches"]
+
+_SCOPES: list[list[DataFrame]] = []
+_GLOBAL: list[DataFrame] = []
+
+
+def track(df: DataFrame, storage_level: StorageLevel | None = None) -> DataFrame:
+    """Persist ``df`` and register it for deterministic release."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    (_SCOPES[-1] if _SCOPES else _GLOBAL).append(df)
+    return df
+
+
+@contextmanager
+def cache_scope():
+    """Unpersist every DataFrame ``track``-ed inside the block on exit."""
+    lst: list[DataFrame] = []
+    _SCOPES.append(lst)
+    try:
+        yield
+    finally:
+        _SCOPES.pop()
+        for df in lst:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def release_caches() -> int:
+    """Unpersist every globally-tracked cache; returns how many."""
+    n = len(_GLOBAL)
+    while _GLOBAL:
+        df = _GLOBAL.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return n

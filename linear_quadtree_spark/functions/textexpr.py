@@ -175,23 +175,27 @@ def _big(v: int | str) -> str:
 
 # --------------------------------------------------------------- tokenizing
 def tokens_expr(e: Eng, col: str) -> str:
-    """Whitespace tokenization of lowercased text, empties dropped.
-    (The BPE-ish sub-token split lives in punct/char space; corpus tokens
-    are whitespace-delimited.)"""
-    return e.filt(e.split_re(f"lower({col})", r"\s+"), "w", "w <> ''")
+    """Whitespace tokenization of lowercased text, empties dropped; NULL
+    text tokenizes as the empty document (lockstep with the numpy sketch
+    kernel, which maps None to ''). (The BPE-ish sub-token split lives in
+    punct/char space; corpus tokens are whitespace-delimited.)"""
+    return e.filt(e.split_re(f"lower(coalesce({col}, ''))", r"\s+"), "w", "w <> ''")
 
 
 def char_hash_expr(e: Eng, var: str, p: int = P1, b: int = B1, seed: int = SEED1) -> str:
     """Polynomial rolling hash of a string's Unicode codepoints:
-    h = fold(h*b + code) mod p; empty string → seed. Identical in both
-    engines incl. non-ASCII (both `ascii()` return the first codepoint).
-    DuckDB needs an explicit empty guard: its string_split('','') yields
-    [''] (one zero codepoint) where Spark's split yields []."""
-    codes = e.transform(e.split_chars(var), "c", _big("ascii(c)"))
+    h = fold(h*b + code) mod p; empty or NULL string → seed. Identical in
+    both engines incl. non-ASCII (both `ascii()` return the first
+    codepoint). BOTH engines need the explicit empty guard: splitting ''
+    on '' yields [''] — one zero codepoint, which would fold the seed one
+    extra step (7*31+0 = 217) instead of returning the seed — in Spark as
+    well as DuckDB (verified empirically). NULL coalesces to '' so the
+    SQL renderings agree with the numpy kernel (sketch.py maps None to
+    the empty document)."""
+    s = f"coalesce({var}, '')"
+    codes = e.transform(e.split_chars(s), "c", _big("ascii(c)"))
     folded = e.fold(codes, _big(seed), "a", "c", f"(a * {b} + c) % {p}")
-    if e.name == "duck":
-        return f"CASE WHEN length({var}) = 0 THEN {_big(seed)} ELSE {folded} END"
-    return folded
+    return f"CASE WHEN length({s}) = 0 THEN {_big(seed)} ELSE {folded} END"
 
 
 def word_hashes_expr(e: Eng, toks_col: str, p: int = P1, b: int = B1, seed: int = SEED1) -> str:

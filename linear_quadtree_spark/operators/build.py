@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from linear_quadtree_spark.cache import track
 from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS, MAX_SAFE_LEVEL
 from linear_quadtree_spark.functions.encode import encode_struct_udf, tile_id_col
 from linear_quadtree_spark.plans.cover import ZRange, cover_rect, ranges_to_predicate
@@ -106,14 +107,24 @@ class LQTTable:
         y_col: str = "y",
         tiebreaker: str | None = None,
         num_partitions: int | None = None,
-        salt: int = 0,
+        salt: int | str = 0,
         persist: bool = True,
+        eager_count: bool = True,
     ) -> "LQTTable":
         """Encode + range-partition + sort — `lqt_create_cuda` re-expressed.
 
         ``salt > 0`` adds a deterministic payload-hash salt as a secondary
         range key: equal-zs runs (hot cells / midline collapse) split
         across up to ``salt`` partitions instead of hot-spotting one.
+        ``salt="auto"`` samples the encoded keys for hot-key mass first
+        and picks the salt width itself (one extra small job).
+
+        ``eager_count=False`` skips the up-front count() action: the
+        RangePartitioner's sampling pass then doubles as the cache
+        materializer (it reads every row anyway), removing one job
+        barrier + one full cached-read pass from the build — the
+        fixed-cost path used by the benchmarks. ``build_metrics["rows"]``
+        is None in that mode.
         """
         t0 = time.time()
         # Materialize the encode exactly ONCE. Without this, (a) Catalyst
@@ -124,15 +135,14 @@ class LQTTable:
         # with the cache it is one. At cluster scale this cache is the
         # encoded staging table (MEMORY_AND_DISK serialized ≈ its size on
         # disk); writing it to storage instead is the same plan shape.
-        enc = encode_points(df, bounds, x_col, y_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # Registered with cache.track so long-lived drivers can release
+        # leaked tables via release_caches(); LQTTable.unpersist() remains
+        # the owning handle.
+        enc = track(
+            encode_points(df, bounds, x_col, y_col),
+            StorageLevel.MEMORY_AND_DISK,
         )
-        # Eagerly materialize the staging cache BEFORE the range shuffle:
-        # letting the RangePartitioner's sampling job populate it while
-        # the same action's shuffle-map tasks compete for execution memory
-        # evicts cache blocks mid-build (measured 2x wall). The count also
-        # feeds the build metrics.
-        n_rows = enc.count()
+        n_rows = enc.count() if eager_count else None
         main = enc.filter(F.col("zlvl") >= STORE_SPLIT_LEVEL)
         side = enc.filter(F.col("zlvl") < STORE_SPLIT_LEVEL)
 
@@ -143,6 +153,8 @@ class LQTTable:
             # cluster scale partition count is sized by bytes instead
             # (~input_bytes / 256 MB), which the caller passes explicitly.
             num_partitions = max(2 * df.sparkSession.sparkContext.defaultParallelism, 2)
+        if salt == "auto":
+            salt = cls.detect_salt(enc, num_partitions)
         if salt > 1:
             tb = tiebreaker or x_col
             main = main.withColumn("_salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(salt)))
@@ -152,8 +164,8 @@ class LQTTable:
         main = main.sortWithinPartitions(*sort_cols)
 
         if persist:
-            main = main.persist()
-            side = side.persist()
+            main = track(main)
+            side = track(side)
         tbl = cls(
             main=main,
             side=side,
@@ -167,14 +179,50 @@ class LQTTable:
         )
         return tbl
 
+    # --------------------------------------------------------------- salting
+    @staticmethod
+    def detect_salt(
+        enc: DataFrame,
+        num_partitions: int,
+        fraction: float = 0.05,
+        margin: float = 1.5,
+    ) -> int:
+        """Sampled hot-key detection (north rule: explicit skew handling).
+
+        One small job over the (cached) encode: seeded sample → heaviest
+        zs value's mass fraction f → smallest salt s with f/s under a
+        partition's fair share (×margin); 0 when nothing is hot. Midline
+        collapse (SURVEY §1.3) makes hot zs keys a *structural* property
+        of real data, not an edge case. At cluster scale the same sketch
+        comes from the encoded staging table's column stats instead of a
+        sample scan."""
+        row = (
+            enc.select("zs")
+            .sample(fraction=fraction, seed=42)
+            .groupBy("zs")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("hot"), F.sum("c").alias("tot"))
+            .collect()[0]
+        )
+        if row is None or not row["tot"]:
+            return 0
+        f = row["hot"] / row["tot"]
+        if f * num_partitions <= 1.0:
+            return 0
+        import math
+
+        return min(int(math.ceil(f * num_partitions * margin)), num_partitions)
+
     # ------------------------------------------------------------ persistence
-    def save(self, path: str, mode: str = "overwrite") -> None:
-        """Write as two parquet relations. At cluster scale this is the
-        Iceberg writer (sorted files give min/max zs stats per file →
-        partition pruning for range predicates); parquet is the sandbox
-        drop-in with identical pruning semantics via row-group stats."""
-        self.main.write.mode(mode).parquet(f"{path}/main")
-        self.side.write.mode(mode).parquet(f"{path}/side")
+    def save(self, path: str, mode: str = "overwrite", format: str = "parquet") -> None:
+        """Write as two relations through one format seam. ``format`` is
+        any DataFrameWriter format name; ``"iceberg"`` is the cluster
+        target (sorted files give min/max zs stats per file → file-level
+        pruning for range predicates) and parquet the sandbox default
+        with identical pruning semantics via row-group stats — flipping
+        between them is this one argument."""
+        self.main.write.format(format).mode(mode).save(f"{path}/main")
+        self.side.write.format(format).mode(mode).save(f"{path}/side")
 
     @classmethod
     def load(
@@ -185,10 +233,11 @@ class LQTTable:
         x_col: str = "x",
         y_col: str = "y",
         tiebreaker: str | None = None,
+        format: str = "parquet",
     ) -> "LQTTable":
         return cls(
-            main=spark.read.parquet(f"{path}/main"),
-            side=spark.read.parquet(f"{path}/side"),
+            main=spark.read.format(format).load(f"{path}/main"),
+            side=spark.read.format(format).load(f"{path}/side"),
             bounds=bounds,
             x_col=x_col,
             y_col=y_col,
@@ -236,7 +285,7 @@ class LQTTable:
         Returns what was written."""
         m = self.partition_metrics().withColumn("build_id", F.lit(build_id))
         for k in ("rows", "encode_secs"):
-            if k in self.build_metrics:
+            if self.build_metrics.get(k) is not None:
                 m = m.withColumn(f"build_{k}", F.lit(self.build_metrics[k]))
         m.write.mode("append").parquet(path)
         return m

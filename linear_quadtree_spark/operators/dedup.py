@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linear_quadtree_spark.cache import track
+
 from linear_quadtree_spark.functions.sketch import sketch_docs
 from linear_quadtree_spark.functions.textexpr import (
     DUCK,
@@ -107,7 +109,7 @@ def minhash_lsh_pairs(
     beyond true duplicate clusters (which are the signal). Candidate pairs
     are distinct-ed BEFORE the verify join, so each pair's set comparison
     runs once."""
-    sk = with_shingles(docs, text_col).select(id_col, "shd", "sig").persist()
+    sk = track(with_shingles(docs, text_col).select(id_col, "shd", "sig"))
     sets = sk.select(id_col, "shd")
     bh = sk.withColumn("bh", F.expr(band_hashes_expr(SPARK, "sig", BANDS, ROWS_PER_BAND)))
     bandrel = bh.select(id_col, F.posexplode("bh").alias("band", "bucket"))
@@ -180,7 +182,7 @@ def simhash_pairs(
     pigeonhole: with 4 bands of 8 bits and <= 3 differing bits, at least
     one band matches, so the band equi-join loses nothing; the
     bit_count(xor) filter then removes false candidates."""
-    sk = simhash_sketch(docs, text_col, id_col).persist()
+    sk = track(simhash_sketch(docs, text_col, id_col))
     chunk = SIMHASH_BITS // SIMHASH_BANDS
     bands = sk.select(
         id_col,
@@ -252,7 +254,7 @@ def ngram_jaccard_pairs(
     boilerplate shingles whose postings would otherwise explode
     quadratically at web scale (a correctness trade documented at the
     call site; None = exact)."""
-    sets = with_shingles(docs, text_col).select(id_col, "shd").persist()
+    sets = track(with_shingles(docs, text_col).select(id_col, "shd"))
     sizes = sets.select(F.col(id_col), F.expr(SPARK.size("shd")).cast("long").alias("nsh"))
     post = sets.select(id_col, F.explode("shd").alias("s"))
     if max_doc_freq is not None:

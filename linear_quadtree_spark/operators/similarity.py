@@ -31,6 +31,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linear_quadtree_spark.cache import track
 from linear_quadtree_spark.functions.textexpr import (
     DUCK,
     SPARK,
@@ -155,12 +156,17 @@ def emb_neardup_pairs(
     and its oracle twin."""
     planes = HYPERPLANES if planes is None else planes
     n_bands = LSH_BANDS if bands is None else bands
+    if len(planes) % n_bands != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be divisible by bands={n_bands}; "
+            "a remainder would silently drop high-order sketch bits"
+        )
     band_bits = len(planes) // n_bands
     band_mask = (1 << band_bits) - 1
-    sk = embs.withColumn(
+    sk = track(embs.withColumn(
         "hbits", F.expr(hyperplane_bits_expr(SPARK, emb_col, planes))
-    ).persist()
-    bands = sk.select(
+    ))
+    banded = sk.select(
         id_col,
         emb_col,
         F.explode(
@@ -177,8 +183,8 @@ def emb_neardup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, emb_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    la = bands.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "band", "bucket")
-    lb = bands.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "band", "bucket")
+    la = banded.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "band", "bucket")
+    lb = banded.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "band", "bucket")
     cand = (
         la.join(lb, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

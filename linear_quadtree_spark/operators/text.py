@@ -219,7 +219,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         F.expr(text_fp_expr(e, text_col)).alias("fp1"),
         F.expr(text_fp_expr(e, text_col, P2, B2, SEED2)).alias("fp2"),
-        F.length(text_col).cast("long").alias("text_len"),
+        # NULL text ≡ empty document everywhere in this layer (textexpr)
+        F.expr(f"length(coalesce({text_col}, ''))").cast("long").alias("text_len"),
     )
 
 
@@ -229,7 +230,7 @@ def fingerprint_sql_duck(src: str = "documents", text_col: str = "text", id_col:
 SELECT {id_col},
        {text_fp_expr(e, text_col)} AS fp1,
        {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
-       CAST(length({text_col}) AS BIGINT) AS text_len
+       CAST(length(coalesce({text_col}, '')) AS BIGINT) AS text_len
 FROM {src}
 """
 
@@ -261,7 +262,7 @@ WITH fp AS (
   SELECT {id_col},
          {text_fp_expr(e, text_col)} AS fp1,
          {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
-         CAST(length({text_col}) AS BIGINT) AS text_len
+         CAST(length(coalesce({text_col}, '')) AS BIGINT) AS text_len
   FROM {src})
 SELECT MIN({id_col}) AS kept_id, COUNT(*) AS n_copies
 FROM fp GROUP BY fp1, fp2, text_len

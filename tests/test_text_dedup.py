@@ -167,3 +167,40 @@ FROM s ORDER BY doc_id
     for i in range(len(rows)):
         assert list(got["sig"][i]) == list(exp["sig"][i]), f"sig row {i}"
         assert got["simhash"][i] == exp["simhash"][i], f"simhash row {i}"
+
+
+def test_empty_and_null_text_lockstep(spark, duck):
+    """Empty / NULL / whitespace-only texts hash identically in Spark,
+    DuckDB, and the numpy sketch kernel (Spark's split('','') yields ['']
+    — without the explicit guard the engines diverge on empty text)."""
+    from linear_quadtree_spark.functions.sketch import sketch_docs
+    from linear_quadtree_spark.functions.textexpr import SEED1, SPARK, char_hash_expr
+
+    # escape-free strings only: these literals are embedded in SQL via repr
+    rows = [(1, ""), (2, None), (3, "   "), (4, "one"), (5, "  ")]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # char-hash of '' must be the seed in Spark's own rendering
+    import pyspark.sql.functions as F
+
+    got_empty = (
+        sdf.filter("doc_id = 1")
+        .select(F.expr(char_hash_expr(SPARK, "text")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got_empty == SEED1
+
+    # fingerprint: Spark == DuckDB on the degenerate corpus
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows
+    )
+    sql = T.fingerprint_sql_duck(f"(SELECT * FROM (VALUES {vals}) AS v(doc_id, text))")
+    _assert_match(T.fingerprint(sdf), duck, sql)
+
+    # sketches: whitespace-only and empty and NULL all reduce to the
+    # empty document in both the kernel and the SQL spec
+    sk = sketch_docs(sdf).select("doc_id", "sig", "simhash").toPandas()
+    sk = sk.sort_values("doc_id", ignore_index=True)
+    empties = sk[sk["doc_id"] != 4]
+    assert (empties["simhash"] == 0).all()
+    assert all(len(set(s)) == 1 for s in empties["sig"])
