@@ -108,6 +108,16 @@ def main() -> None:
     knn_rows = knn_join(tbl, q, k=10).count()
     timings["knn16_k10"] = time.time() - t0
 
+    # bulk kNN: 10k queries as a distributed DataFrame (never collected)
+    t0 = time.time()
+    qbulk = spark.range(10_000).select(
+        F.col("id").cast("int").alias("qid"),
+        (1000.0 + 100.0 * (((F.col("id") * 48271 + 11) % 1000) / 1000.0)).alias("qx"),
+        (1000.0 + 100.0 * (((F.col("id") * 69621 + 73) % 1000) / 1000.0)).alias("qy"),
+    )
+    knn_bulk_rows = knn_join(tbl, qbulk, k=10).count()
+    timings["knn_bulk_10k"] = time.time() - t0
+
     t0 = time.time()
     tile_rows = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = time.time() - t0
@@ -162,6 +172,7 @@ def main() -> None:
         "aux": {
             "pip_rows": pip_rows,
             "knn_rows": knn_rows,
+            "knn_bulk_rows": knn_bulk_rows,
             "tiles": tile_rows,
             "bbox_rows": c,
             "token_stats_rows": ts_rows,

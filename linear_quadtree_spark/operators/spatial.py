@@ -25,7 +25,8 @@ from pyspark.sql.types import BooleanType
 
 from linear_quadtree_spark.config import DEPTH
 from linear_quadtree_spark.functions.geometry import point_in_polygon_np
-from linear_quadtree_spark.operators.build import LQTTable
+from linear_quadtree_spark.cache import track
+from linear_quadtree_spark.operators.build import LQTTable, STORE_SPLIT_LEVEL
 from linear_quadtree_spark.plans.cover import cover_cells, cover_rect
 
 __all__ = ["bbox_query", "point_in_polygon_join", "knn_join", "tile_stats"]
@@ -129,100 +130,158 @@ def point_in_polygon_join(
     return cand.filter(refine(xc.cast("double"), yc.cast("double"), F.col("poly_id")))
 
 
+def _interleave_expr(ix: str, iy: str, level: int) -> str:
+    """Morton-interleave two level-``level`` grid indices into a zkey
+    prefix — pure JVM fold, no UDF: bit l of ix is the x decision at
+    depth level-1-l, landing at prefix bit 2l (y at 2l+1)."""
+    return (
+        f"aggregate(sequence(0, {level - 1}), CAST(0 AS BIGINT), (acc, l) -> "
+        f"acc + shiftleft(shiftright({ix}, l) & CAST(1 AS BIGINT), 2 * l)"
+        f"    + shiftleft(shiftright({iy}, l) & CAST(1 AS BIGINT), 2 * l + 1))"
+    )
+
+
+def _grid_cells_df(
+    unresolved: DataFrame, bounds, r: float, level: int
+) -> DataFrame:
+    """(qid, qx, qy, cell): all level-``level`` grid cells whose closure
+    can intersect the r-square around each query — enumerated with
+    DataFrame expressions (sequence + explode + Morton fold), so the
+    query table never visits the driver.
+
+    Conservativeness: main-table rows are prefix-faithful to the
+    *float32 descent grid* (encode.py); this enumerates the *ideal*
+    float64 grid padded by one cell per side. The float32 grid's
+    boundaries deviate from ideal by < level·ULP(coordinate) ≈ 1.5e-3,
+    orders of magnitude under one cell width at any level ≤
+    STORE_SPLIT_LEVEL, so the pad strictly covers the deviation."""
+    n_cells = 1 << level
+    cw = (bounds.xend - bounds.xstart) / n_cells
+    ch = (bounds.yend - bounds.ystart) / n_cells
+
+    def _lo(coord: str, start: float, w: float):
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col(coord) - F.lit(r) - F.lit(start)) / F.lit(w)) - 1,
+        )
+
+    def _hi(coord: str, start: float, w: float):
+        return F.least(
+            F.lit(n_cells - 1).cast("long"),
+            F.floor((F.col(coord) + F.lit(r) - F.lit(start)) / F.lit(w)) + 1,
+        )
+
+    return (
+        unresolved.withColumn(
+            "ix", F.explode(F.sequence(_lo("qx", bounds.xstart, cw), _hi("qx", bounds.xstart, cw)))
+        )
+        .withColumn(
+            "iy", F.explode(F.sequence(_lo("qy", bounds.ystart, ch), _hi("qy", bounds.ystart, ch)))
+        )
+        .withColumn("cell", F.expr(_interleave_expr("ix", "iy", level)))
+        .select("qid", "qx", "qy", "cell")
+    )
+
+
 def knn_join(
     tbl: LQTTable,
     queries: DataFrame,
     k: int,
     level: int = 10,
     initial_radius: float | None = None,
-    max_rounds: int = 8,
 ) -> DataFrame:
     """Exact k-nearest-neighbors for each query point (SURVEY §2.9 ring
-    expansion): per round, candidates from the square cover of radius r
-    around each unresolved query; a query resolves when it has >= k
-    candidates within distance r (the square covers the full r-disk, so
-    nothing outside can beat the k-th hit). Unresolved queries expand
-    r ×4. Each round is one distributed job; the loop is O(log) rounds.
+    expansion), fully distributed: the query table stays a DataFrame
+    end-to-end (cell enumeration, candidate join, resolution, and the
+    expand-anti-join are all DataFrame ops); the driver holds only the
+    round counter and one remaining-count scalar per round.
 
-    Returns (query columns..., neighbor payload columns..., dist2, rn).
-    Distance: squared Euclidean float64, ties broken by the tiebreaker.
+    Per round (shared radius r — every unresolved query is on the same
+    expansion schedule): enumerate the level-L grid cells covering each
+    query's r-square (L sized so a query touches O(1) cells), broadcast
+    equi-join against ``zkey >>> (64-2L)`` on the main relation + a
+    bbox broadcast join against the tiny side relation, keep candidates
+    with dist² ≤ r², window top-k per query. A query resolves when it
+    has ≥ k candidates within r: the square covers the full r-disk, so
+    nothing outside can beat the k-th hit — exactness is unconditional.
+    Unresolved queries expand r ×4; the loop is O(log(domain/r₀)) rounds
+    and terminates by emitting partial results only for queries the
+    whole table cannot supply k rows for.
+
+    Returns (qid, qx, qy, payload columns..., dist2, rn). Distance:
+    squared Euclidean float64, ties broken by the tiebreaker. Round
+    caches are registered with cache.track; call
+    ``cache.release_caches()`` (or wrap in ``cache_scope``) after
+    consuming the result.
     """
-    spark = tbl.main.sparkSession
-    qrows = queries.collect()
-    if not qrows:
-        return spark.createDataFrame([], queries.schema)
-    n_est = max(tbl.main.count(), 1)
+    n_est = tbl.build_metrics.get("rows") or max(tbl.main.count(), 1)
     bw = tbl.bounds.xend - tbl.bounds.xstart
     bh = tbl.bounds.yend - tbl.bounds.ystart
     if initial_radius is None:
         initial_radius = max(math.sqrt(k * bw * bh / n_est) * 2.0, 1e-6)
+    max_level = min(level, STORE_SPLIT_LEVEL)
 
     tb = tbl.tiebreaker or tbl.x_col
     xc, yc = F.col(tbl.x_col), F.col(tbl.y_col)
-    unresolved = {int(r.qid): (float(r.qx), float(r.qy)) for r in qrows}
-    radius = {qid: initial_radius for qid in unresolved}
-    results = []
     max_r = math.hypot(bw, bh) * 2
 
-    for _ in range(max_rounds):
-        if not unresolved:
-            break
-        # one shared cell level keeps the join a single equi-join
-        cell_rows = []
-        shared_level = level
-        for qid, (qx, qy) in unresolved.items():
-            r = radius[qid]
-            lv, _ = cover_cells(qx - r, qx + r, qy - r, qy + r, tbl.bounds, shared_level, 2048)
-            shared_level = min(shared_level, lv)
-        for qid, (qx, qy) in unresolved.items():
-            r = radius[qid]
-            _, cells = cover_cells(qx - r, qx + r, qy - r, qy + r, tbl.bounds, shared_level, 2048)
-            cell_rows.extend((qid, qx, qy, r, c) for c in cells)
-        cells_df = spark.createDataFrame(cell_rows, ["qid", "qx", "qy", "r", "cell"])
-        shift = 64 - 2 * shared_level
+    unresolved = track(queries.select("qid", "qx", "qy"))
+    prev_unresolved = None
+    r = initial_radius
+    results: list[DataFrame] = []
 
-        cand_main = tbl.main.withColumn(
-            "_cell", F.shiftrightunsigned(F.col("zkey"), shift)
-        ).join(F.broadcast(cells_df), F.col("_cell") == F.col("cell"), "inner").drop("_cell", "cell")
-        q_df = spark.createDataFrame(
-            [(qid, qx, qy, radius[qid]) for qid, (qx, qy) in unresolved.items()],
-            ["qid", "qx", "qy", "r"],
+    while True:
+        # cell width ≈ r keeps the per-query cell count O(1) (≤ ~5×5)
+        lvl = max(1, min(max_level, int(math.floor(math.log2(max(bw, bh) / r))) if r < max(bw, bh) else 1))
+        shift = 64 - 2 * lvl
+        cells = _grid_cells_df(unresolved, tbl.bounds, r, lvl)
+
+        cand_main = (
+            tbl.main.withColumn("_cell", F.shiftrightunsigned(F.col("zkey"), shift))
+            .join(F.broadcast(cells), F.col("_cell") == F.col("cell"), "inner")
+            .drop("_cell", "cell")
         )
         cand_side = tbl.side.join(
-            F.broadcast(q_df),
-            (xc >= F.col("qx") - F.col("r")) & (xc <= F.col("qx") + F.col("r"))
-            & (yc >= F.col("qy") - F.col("r")) & (yc <= F.col("qy") + F.col("r")),
+            F.broadcast(unresolved),
+            (xc >= F.col("qx") - r) & (xc <= F.col("qx") + r)
+            & (yc >= F.col("qy") - r) & (yc <= F.col("qy") + r),
             "inner",
         )
-        cand = cand_main.unionByName(cand_side)
         dx = xc.cast("double") - F.col("qx")
         dy = yc.cast("double") - F.col("qy")
-        cand = cand.withColumn("dist2", dx * dx + dy * dy).filter(
-            F.col("dist2") <= F.col("r") * F.col("r")
+        cand = (
+            cand_main.unionByName(cand_side)
+            .withColumn("dist2", dx * dx + dy * dy)
+            .filter(F.col("dist2") <= F.lit(r * r))
         )
         w = Window.partitionBy("qid").orderBy("dist2", tb)
-        topk = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-        topk = topk.drop("r").persist()
-        counts = {r["qid"]: r["cnt"] for r in topk.groupBy("qid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        done = [qid for qid in list(unresolved) if counts.get(qid, 0) >= k]
-        if done:
-            results.append(topk.filter(F.col("qid").isin(done)))
-        for qid in done:
-            del unresolved[qid]
-        still = {}
-        for qid, qxy in unresolved.items():
-            if radius[qid] > max_r:  # fewer than k rows exist in the table
-                results.append(topk.filter(F.col("qid") == qid))
-            else:
-                radius[qid] *= 4
-                still[qid] = qxy
-        unresolved = still
+        topk = track(cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k))
+        resolved = (
+            topk.groupBy("qid").agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") >= k)
+            .select("qid")
+        )
+        results.append(topk.join(F.broadcast(resolved), "qid", "semi"))
 
-    if not results:
-        raise RuntimeError("knn_join did not resolve any query; raise max_rounds")
+        if r > max_r:
+            # fewer than k rows exist in the whole table for these:
+            # emit the partial result and stop — r already covers the
+            # entire domain, so the answer cannot improve
+            still = unresolved.join(F.broadcast(resolved), "qid", "anti").select("qid")
+            results.append(topk.join(F.broadcast(still), "qid", "semi"))
+            break
+        nxt = track(unresolved.join(F.broadcast(resolved), "qid", "anti"))
+        n_left = nxt.count()  # the ONE driver-side scalar per round
+        if prev_unresolved is not None:
+            prev_unresolved.unpersist()
+        prev_unresolved, unresolved = unresolved, nxt
+        if n_left == 0:
+            break
+        r *= 4
+
     out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
+    for res in results[1:]:
+        out = out.unionByName(res)
     return out
 
 

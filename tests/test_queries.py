@@ -163,3 +163,39 @@ def test_build_sortedness_and_count(tbl, points_pdf):
     )
     assert viol == 0
     assert tbl.main.count() + tbl.side.count() == len(points_pdf)
+
+
+def test_knn_bulk_distributed(tbl, points_pdf, spark):
+    """Bulk kNN: a 400-row distributed query table (never collected to
+    the driver) matches brute force exactly — the scale path the
+    round-based driver loop in r1 could not take."""
+    k = 5
+    q = spark.range(400).select(
+        F.col("id").cast("int").alias("qid"),
+        (1000.0 + 100.0 * (((F.col("id") * 48271 + 11) % 997) / 997.0)).alias("qx"),
+        (1000.0 + 100.0 * (((F.col("id") * 69621 + 73) % 997) / 997.0)).alias("qy"),
+    )
+    got = {
+        (r.qid, r.key, r.rn)
+        for r in knn_join(tbl, q, k).select("qid", "key", "rn").collect()
+    }
+    exp = set()
+    for qrow in q.collect():
+        dx = points_pdf.x.to_numpy(np.float64) - qrow.qx
+        dy = points_pdf.y.to_numpy(np.float64) - qrow.qy
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((points_pdf.key.to_numpy(), d2))[:k]
+        exp |= {(qrow.qid, int(points_pdf.key[i]), rn + 1) for rn, i in enumerate(order)}
+    assert got == exp
+
+
+def test_knn_empty_queries(tbl, spark):
+    from pyspark.sql.types import StructType, StructField, IntegerType, DoubleType
+
+    schema = StructType([
+        StructField("qid", IntegerType()),
+        StructField("qx", DoubleType()),
+        StructField("qy", DoubleType()),
+    ])
+    out = knn_join(tbl, spark.createDataFrame([], schema), k=3)
+    assert out.count() == 0
