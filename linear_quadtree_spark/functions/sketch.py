@@ -32,7 +32,10 @@ from linear_quadtree_spark.functions.textexpr import BW, P1, SEED1
 __all__ = ["doc_sketch_udf", "sketch_docs", "NUM_PERM", "SIMHASH_BITS"]
 
 NUM_PERM = 16
-SIMHASH_BITS = 32
+#: 64-bit simhash (4×16-bit LSH bands downstream); bit 63 wraps to the
+#: int64 sign bit — numpy's shift and the SQL spec's INT64_MIN special
+#: case produce the identical two's-complement value.
+SIMHASH_BITS = 64
 K_SHINGLE = 3
 
 _WS = re.compile(r"\s+", re.ASCII)  # ASCII \s — matches Spark/DuckDB regex

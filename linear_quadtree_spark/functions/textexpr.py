@@ -263,16 +263,27 @@ def band_hashes_expr(e: Eng, sig_col: str, bands: int, rows: int, p: int = P1) -
 
 
 # ------------------------------------------------------------------ simhash
-def simhash_expr(e: Eng, wh_col: str, bits: int = 32, p: int = P1) -> str:
+#: int64 minimum as a portable SQL expression: DuckDB raises on the
+#: literal shift 1 << 63, and -9223372036854775808 parses as a HUGEINT
+#: negation there; both engines evaluate this subtraction exactly.
+INT64_MIN_SQL = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+
+
+def simhash_expr(e: Eng, wh_col: str, bits: int = 64, p: int = P1) -> str:
     """`bits`-bit SimHash over a word-hash array: bit b is the sign of
     sum over tokens of ±1, where the vote of token-hash h on bit b is
     ((a_b*h + c_b) mod p) mod 2 (an independent per-bit hash — tokens
     have only ~30 bits of entropy, so reusing h's own bits would skew the
-    high bits). Empty docs → 0."""
+    high bits). Empty docs → 0. At bits=64 the sketch occupies the full
+    signed int64 (bit 63 is the sign bit, added as INT64_MIN — exact in
+    both engines: positives sum to < 2^63 before it joins the fold)."""
     vote = f"2 * (({_perm_a('b', p)} * h + {_perm_c('b', p)}) % {p} % 2) - 1"
     votes = e.transform(wh_col, "h", _big(vote))
     bitsum = e.fold(votes, _BIG0, "a", "v", "a + v")
-    bit = f"CASE WHEN ({bitsum}) > 0 THEN {e.shiftl(_big(1), 'b')} ELSE {_BIG0} END"
+    shl = e.shiftl(_big(1), "b")
+    if bits > 63:
+        shl = f"CASE WHEN b = 63 THEN {INT64_MIN_SQL} ELSE {shl} END"
+    bit = f"CASE WHEN ({bitsum}) > 0 THEN {shl} ELSE {_BIG0} END"
     per_bit = e.transform(e.seq("0", str(bits - 1)), "b", bit)
     return e.fold(per_bit, _BIG0, "a", "x", "a + x")
 

@@ -53,10 +53,24 @@ K_SHINGLE = 3
 NUM_PERM = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
-SIMHASH_BITS = 32
-#: SimHash band split: 4 chunks of 8 bits — pigeonhole-exact for
-#: hamming <= 3 (at least one chunk is untouched).
+#: 64-bit SimHash in 4 bands of 16 bits — pigeonhole-exact for
+#: hamming <= 3 (4 bands, <= 3 differing bits: at least one band is
+#: untouched) with 65,536 buckets per band. Bucket count is the
+#: candidate-set throttle: expected pairs per band scale as n²/buckets,
+#: so 16-bit bands hold the candidate volume sane through ~10^7-10^8
+#: docs per partition-group, 256× beyond the old 8-bit split (which
+#: already emitted 405k candidates from 55k docs). Bands stay at 4
+#: because pigeonhole exactness for hamming<=3 needs >= 4 disjoint
+#: bands, and fewer, wider bands maximize buckets per band.
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
+
+#: Default posting-list cap for the exact n-gram Jaccard join: shingles
+#: appearing in more docs are boilerplate whose postings explode
+#: quadratically at web scale; dropping them loses only pairs whose
+#: ENTIRE overlap is boilerplate (a documented recall trade, exactness
+#: for every pair sharing >= 1 sub-cap shingle). None = fully exact.
+MAX_DOC_FREQ = 1000
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -178,10 +192,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming (default 3).
 
-    EXACT for max_hamming <= SIMHASH_BITS/SIMHASH_BANDS - ... by
-    pigeonhole: with 4 bands of 8 bits and <= 3 differing bits, at least
-    one band matches, so the band equi-join loses nothing; the
-    bit_count(xor) filter then removes false candidates."""
+    EXACT by pigeonhole: with 4 bands of 16 bits and <= 3 differing
+    bits, at least one band matches, so the band equi-join loses
+    nothing; the bit_count(xor) filter then removes false candidates.
+    (Requires max_hamming < SIMHASH_BANDS.)"""
     sk = track(simhash_sketch(docs, text_col, id_col))
     chunk = SIMHASH_BITS // SIMHASH_BANDS
     bands = sk.select(
@@ -241,25 +255,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     tau_pct: int = 60,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = MAX_DOC_FREQ,
 ) -> DataFrame:
-    """EXACT Jaccard >= tau over word-3-gram sets, via the sparse
+    """Jaccard >= tau over word-3-gram sets, via the sparse
     inverted-index join (docs sharing zero shingles never meet — no O(n²)
     cross join).
 
     Plan: explode distinct shingles → self-equi-join on shingle hash →
     per-pair intersection count (one hash aggregate) → join per-doc set
-    sizes → integer threshold. `max_doc_freq` drops shingle postings
-    longer than the cap before the join — the standard guard against
-    boilerplate shingles whose postings would otherwise explode
-    quadratically at web scale (a correctness trade documented at the
-    call site; None = exact)."""
+    sizes → integer threshold. `max_doc_freq` (default MAX_DOC_FREQ,
+    mirrored by the oracle twin) drops shingle postings longer than the
+    cap before the join — the guard against boilerplate shingles whose
+    postings would otherwise explode quadratically at web scale. Pass
+    None for the fully exact unguarded join."""
     sets = track(with_shingles(docs, text_col).select(id_col, "shd"))
     sizes = sets.select(F.col(id_col), F.expr(SPARK.size("shd")).cast("long").alias("nsh"))
     post = sets.select(id_col, F.explode("shd").alias("s"))
     if max_doc_freq is not None:
-        freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_doc_freq)
-        post = post.join(F.broadcast(freq.select("s")), "s")
+        # anti-join against the ABOVE-cap shingles: that set is the tiny
+        # one (boilerplate), so it broadcasts at any corpus size — the
+        # below-cap complement is nearly the whole vocabulary
+        hot = (
+            post.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        post = post.join(F.broadcast(hot), "s", "left_anti")
     pa = post.select(F.col(id_col).alias("id_a"), "s")
     pb = post.select(F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -282,14 +304,22 @@ def ngram_jaccard_pairs_sql_duck(
     text_col: str = "text",
     id_col: str = "doc_id",
     tau_pct: int = 60,
+    max_doc_freq: int | None = MAX_DOC_FREQ,
 ) -> str:
+    cap_cte = (
+        f"""hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {max_doc_freq}),
+capped AS (SELECT p.* FROM post p ANTI JOIN hot h ON p.s = h.s),"""
+        if max_doc_freq is not None
+        else "capped AS (SELECT * FROM post),"
+    )
     return f"""
 WITH {_duck_shd_cte(src, text_col, id_col)},
 sizes AS (SELECT {id_col}, CAST(len(shd) AS BIGINT) AS nsh FROM shd),
 post AS (SELECT {id_col}, unnest(shd) AS s FROM shd),
+{cap_cte}
 inter AS (
   SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS inter
-  FROM post a JOIN post b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  FROM capped a JOIN capped b ON a.s = b.s AND a.{id_col} < b.{id_col}
   GROUP BY 1, 2)
 SELECT i.id_a, i.id_b, i.inter, sa.nsh + sb.nsh - i.inter AS union_sz
 FROM inter i

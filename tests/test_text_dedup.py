@@ -114,7 +114,9 @@ def test_minhash_lsh_lockstep_and_recall(spark, sf_dir, duck):
 def test_simhash_lockstep(spark, sf_dir, duck):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = _assert_match(D.simhash_sketch(docs), duck, D.simhash_sketch_sql_duck())
-    assert got["simhash"].between(0, 2**32 - 1).all()
+    # 64-bit sketch occupies the full signed int64 range
+    assert got["simhash"].between(-(2**63), 2**63 - 1).all()
+    assert (got["simhash"] != 0).all()  # non-empty docs set some bit
 
 
 def test_simhash_pairs_lockstep(spark, sf_dir, duck):
@@ -161,7 +163,7 @@ t AS (SELECT doc_id, {X.tokens_expr(e, 'text')} AS toks FROM src),
 w AS (SELECT doc_id, {X.word_hashes_expr(e, 'toks')} AS wh FROM t),
 s AS (SELECT doc_id, wh, {e.adistinct(X.shingles_expr(e, 'wh', 3))} AS shd FROM w)
 SELECT doc_id, {X.minhash_sig_expr(e, 'shd', 16)} AS sig,
-       {X.simhash_expr(e, 'wh', 32)} AS simhash
+       {X.simhash_expr(e, 'wh', 64)} AS simhash
 FROM s ORDER BY doc_id
 """).fetch_df()
     for i in range(len(rows)):
