@@ -2,10 +2,12 @@
 
 ``entry(spark)`` — flagship build+query on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 / §2.9).
-``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
-zkey-internal operators whose key values are, by design, the reference
-encode's float32 artifacts and not SQL-expressible; those get rows-only
-checks and are golden-tested against the compiled reference in tests/).
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query. The zkey-prefix
+queries (root-quadrant stats, raster tiles) are oracled by a float32-exact
+DuckDB emulation of the reference's first encode levels
+(functions/refsql.py), so even snap-divergent keys hash-compare by value;
+the full 32-level keys additionally stay golden-tested against the
+compiled reference in tests/.
 
 Lockstep rules that make full value-hash oracles possible (see
 linear_quadtree_spark/sources/synth.py): geotags derive from doc_id via
@@ -28,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from linear_quadtree_spark import DEFAULT_BOUNDS  # noqa: E402
 from linear_quadtree_spark.cache import release_caches  # noqa: E402
 from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql  # noqa: E402
+from linear_quadtree_spark.functions.refsql import ref_prefix_cte_duck  # noqa: E402
 from linear_quadtree_spark.operators.build import LQTTable  # noqa: E402
 from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     bbox_query,
@@ -88,9 +91,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------------- queries
 def _q_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construction correctness summary: per root-quadrant row counts over
-    the built (sorted) tree — reference zkey semantics incl. collapsed keys,
-    hence rows-only (zkeys are float32 encode artifacts, not SQL-expressible).
-    Golden-verified against the compiled reference in tests/test_encode.py."""
+    the built (sorted) tree — reference zkey semantics incl. collapsed keys.
+    Hash-checked: the oracle emulates the reference's level-1 bit+snap in
+    float32-exact DuckDB SQL (functions/refsql.py), so even collapsed keys
+    compare by value. Golden-verified against the compiled reference in
+    tests/test_encode.py."""
     tbl = _build_table(spark, sf_dir)
     full = tbl.main.unionByName(tbl.side)
     return (
@@ -128,9 +133,11 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster-tile assignment from zkey top bits (reference key semantics;
-    rows-only — see _q_build_stats). Cross-checked against the geometric
-    tiling in tests/test_queries.py."""
+    """Raster-tile assignment from zkey top bits (reference key semantics).
+    Hash-checked: the oracle emulates the reference's first 4 bit+snap
+    levels in float32-exact DuckDB SQL (functions/refsql.py) — tile ids
+    match by value for every row incl. snap-divergent ones. Also
+    cross-checked against the geometric tiling in tests/test_queries.py."""
     tbl = _build_table(spark, sf_dir)
     return (
         tile_stats(tbl, zoom=4)
@@ -416,6 +423,18 @@ def _emb_corpus(sql: str) -> str:
 def oracle_sql() -> dict[str, str]:
     x0, x1, y0, y1 = BBOX
     return {
+        "lqt_build_stats": f"""
+WITH {_PTS_CTE},
+{ref_prefix_cte_duck('pts', 1, DEFAULT_BOUNDS)}
+SELECT pref AS quad, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM refenc GROUP BY 1 ORDER BY 1
+""",
+        "tile_stats": f"""
+WITH {_PTS_CTE},
+{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)}
+SELECT pref AS tile_id, COUNT(*) AS n_points
+FROM refenc GROUP BY 1 ORDER BY 1
+""",
         "bbox_query": f"""
 WITH {_PTS_CTE}
 SELECT doc_id FROM pts
