@@ -126,6 +126,7 @@ def main() -> None:
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (
         ann_topk_bruteforce,
+        ann_topk_lsh,
         emb_neardup_pairs,
     )
     from linear_quadtree_spark.operators.text import exact_dedup, quality_score, token_stats
@@ -157,6 +158,10 @@ def main() -> None:
     timings["ann_topk"] = time.time() - t0
 
     t0 = time.time()
+    ann_lsh_rows = ann_topk_lsh(embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10).count()
+    timings["ann_topk_lsh"] = time.time() - t0
+
+    t0 = time.time()
     from linear_quadtree_spark.operators.similarity import _make_planes
     nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
     timings["emb_neardup"] = time.time() - t0
@@ -181,6 +186,7 @@ def main() -> None:
             "minhash_pairs": mh_rows,
             "simhash_pairs": sh_rows,
             "ann_rows": ann_rows,
+            "ann_lsh_rows": ann_lsh_rows,
             "emb_neardup_rows": nd_rows,
         },
     }

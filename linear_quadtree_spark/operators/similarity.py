@@ -45,6 +45,8 @@ __all__ = [
     "HYPERPLANES",
     "ann_topk_bruteforce",
     "ann_topk_bruteforce_sql_duck",
+    "ann_topk_lsh",
+    "ann_topk_lsh_sql_duck",
     "emb_neardup_pairs",
     "emb_neardup_pairs_sql_duck",
     "cosine_col",
@@ -130,6 +132,115 @@ r AS (
   SELECT qid, {id_col}, cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, {id_col}) AS rn
   FROM d)
+SELECT qid, {id_col}, CAST(rn AS BIGINT) AS rn,
+       CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM r WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------- LSH-bucketed top-k
+def _banded(df: DataFrame, planes: list[list[float]], n_bands: int,
+            emb_col: str, id_col: str) -> DataFrame:
+    """(id, emb, band, bucket): hyperplane sketch exploded into bands."""
+    band_bits = len(planes) // n_bands
+    band_mask = (1 << band_bits) - 1
+    sk = df.withColumn("hbits", F.expr(hyperplane_bits_expr(SPARK, emb_col, planes)))
+    return sk.select(
+        id_col,
+        emb_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("hbits"), b * band_bits)
+                    .bitwiseAND(F.lit(band_mask))
+                    .alias("bucket"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, emb_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def ann_topk_lsh(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """(qid, vec_id, rn, cos_ppm): approximate top-k — candidates are
+    vectors sharing >= 1 LSH band bucket with the query, reranked by
+    EXACT cosine. Recall < 1 is a deterministic property of the sketch
+    (same planes → same candidates → same output), so the result is
+    oracle-checkable by value.
+
+    Scale shape vs the brute-force baseline: identical one-pass corpus
+    scan (queries broadcast, zero shuffle before the per-query top-k),
+    but the expensive d-dim cosine runs only on bucket-collision
+    candidates (~1/2^band_bits of the corpus per band) instead of every
+    row — this is the 100 TB query path; brute force stays the recall
+    oracle."""
+    planes = HYPERPLANES if planes is None else planes
+    n_bands = LSH_BANDS if bands is None else bands
+    if len(planes) % n_bands != 0:
+        raise ValueError("len(planes) must be divisible by bands")
+    corpus = _banded(embs, planes, n_bands, emb_col, id_col)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    qside = _banded(
+        embs.filter(F.expr(f"{id_col} IN ({ids})")), planes, n_bands, emb_col, id_col
+    ).select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("q_emb"), "band", "bucket"
+    )
+    cand = (
+        corpus.join(F.broadcast(qside), ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", "q_emb", id_col, emb_col)
+        .distinct()
+    )
+    cand = cand.withColumn("cos", cosine_col("q_emb", emb_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            id_col,
+            F.col("rn").cast("long").alias("rn"),
+            F.floor(F.col("cos") * 1_000_000).cast("long").alias("cos_ppm"),
+        )
+    )
+
+
+def ann_topk_lsh_sql_duck(
+    query_ids: list[int],
+    k: int = 10,
+    src: str = "emb_corpus",
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> str:
+    e = DUCK
+    bits = hyperplane_bits_expr(e, emb_col, HYPERPLANES)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    cos = _cos_duck("q_emb", emb_col)
+    return f"""
+WITH sk AS (SELECT {id_col}, {emb_col}, {bits} AS hbits FROM {src}),
+bands AS (
+  SELECT {id_col}, {emb_col}, hbits, band,
+         (hbits >> (band * {BAND_BITS})) & {BAND_MASK} AS bucket
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) b),
+q AS (SELECT {id_col} AS qid, {emb_col} AS q_emb, band, bucket
+      FROM bands WHERE {id_col} IN ({ids})),
+cand AS (
+  SELECT DISTINCT q.qid, q.q_emb, c.{id_col}, c.{emb_col}
+  FROM bands c JOIN q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.{id_col} <> q.qid),
+r AS (
+  SELECT qid, {id_col}, ({cos}) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ({cos}) DESC, {id_col}) AS rn
+  FROM cand)
 SELECT qid, {id_col}, CAST(rn AS BIGINT) AS rn,
        CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
 FROM r WHERE rn <= {k}

@@ -68,3 +68,32 @@ def test_emb_neardup_lockstep_and_recall(spark, sf_dir, duck):
         f"SELECT count(*) FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = 0"
     ).fetchone()[0]
     assert len(planted) >= 0.85 * n_planted  # 4x4 banding ⇒ ~95% recall at cos≈0.9
+
+
+def test_ann_topk_lsh_lockstep_and_recall(spark, sf_dir, duck):
+    """Bucketed ANN: Spark == DuckDB by value (the candidate set is a
+    deterministic function of the shared hyperplanes), and recall vs the
+    exact brute-force baseline is high at top-k."""
+    embs = corpus_embs(spark, sf_dir)
+    got = _norm(S.ann_topk_lsh(embs, QIDS, k=10).toPandas())
+    exp = _norm(duck.execute(_with_corpus(S.ann_topk_lsh_sql_duck(QIDS, k=10))).fetch_df())
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+    # recall vs exact top-k. The synthetic corpus is mostly weakly
+    # similar vectors (cos ~0.3-0.5), where hyperplane collision odds are
+    # intentionally low — recall there is a fixture property, not an
+    # operator property (planted cos≈0.9 mirrors collide at ~95%+). The
+    # bar asserts the bucketing is doing real work, not random guessing
+    # (random 10-of-1k would give recall ~0.01).
+    exact = S.ann_topk_bruteforce(embs, QIDS, k=10).toPandas()
+    hits = tot = 0
+    for q in QIDS:
+        e = set(exact[exact["qid"] == q]["vec_id"])
+        g = set(got[got["qid"] == q]["vec_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.35
+    # every reported neighbor's cosine is the true cosine (rerank exact):
+    # rows present in both frames must agree on cos_ppm
+    merged = got.merge(exact, on=["qid", "vec_id"], suffixes=("_l", "_e"))
+    assert (merged["cos_ppm_l"] == merged["cos_ppm_e"]).all()
