@@ -70,17 +70,21 @@ def main() -> None:
 
     # warm JVM codegen + every Python worker slot outside the clock
     warm = LQTTable.build(
-        pts.repartition(4 * CPUS), DEFAULT_BOUNDS, tiebreaker="pid", persist=False
+        pts.repartition(4 * CPUS), DEFAULT_BOUNDS, tiebreaker="pid",
+        persist=False, eager_count=False
     )
-    materialize(warm.main)
+    materialize(warm.main.unionByName(warm.side))
     warm.unpersist()
 
     # --- build (headline): encode + repartitionByRange + sortWithinPartitions
+    # fixed-cost-minimal shape (see jobs/scaling_bench.py): sampling pass
+    # materializes the encode cache; one union action covers main + side
     t0 = time.time()
-    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
-    materialize(tbl.main)
-    materialize(tbl.side)
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid",
+                         persist=False, eager_count=False)
+    materialize(tbl.main.unionByName(tbl.side))
     timings["build"] = time.time() - t0
+    tbl.unpersist()
     build_rows_per_sec = n_rows / timings["build"]
 
     # cached table for the query benches (queries assume a built tree)
