@@ -155,7 +155,13 @@ class LQTTable:
             num_partitions = max(2 * df.sparkSession.sparkContext.defaultParallelism, 2)
         if salt == "auto":
             salt = cls.detect_salt(enc, num_partitions)
-        if salt > 1:
+        if num_partitions == 1:
+            # small-input fast path (the reference's single-block
+            # lqt_create_cuda_noblock, lqt.cu:159-164): one partition
+            # needs no range boundaries, so skip the RangePartitioner's
+            # sampling job entirely — coalesce + one local sort
+            main = main.coalesce(1)
+        elif salt > 1:
             tb = tiebreaker or x_col
             main = main.withColumn("_salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(salt)))
             main = main.repartitionByRange(num_partitions, "zs", "_salt").drop("_salt")

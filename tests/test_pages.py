@@ -59,3 +59,35 @@ def test_saved_layout_is_zs_sorted_and_disjoint(spark, sf_dir, tmp_path):
         .count()
     )
     assert viol == 0
+
+
+def test_single_partition_fast_path(spark):
+    """num_partitions=1 takes the noblock fast path (reference
+    lqt_create_cuda_noblock, lqt.cu:159-164): no range-sampling job,
+    identical rows, globally sorted in one partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.build import LQTTable
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "x": (1000 + 100 * rng.random(500)).astype(np.float32),
+            "y": (1000 + 100 * rng.random(500)).astype(np.float32),
+        }
+    )
+    pdf["key"] = np.arange(len(pdf), dtype=np.int64)
+    tbl = LQTTable.build(
+        spark.createDataFrame(pdf), DEFAULT_BOUNDS, tiebreaker="key",
+        num_partitions=1, persist=False,
+    )
+    assert tbl.main.rdd.getNumPartitions() == 1
+    rows = tbl.main.select("zs", "key").collect()
+    zs = [r.zs for r in rows]
+    assert zs == sorted(zs)
+    n_side = tbl.side.count()
+    assert len(rows) + n_side == len(pdf)
+    tbl.unpersist()
