@@ -73,11 +73,23 @@ _PTS_CTE = (
 )
 
 
+#: one built tree per (Spark app, sf_dir): the driver sweeps queries()
+#: in a single session, and rebuilding + re-persisting the same table per
+#: query would accumulate cached copies in executor storage
+_TBL_CACHE: dict[tuple[str, str], LQTTable] = {}
+
+
 def _build_table(spark: SparkSession, sf_dir: str) -> LQTTable:
-    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
-    # persist: iterative consumers (kNN ring expansion) re-scan the built
-    # tree per round — without caching every round re-runs the encode UDF
-    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TBL_CACHE:
+        pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
+        # persist: iterative consumers (kNN ring expansion) re-scan the
+        # built tree per round — without caching every round re-runs the
+        # encode UDF
+        _TBL_CACHE[key] = LQTTable.build(
+            pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True
+        )
+    return _TBL_CACHE[key]
 
 
 # --------------------------------------------------------------------- entry

@@ -94,10 +94,11 @@ def child(cores: int, rows: int) -> None:
                       "rows_per_sec": rows / dt}))
 
 
-def _settle(threshold: float = 1.0, max_wait: int = 240) -> None:
+def _settle(threshold: float = 2.0, max_wait: int = 180) -> None:
     """Wait for system load to drain: a just-exited 16 GB JVM leaves the
     kernel freeing pages for tens of seconds (visible as sys-CPU), which
-    contaminates the next measurement."""
+    contaminates the next measurement. Threshold sits above this host's
+    ~1-load background floor, or every gate would time out."""
     t0 = time.time()
     while time.time() - t0 < max_wait:
         if float(open("/proc/loadavg").read().split()[0]) < threshold:
@@ -105,15 +106,27 @@ def _settle(threshold: float = 1.0, max_wait: int = 240) -> None:
         time.sleep(5)
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the sandbox VM sees
+    hypervisor steal from noisy neighbors, which slows the wide level
+    more than the narrow one and biases measured efficiency DOWN."""
+    f = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return f[7] if len(f) > 7 else 0, sum(f)
+
+
 def run_child(cores: int, rows: int) -> dict:
     _settle()
     env = dict(os.environ, SPARK_GRAFT_SCALE_ROWS=str(rows))
+    s0, t0 = _cpu_sample()
     out = subprocess.run(
         [sys.executable, __file__, "--child", str(cores)],
         capture_output=True, text=True, cwd=str(ROOT), check=True, env=env,
     )
+    s1, t1 = _cpu_sample()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return r
 
 
 def main() -> None:
@@ -123,19 +136,29 @@ def main() -> None:
         return
     pairs_out = []
     for lo, hi, rows in PAIRS:
-        res = {}
-        for cores in (lo, hi):
-            best = None
-            for _ in range(REPS):
-                r = run_child(cores, rows)
-                if best is None or r["build_s"] < best["build_s"]:
-                    best = r
-            res[cores] = best
-            print(f"local[{cores}] ({rows:,} rows): {best['build_s']:.2f}s  "
-                  f"{best['rows_per_sec']:,.0f} rows/s", file=sys.stderr)
-        eff = (res[lo]["build_s"] / res[hi]["build_s"]) / (hi / lo)
+        # INTERLEAVED reps: this host carries ~1 load of background work
+        # and drifts 2-4x across minutes, so timing all lo-reps then all
+        # hi-reps lets drift masquerade as (anti-)scaling. Running the two
+        # levels back-to-back inside each rep exposes both to the same
+        # conditions; the rep with the smallest combined wall is the
+        # least-contaminated measurement and provides the headline ratio.
+        reps = []
+        for i in range(REPS):
+            r_lo = run_child(lo, rows)
+            r_hi = run_child(hi, rows)
+            e = (r_lo["build_s"] / r_hi["build_s"]) / (hi / lo)
+            reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3)})
+            print(f"rep {i}: local[{lo}] {r_lo['build_s']:.2f}s "
+                  f"(steal {r_lo.get('steal_pct', 0)}%)  "
+                  f"local[{hi}] {r_hi['build_s']:.2f}s "
+                  f"(steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}",
+                  file=sys.stderr)
+        best = min(reps, key=lambda r: r["lo"]["build_s"] + r["hi"]["build_s"])
+        res = {lo: best["lo"], hi: best["hi"]}
         pairs_out.append({
-            "n": lo, "n4": hi, "rows": rows, "efficiency": round(eff, 3),
+            "n": lo, "n4": hi, "rows": rows,
+            "efficiency": best["efficiency"],
+            "efficiency_all_reps": [r["efficiency"] for r in reps],
             "levels": {str(c): {"build_s": round(res[c]["build_s"], 2),
                                 "rows_per_sec": round(res[c]["rows_per_sec"], 1)}
                        for c in (lo, hi)},
@@ -156,11 +179,12 @@ def write_bench_md(s: dict) -> None:
     for p in s["pairs"]:
         lo, hi = p["n"], p["n4"]
         rlo, rhi = p["levels"][str(lo)], p["levels"][str(hi)]
+        all_reps = ", ".join(f"{e:.3f}" for e in p.get("efficiency_all_reps", []))
         rows_md.append(
             f"| local[{lo}] → local[{hi}] | {p['rows']:,} | "
             f"{rlo['build_s']} s / {rlo['rows_per_sec']:,.0f} rows/s | "
             f"{rhi['build_s']} s / {rhi['rows_per_sec']:,.0f} rows/s | "
-            f"**{p['efficiency']:.3f}** |"
+            f"**{p['efficiency']:.3f}** | {all_reps} |"
         )
     table = "\n".join(rows_md)
     md = f"""# BENCH — scaling evidence (north rule)
@@ -173,12 +197,16 @@ and Arrow Python workers the way executor slots do).
 
 Methodology: fresh JVM per measurement, warmup build outside the clock,
 load-settle gate between runs (an exiting 16 GB JVM leaves the kernel
-freeing pages for tens of seconds), best of {REPS} repetitions — this
-box shows heavy run-to-run variance, and min is the least-contaminated
-estimator. `python jobs/scaling_bench.py --write` regenerates this file.
+freeing pages for tens of seconds), and {REPS} INTERLEAVED repetitions —
+each rep times N then 4N back-to-back, because this box carries ~1 load
+of background work and drifts 2-4× across minutes, so sequential
+per-level timing lets drift masquerade as (anti-)scaling. The headline
+ratio comes from the rep with the smallest combined wall (the
+least-contaminated measurement); every rep's ratio is reported.
+`python jobs/scaling_bench.py --write` regenerates this file.
 
-| pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency |
-| --- | --- | --- | --- | --- |
+| pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency | all interleaved reps |
+| --- | --- | --- | --- | --- | --- |
 {table}
 
 Target: **≥ 0.8** on N → 4N *cluster* scaling. The primary pair
