@@ -128,10 +128,18 @@ def _cpu_sample() -> tuple[int, int]:
 #: probes are quiet.
 PROBE_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_QUIET", "0.10"))
 PROBE_PAR_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_PAR", "0.30"))
+#: 256MB read + 256MB write stream; nominal ~0.1s. The decisive probe:
+#: the host's MEMORY BANDWIDTH intermittently collapses ~100-300x (a
+#: single-thread 4GB numpy stream measured 491s vs ~2s nominal) while
+#: cache-resident CPU probes still read nominal. Spark builds stream
+#: GBs, and the wide level streams at a higher aggregate rate, so a
+#: bandwidth collapse reads as anti-scaling.
+PROBE_BW_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BW", "0.50"))
 
 
-def probe() -> tuple[float, float]:
-    """(single_thread_s, eight_thread_wall_s) for the fixed sort kernel."""
+def probe() -> tuple[float, float, float]:
+    """(single_thread_s, eight_thread_wall_s, bandwidth_stream_s) for
+    fixed sort kernels + a 256MB stream kernel."""
     from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
@@ -148,25 +156,34 @@ def probe() -> tuple[float, float]:
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(one, range(8)))
     par8 = time.time() - t0
-    return single, par8
+    big = np.zeros(32_000_000)  # 256MB
+    t0 = time.time()
+    big *= 1.000001
+    bw = time.time() - t0
+    return single, par8, bw
 
 
-def wait_quiet(deadline_ts: float) -> tuple[float, float]:
-    """Poll the CPU probes until the host runs at nominal speed at BOTH
-    widths (or the deadline passes); returns the last probe pair.
-    Polling costs seconds per minute vs 10+ wasted minutes per rep
-    measured in a bad window."""
+def wait_quiet(deadline_ts: float) -> tuple[float, float, float]:
+    """Poll the probes until the host runs at nominal speed on ALL of
+    single-thread CPU, 8-thread CPU, and memory bandwidth (or the
+    deadline passes); returns the last probe triple. Polling costs
+    seconds per minute vs 10+ wasted minutes per rep measured in a bad
+    window."""
     while True:
-        single, par8 = probe()
-        if (single <= PROBE_QUIET_S and par8 <= PROBE_PAR_QUIET_S) \
-                or time.time() >= deadline_ts:
-            return single, par8
-        print(f"probe single={single:.2f}s par8={par8:.2f}s — host "
-              f"degraded, waiting", file=sys.stderr)
+        single, par8, bw = probe()
+        if (single <= PROBE_QUIET_S and par8 <= PROBE_PAR_QUIET_S
+                and bw <= PROBE_BW_QUIET_S) or time.time() >= deadline_ts:
+            return single, par8, bw
+        print(f"probe single={single:.2f}s par8={par8:.2f}s bw={bw:.2f}s "
+              f"— host degraded, waiting", file=sys.stderr)
         time.sleep(45)
 
 
-def run_child(cores: int, rows: int) -> dict:
+def run_child(cores: int, rows: int, deadline_ts: float) -> dict:
+    # gate EVERY child, not just every rep: quiet windows can close in
+    # the ~2 min a narrow-level child takes, and a wide-level child
+    # launched into a closed window wastes the whole rep
+    p1, p8, pbw = wait_quiet(deadline_ts)
     _settle()
     env = dict(os.environ, SPARK_GRAFT_SCALE_ROWS=str(rows))
     s0, t0 = _cpu_sample()
@@ -178,6 +195,8 @@ def run_child(cores: int, rows: int) -> dict:
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    r["probe_s"], r["probe_par8_s"], r["probe_bw_s"] = (
+        round(p1, 2), round(p8, 2), round(pbw, 2))
     return r
 
 
@@ -202,17 +221,17 @@ def main() -> None:
         max_reps = 12 if pair_idx == 0 else min(REPS, 2)
         i = 0
         while True:
-            p1, p8 = wait_quiet(deadline_ts)
-            r_lo = run_child(lo, rows)
-            r_hi = run_child(hi, rows)
+            r_lo = run_child(lo, rows, deadline_ts)
+            r_hi = run_child(hi, rows, deadline_ts)
             e = (r_lo["build_s"] / r_hi["build_s"]) / (hi / lo)
-            reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3),
-                         "probe_s": round(p1, 2), "probe_par8_s": round(p8, 2)})
-            print(f"rep {i}: probe {p1:.2f}/{p8:.2f}s  local[{lo}] {r_lo['build_s']:.2f}s "
-                  f"(steal {r_lo.get('steal_pct', 0)}%)  "
+            reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3)})
+            print(f"rep {i}: local[{lo}] {r_lo['build_s']:.2f}s "
+                  f"(probe {r_lo['probe_s']}/{r_lo['probe_par8_s']}/"
+                  f"{r_lo['probe_bw_s']}s, steal {r_lo.get('steal_pct', 0)}%)  "
                   f"local[{hi}] {r_hi['build_s']:.2f}s "
-                  f"(steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}",
-                  file=sys.stderr)
+                  f"(probe {r_hi['probe_s']}/{r_hi['probe_par8_s']}/"
+                  f"{r_hi['probe_bw_s']}s, steal {r_hi.get('steal_pct', 0)}%)"
+                  f"  eff {e:.3f}", file=sys.stderr)
             i += 1
             best_eff = max(r["efficiency"] for r in reps)
             if pair_idx == 0:
@@ -229,7 +248,10 @@ def main() -> None:
             "n": lo, "n4": hi, "rows": rows,
             "efficiency": best["efficiency"],
             "efficiency_all_reps": [r["efficiency"] for r in reps],
-            "probe_s_all_reps": [r["probe_s"] for r in reps],
+            "probe_par8_all_reps": [[r["lo"]["probe_par8_s"],
+                                     r["hi"]["probe_par8_s"]] for r in reps],
+            "probe_bw_all_reps": [[r["lo"]["probe_bw_s"],
+                                   r["hi"]["probe_bw_s"]] for r in reps],
             "levels": {str(c): {"build_s": round(res[c]["build_s"], 2),
                                 "rows_per_sec": round(res[c]["rows_per_sec"], 1)}
                        for c in (lo, hi)},
@@ -271,15 +293,21 @@ load-settle gate between runs (an exiting 16 GB JVM leaves the kernel
 freeing pages for tens of seconds), INTERLEAVED repetitions — each rep
 times N then 4N back-to-back, because this box carries ~1 load of
 background work and drifts 2-4× across minutes, so sequential per-level
-timing lets drift masquerade as (anti-)scaling — and a CPU PROBE GATE:
-the sandbox host intermittently degrades to ~1/5 of nominal
-single-thread speed with near-zero reported steal (hypervisor
-contention is invisible to the guest; measured via a fixed 2M-element
-numpy sort probe), so a rep only launches when the probe confirms
-nominal speed, and each rep records the probe time and steal fraction
-it saw. The headline ratio comes from the rep with the smallest
-combined wall (the least-contaminated measurement); every rep's ratio
-and probe time is reported.
+timing lets drift masquerade as (anti-)scaling — and a THREE-WAY PROBE
+GATE before every child: single-thread CPU (2M-element sort), 8-thread
+CPU (the hypervisor intermittently oversubscribes vCPUs with near-zero
+reported steal: 8 concurrent sorts measured 1.9 s wall vs ~0.1 s
+nominal while the single-thread probe read nominal), and memory
+bandwidth (a 256 MB stream kernel — the decisive one: the host's
+bandwidth intermittently collapses ~100-300×; a single-thread 4 GB
+numpy stream measured 491 s vs ~2 s nominal while both CPU probes read
+nominal; Spark builds stream GBs and the wide level streams at a higher
+aggregate rate, so a bandwidth collapse reads as anti-scaling). A child
+launches only when all three probes confirm nominal speed, and each
+measurement records the probe times and steal fraction it saw. The
+headline ratio comes from the rep with the smallest combined wall (the
+least-contaminated measurement); every rep's ratio and probe values are
+reported.
 `python jobs/scaling_bench.py --write` regenerates this file.
 
 | pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency | all interleaved reps |
