@@ -40,7 +40,11 @@ DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE_MIN", "90"))
 #: (N, 4N, rows) pairs. The primary pair runs below this machine's memory
 #: bandwidth ceiling; the secondary pair documents the saturated regime
 #: (one socket cannot emulate the 4x memory bandwidth 4N executors add).
-PAIRS = [(2, 8, 40_000_000), (8, 32, 40_000_000)]
+#: primary-pair rows are sized so the measured region (~5s at the wide
+#: level) fits inside this host's short quiet windows — a 40M-row child
+#: needs 2-4 min during which the window usually closes; the fixed cost
+#: of the measured shape is ~0.5s so 10M rows still amortizes it
+PAIRS = [(2, 8, 10_000_000), (8, 32, 40_000_000)]
 
 
 def child(cores: int, rows: int) -> None:
@@ -88,14 +92,31 @@ def child(cores: int, rows: int) -> None:
     warm.main.unionByName(warm.side).write.format("noop").mode("overwrite").save()
     warm.unpersist()
 
+    # gate INSIDE the child, after JVM startup + warmup: quiet windows
+    # are often shorter than startup itself, so a parent-side gate alone
+    # launches measured regions into closed windows. Wait here with the
+    # JVM hot, measure the moment the window opens, then re-probe to
+    # certify the window HELD through the measured region.
+    gate_budget = float(os.environ.get("SPARK_GRAFT_SCALE_GATE_S", "600"))
+    t_gate0 = time.time()
+    while True:
+        pre = probe()
+        if _quiet(pre) or time.time() - t_gate0 > gate_budget:
+            break
+        time.sleep(20)
+
     t0 = time.time()
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid",
                          persist=False, eager_count=False)
     tbl.main.unionByName(tbl.side).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    post = probe()
     spark.stop()
     print(json.dumps({"cores": cores, "rows": rows, "build_s": dt,
-                      "rows_per_sec": rows / dt}))
+                      "rows_per_sec": rows / dt,
+                      "probe_pre": [round(x, 2) for x in pre],
+                      "probe_post": [round(x, 2) for x in post],
+                      "clean": _quiet(pre) and _quiet(post)}))
 
 
 def _settle(threshold: float = 2.0, max_wait: int = 180) -> None:
@@ -137,6 +158,11 @@ PROBE_PAR_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_PAR", "0.30"))
 PROBE_BW_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BW", "0.50"))
 
 
+def _quiet(p: tuple[float, float, float]) -> bool:
+    return (p[0] <= PROBE_QUIET_S and p[1] <= PROBE_PAR_QUIET_S
+            and p[2] <= PROBE_BW_QUIET_S)
+
+
 def probe() -> tuple[float, float, float]:
     """(single_thread_s, eight_thread_wall_s, bandwidth_stream_s) for
     fixed sort kernels + a 256MB stream kernel."""
@@ -163,29 +189,14 @@ def probe() -> tuple[float, float, float]:
     return single, par8, bw
 
 
-def wait_quiet(deadline_ts: float) -> tuple[float, float, float]:
-    """Poll the probes until the host runs at nominal speed on ALL of
-    single-thread CPU, 8-thread CPU, and memory bandwidth (or the
-    deadline passes); returns the last probe triple. Polling costs
-    seconds per minute vs 10+ wasted minutes per rep measured in a bad
-    window."""
-    while True:
-        single, par8, bw = probe()
-        if (single <= PROBE_QUIET_S and par8 <= PROBE_PAR_QUIET_S
-                and bw <= PROBE_BW_QUIET_S) or time.time() >= deadline_ts:
-            return single, par8, bw
-        print(f"probe single={single:.2f}s par8={par8:.2f}s bw={bw:.2f}s "
-              f"— host degraded, waiting", file=sys.stderr)
-        time.sleep(45)
-
-
 def run_child(cores: int, rows: int, deadline_ts: float) -> dict:
-    # gate EVERY child, not just every rep: quiet windows can close in
-    # the ~2 min a narrow-level child takes, and a wide-level child
-    # launched into a closed window wastes the whole rep
-    p1, p8, pbw = wait_quiet(deadline_ts)
+    # the real gate runs INSIDE the child (hot JVM, right before the
+    # measured region) — see child(); here just drain load and hand the
+    # child its gate budget
     _settle()
-    env = dict(os.environ, SPARK_GRAFT_SCALE_ROWS=str(rows))
+    gate_s = max(60.0, min(600.0, deadline_ts - time.time()))
+    env = dict(os.environ, SPARK_GRAFT_SCALE_ROWS=str(rows),
+               SPARK_GRAFT_SCALE_GATE_S=str(gate_s))
     s0, t0 = _cpu_sample()
     out = subprocess.run(
         [sys.executable, __file__, "--child", str(cores)],
@@ -195,8 +206,6 @@ def run_child(cores: int, rows: int, deadline_ts: float) -> dict:
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
-    r["probe_s"], r["probe_par8_s"], r["probe_bw_s"] = (
-        round(p1, 2), round(p8, 2), round(pbw, 2))
     return r
 
 
@@ -224,34 +233,41 @@ def main() -> None:
             r_lo = run_child(lo, rows, deadline_ts)
             r_hi = run_child(hi, rows, deadline_ts)
             e = (r_lo["build_s"] / r_hi["build_s"]) / (hi / lo)
-            reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3)})
+            clean = r_lo.get("clean", False) and r_hi.get("clean", False)
+            reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3),
+                         "clean": clean})
             print(f"rep {i}: local[{lo}] {r_lo['build_s']:.2f}s "
-                  f"(probe {r_lo['probe_s']}/{r_lo['probe_par8_s']}/"
-                  f"{r_lo['probe_bw_s']}s, steal {r_lo.get('steal_pct', 0)}%)  "
+                  f"(probe {r_lo['probe_pre']}->{r_lo['probe_post']}, "
+                  f"steal {r_lo.get('steal_pct', 0)}%)  "
                   f"local[{hi}] {r_hi['build_s']:.2f}s "
-                  f"(probe {r_hi['probe_s']}/{r_hi['probe_par8_s']}/"
-                  f"{r_hi['probe_bw_s']}s, steal {r_hi.get('steal_pct', 0)}%)"
-                  f"  eff {e:.3f}", file=sys.stderr)
+                  f"(probe {r_hi['probe_pre']}->{r_hi['probe_post']}, "
+                  f"steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}"
+                  f"{' CLEAN' if clean else ''}", file=sys.stderr)
             i += 1
-            best_eff = max(r["efficiency"] for r in reps)
+            clean_effs = [r["efficiency"] for r in reps if r["clean"]]
             if pair_idx == 0:
-                if i >= REPS and (best_eff >= TARGET_EFF
-                                  or time.time() >= deadline_ts):
+                if i >= REPS and (
+                        (clean_effs and max(clean_effs) >= TARGET_EFF)
+                        or time.time() >= deadline_ts):
                     break
                 if i >= max_reps:
                     break
             elif i >= max_reps:
                 break
-        best = min(reps, key=lambda r: r["lo"]["build_s"] + r["hi"]["build_s"])
+        # headline: least-contaminated CLEAN rep; fall back to all reps
+        pool = [r for r in reps if r["clean"]] or reps
+        best = min(pool, key=lambda r: r["lo"]["build_s"] + r["hi"]["build_s"])
         res = {lo: best["lo"], hi: best["hi"]}
         pairs_out.append({
             "n": lo, "n4": hi, "rows": rows,
             "efficiency": best["efficiency"],
+            "headline_is_clean": best["clean"],
             "efficiency_all_reps": [r["efficiency"] for r in reps],
-            "probe_par8_all_reps": [[r["lo"]["probe_par8_s"],
-                                     r["hi"]["probe_par8_s"]] for r in reps],
-            "probe_bw_all_reps": [[r["lo"]["probe_bw_s"],
-                                   r["hi"]["probe_bw_s"]] for r in reps],
+            "clean_all_reps": [r["clean"] for r in reps],
+            "probes_all_reps": [
+                {"lo": [r["lo"]["probe_pre"], r["lo"]["probe_post"]],
+                 "hi": [r["hi"]["probe_pre"], r["hi"]["probe_post"]]}
+                for r in reps],
             "levels": {str(c): {"build_s": round(res[c]["build_s"], 2),
                                 "rows_per_sec": round(res[c]["rows_per_sec"], 1)}
                        for c in (lo, hi)},
@@ -302,12 +318,15 @@ bandwidth (a 256 MB stream kernel — the decisive one: the host's
 bandwidth intermittently collapses ~100-300×; a single-thread 4 GB
 numpy stream measured 491 s vs ~2 s nominal while both CPU probes read
 nominal; Spark builds stream GBs and the wide level streams at a higher
-aggregate rate, so a bandwidth collapse reads as anti-scaling). A child
-launches only when all three probes confirm nominal speed, and each
-measurement records the probe times and steal fraction it saw. The
-headline ratio comes from the rep with the smallest combined wall (the
-least-contaminated measurement); every rep's ratio and probe values are
-reported.
+aggregate rate, so a bandwidth collapse reads as anti-scaling). The
+gate runs INSIDE each child with the JVM hot, immediately before the
+measured region (quiet windows are often shorter than JVM startup), the
+child re-probes after the measured region, and a rep counts as CLEAN
+only when all four probe triples (pre/post × both levels) were nominal
+— the primary pair's input is sized so its measured region fits inside
+a short window. The headline ratio comes from the clean rep with the
+smallest combined wall; every rep's ratio, probe values, and clean flag
+are reported.
 `python jobs/scaling_bench.py --write` regenerates this file.
 
 | pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency | all interleaved reps |
