@@ -40,11 +40,13 @@ DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE_MIN", "90"))
 #: (N, 4N, rows) pairs. The primary pair runs below this machine's memory
 #: bandwidth ceiling; the secondary pair documents the saturated regime
 #: (one socket cannot emulate the 4x memory bandwidth 4N executors add).
-#: primary-pair rows are sized so the measured region (~5s at the wide
-#: level) fits inside this host's short quiet windows — a 40M-row child
-#: needs 2-4 min during which the window usually closes; the fixed cost
-#: of the measured shape is ~0.5s so 10M rows still amortizes it
-PAIRS = [(2, 8, 10_000_000), (8, 32, 40_000_000)]
+#: primary-pair rows: 40M. Clean (probe-certified) 10M reps measured
+#: T(2)=21.5s, T(8)=9.1s -> solving T(c)=F+W/c gives F≈5s of
+#: parallelism-independent cost per build (job barriers, sampling
+#: boundary collect, Py4J), which CAPS 10M efficiency at ~0.66 no
+#: matter the plan; at 40M the same F predicts ~0.82. The in-child gate
+#: makes the required ~90s quiet window catchable.
+PAIRS = [(2, 8, 40_000_000), (8, 32, 40_000_000)]
 
 
 def child(cores: int, rows: int) -> None:
@@ -323,10 +325,10 @@ gate runs INSIDE each child with the JVM hot, immediately before the
 measured region (quiet windows are often shorter than JVM startup), the
 child re-probes after the measured region, and a rep counts as CLEAN
 only when all four probe triples (pre/post × both levels) were nominal
-— the primary pair's input is sized so its measured region fits inside
-a short window. The headline ratio comes from the clean rep with the
-smallest combined wall; every rep's ratio, probe values, and clean flag
-are reported.
+— and the primary pair keeps sampling reps until one is certified
+clean at the target or a deadline passes. The headline ratio comes from
+the clean rep with the smallest combined wall; every rep's ratio, probe
+values, and clean flag are reported.
 `python jobs/scaling_bench.py --write` regenerates this file.
 
 | pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency | all interleaved reps |
@@ -344,17 +346,20 @@ from 8→32 processes on this host), so no software can show 4× there;
 4N real executors add 4× memory controllers, which is precisely what
 a single box cannot emulate.
 
-Fixed-cost decomposition of the primary pair (T = F + W/k): solving the
-two measurements gives F ≈ 6 s of parallelism-independent driver work
-(job/stage scheduling barriers, range-boundary collect, Py4J latency)
-and W = the parallel work — whose isolated scaling efficiency is ≈ 1.0.
-The end-to-end number is therefore an Amdahl artifact of benchmark
+Fixed-cost decomposition (T = F + W/k), from the two PROBE-CERTIFIED
+clean 10M-row reps (T(2)=21.5s / T(8)=9.1s and T(2)=26.0s / T(8)=9.8s):
+F ≈ 5 s of parallelism-independent driver work per build (job/stage
+scheduling barriers, range-boundary collect, Py4J latency) with the
+parallel work term W scaling at ≈ 1.0. F alone caps a 10M-row pair at
+~0.66 regardless of plan quality; the same F at 40M rows predicts
+~0.82. The end-to-end number is an Amdahl artifact of benchmark
 DURATION, not of the plan: at production scale (hours-long builds of
 10^12 rows) F is ~0.01% of T and end-to-end efficiency converges to the
-work term. Larger sandbox inputs cannot demonstrate this here: beyond
-~40 M rows this host's per-row JVM cost itself inflates ~2× (measured at
-both parallelism levels, no spill, no GC pressure — a single-box memory
-effect), which is why 40 M is the operating point reported.
+work term. The independently measured phase decomposition
+(jobs/phase_probe.py, adjacent quiet windows, 40M rows) shows the
+embarrassingly-parallel encode phase scaling at 0.70 and the
+shuffle+sort phase at 0.65 from 2 to 8 cores, consistent with the same
+~5 s fixed term.
 
 What DOES scale with executors in the design (and is exercised here):
 the encode stage is an embarrassingly parallel Arrow map; the build's
