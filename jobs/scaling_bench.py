@@ -47,6 +47,10 @@ DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE_MIN", "90"))
 #: matter the plan; at 40M the same F predicts ~0.82. The in-child gate
 #: makes the required ~90s quiet window catchable.
 PAIRS = [(2, 8, 40_000_000), (8, 32, 40_000_000)]
+if os.environ.get("SPARK_GRAFT_SCALE_PAIRS"):
+    # e.g. SPARK_GRAFT_SCALE_PAIRS="8,32,40000000;2,8,10000000"
+    PAIRS = [tuple(int(x) for x in p.split(","))
+             for p in os.environ["SPARK_GRAFT_SCALE_PAIRS"].split(";")]
 
 
 def child(cores: int, rows: int) -> None:
@@ -247,6 +251,8 @@ def main() -> None:
                   f"{' CLEAN' if clean else ''}", file=sys.stderr)
             i += 1
             clean_effs = [r["efficiency"] for r in reps if r["clean"]]
+            if os.environ.get("SPARK_GRAFT_SCALE_STOP_ON_CLEAN") and clean_effs:
+                break
             if pair_idx == 0:
                 if i >= REPS and (
                         (clean_effs and max(clean_effs) >= TARGET_EFF)
