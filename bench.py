@@ -56,6 +56,26 @@ def materialize(df) -> int:
     return 0
 
 
+def wait_host_quiet(max_wait_s: float = 120.0) -> list[float]:
+    """Bounded wait for a nominal-speed host window before the headline
+    timing. This sandbox host intermittently oversubscribes vCPUs and
+    collapses memory bandwidth ~100-300x with near-zero reported steal
+    (see BENCH.md); a throughput sample taken inside such a window
+    measures the neighbor, not the engine. Returns the last probe triple
+    (single-thread sort s, 8-thread sort wall s, 256MB stream s) so the
+    reported JSON discloses the conditions the clock ran under."""
+    try:
+        from jobs.scaling_bench import _quiet, probe
+    except Exception:
+        return []
+    t0 = time.time()
+    while True:
+        p = probe()
+        if _quiet(p) or time.time() - t0 > max_wait_s:
+            return [round(x, 2) for x in p]
+        time.sleep(15)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="lqt-bench",
@@ -79,6 +99,7 @@ def main() -> None:
     # --- build (headline): encode + repartitionByRange + sortWithinPartitions
     # fixed-cost-minimal shape (see jobs/scaling_bench.py): sampling pass
     # materializes the encode cache; one union action covers main + side
+    probe_at_build = wait_host_quiet()
     t0 = time.time()
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid",
                          persist=False, eager_count=False)
@@ -178,6 +199,7 @@ def main() -> None:
         "sf": SF_DIR,
         "rows": n_rows,
         "cpus": CPUS,
+        "host_probe_at_build": probe_at_build,
         "aux": {
             "pip_rows": pip_rows,
             "knn_rows": knn_rows,
