@@ -35,6 +35,7 @@ from linear_quadtree_spark.operators.build import LQTTable  # noqa: E402
 from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     bbox_query,
     knn_join,
+    occupancy_hist,
     point_in_polygon_join,
     tile_stats,
 )
@@ -119,6 +120,16 @@ def _q_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quad")
     )
+
+
+def _q_occupancy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-balance diagnostic: for each k, how many level-6 quadrant
+    cells hold exactly k points (reference node-occupancy semantics via
+    the raw zkey prefix). Hash-checked: the oracle emulates the
+    reference's first 6 bit+snap levels in float32-exact DuckDB SQL
+    (functions/refsql.py), then applies the same two aggregations."""
+    tbl = _build_table(spark, sf_dir)
+    return occupancy_hist(tbl, level=6)
 
 
 def _q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +404,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pip_join": _q_pip_join,
         "knn": _q_knn,
         "tile_stats": _q_tile_stats,
+        "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
@@ -451,6 +463,12 @@ WITH {_PTS_CTE},
 {ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)}
 SELECT pref AS tile_id, COUNT(*) AS n_points
 FROM refenc GROUP BY 1 ORDER BY 1
+""",
+        "occupancy_hist": f"""
+WITH {_PTS_CTE},
+{ref_prefix_cte_duck('pts', 6, DEFAULT_BOUNDS)},
+pc AS (SELECT pref, COUNT(*) AS n_points FROM refenc GROUP BY 1)
+SELECT n_points, COUNT(*) AS n_cells FROM pc GROUP BY 1 ORDER BY 1
 """,
         "bbox_query": f"""
 WITH {_PTS_CTE}

@@ -285,6 +285,34 @@ def knn_join(
     return out
 
 
+def occupancy_hist(tbl: LQTTable, level: int) -> DataFrame:
+    """Occupancy distribution of the tree at ``level``: for each k, how
+    many level-``level`` quadrant cells hold exactly k points. The
+    classic quadtree balance diagnostic (the reference exposes per-node
+    occupancy implicitly via its printed node list, lqt.cpp:153-181);
+    at web scale it is the one-page answer to "is my key space skewed".
+
+    Two hash aggregates with map-side combine (cells, then counts), no
+    UDF: cell = top ``2*level`` bits of the raw zkey, reference key
+    semantics including collapsed keys. Shuffle sizes are the number of
+    OCCUPIED CELLS then the number of DISTINCT OCCUPANCIES — both far
+    below row count at any scale.
+    """
+    full = tbl.main.unionByName(tbl.side)
+    per_cell = (
+        full.withColumn(
+            "cell", F.shiftrightunsigned(F.col("zkey"), 64 - 2 * level)
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return (
+        per_cell.groupBy("n_points")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("n_points")
+    )
+
+
 def tile_stats(tbl: LQTTable, zoom: int) -> DataFrame:
     """Per-raster-tile aggregates at the given zoom: tile = top 2z bits of
     the raw zkey (reference key semantics, incl. collapsed keys). Pure

@@ -199,3 +199,25 @@ def test_knn_empty_queries(tbl, spark):
     ])
     out = knn_join(tbl, spark.createDataFrame([], schema), k=3)
     assert out.count() == 0
+
+
+def test_occupancy_hist_reconciles(tbl, points_pdf):
+    """Occupancy histogram invariants: sum(k * n_cells(k)) == row count,
+    cell count matches a direct distinct-prefix count, and the histogram
+    equals a pandas recomputation from the raw zkeys."""
+    from linear_quadtree_spark.operators.spatial import occupancy_hist
+
+    level = 6
+    hist = {r.n_points: r.n_cells for r in occupancy_hist(tbl, level).collect()}
+    assert sum(k * v for k, v in hist.items()) == len(points_pdf)
+
+    full = tbl.main.unionByName(tbl.side)
+    zkeys = np.array(
+        [r.zkey for r in full.select("zkey").collect()], dtype=np.uint64
+    )
+    cells = zkeys >> np.uint64(64 - 2 * level)
+    _, counts = np.unique(cells, return_counts=True)
+    expect_cells = len(counts)
+    assert sum(hist.values()) == expect_cells
+    ks, kc = np.unique(counts, return_counts=True)
+    assert hist == {int(k): int(c) for k, c in zip(ks, kc)}
