@@ -111,18 +111,46 @@ def child(cores: int, rows: int) -> None:
             break
         time.sleep(20)
 
+    # mid-region monitor: endpoint probes cannot see a host collapse
+    # that starts AND ends inside the measured region (observed: a
+    # local[8] run of 135s whose pre/post probes were both nominal). A
+    # daemon thread streams the 256MB bandwidth kernel every ~5s during
+    # the measured region and records the worst value. The job's own
+    # bandwidth use inflates the probe ~3-4x at most; a host collapse
+    # inflates it 30-100x — far past MID_BW_LIMIT_S.
+    import threading
+
+    import numpy as np
+
+    mid_max = [0.0]
+    stop_flag = [False]
+
+    def monitor() -> None:
+        big = np.zeros(32_000_000)
+        while not stop_flag[0]:
+            t = time.time()
+            big *= 1.000001
+            mid_max[0] = max(mid_max[0], time.time() - t)
+            time.sleep(5)
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
     t0 = time.time()
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid",
                          persist=False, eager_count=False)
     tbl.main.unionByName(tbl.side).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    stop_flag[0] = True
+    mon.join(timeout=30)
     post = probe()
     spark.stop()
     print(json.dumps({"cores": cores, "rows": rows, "build_s": dt,
                       "rows_per_sec": rows / dt,
                       "probe_pre": [round(x, 2) for x in pre],
                       "probe_post": [round(x, 2) for x in post],
-                      "clean": _quiet(pre) and _quiet(post)}))
+                      "probe_mid_max_bw": round(mid_max[0], 2),
+                      "clean": (_quiet(pre) and _quiet(post)
+                                and mid_max[0] <= MID_BW_LIMIT_S)}))
 
 
 def _settle(threshold: float = 2.0, max_wait: int = 180) -> None:
@@ -162,6 +190,10 @@ PROBE_PAR_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_PAR", "0.30"))
 #: GBs, and the wide level streams at a higher aggregate rate, so a
 #: bandwidth collapse reads as anti-scaling.
 PROBE_BW_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BW", "0.50"))
+#: worst in-flight 256MB stream allowed during a measured region: the
+#: job's own streaming inflates the monitor probe ~3-4x over nominal;
+#: a host collapse inflates it 30-100x
+MID_BW_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_BW", "2.0"))
 
 
 def _quiet(p: tuple[float, float, float]) -> bool:
@@ -243,10 +275,12 @@ def main() -> None:
             reps.append({"lo": r_lo, "hi": r_hi, "efficiency": round(e, 3),
                          "clean": clean})
             print(f"rep {i}: local[{lo}] {r_lo['build_s']:.2f}s "
-                  f"(probe {r_lo['probe_pre']}->{r_lo['probe_post']}, "
+                  f"(probe {r_lo['probe_pre']}->{r_lo['probe_post']} "
+                  f"mid {r_lo.get('probe_mid_max_bw')}, "
                   f"steal {r_lo.get('steal_pct', 0)}%)  "
                   f"local[{hi}] {r_hi['build_s']:.2f}s "
-                  f"(probe {r_hi['probe_pre']}->{r_hi['probe_post']}, "
+                  f"(probe {r_hi['probe_pre']}->{r_hi['probe_post']} "
+                  f"mid {r_hi.get('probe_mid_max_bw')}, "
                   f"steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}"
                   f"{' CLEAN' if clean else ''}", file=sys.stderr)
             i += 1
