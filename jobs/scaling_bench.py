@@ -123,14 +123,30 @@ def child(cores: int, rows: int) -> None:
     import numpy as np
 
     mid_max = [0.0]
+    mid_par8_max = [0.0]
     stop_flag = [False]
 
     def monitor() -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         big = np.zeros(32_000_000)
+        small = np.random.default_rng(0).random(2_000_000)
+        tick = 0
         while not stop_flag[0]:
             t = time.time()
             big *= 1.000001
             mid_max[0] = max(mid_max[0], time.time() - t)
+            # every 3rd tick also sample MULTI-core throughput: observed
+            # a 167s wide-level run with nominal single-thread bandwidth
+            # throughout — the starved resource was parallel CPU, which
+            # only a parallel probe sees. 8 threads for ~0.1s every 15s
+            # is ~1% overhead on a healthy host.
+            if tick % 3 == 2:
+                t = time.time()
+                with ThreadPoolExecutor(8) as ex:
+                    list(ex.map(lambda _: np.sort(small), range(8)))
+                mid_par8_max[0] = max(mid_par8_max[0], time.time() - t)
+            tick += 1
             time.sleep(5)
 
     mon = threading.Thread(target=monitor, daemon=True)
@@ -149,8 +165,10 @@ def child(cores: int, rows: int) -> None:
                       "probe_pre": [round(x, 2) for x in pre],
                       "probe_post": [round(x, 2) for x in post],
                       "probe_mid_max_bw": round(mid_max[0], 2),
+                      "probe_mid_max_par8": round(mid_par8_max[0], 2),
                       "clean": (_quiet(pre) and _quiet(post)
-                                and mid_max[0] <= MID_BW_LIMIT_S)}))
+                                and mid_max[0] <= MID_BW_LIMIT_S
+                                and mid_par8_max[0] <= MID_PAR8_LIMIT_S)}))
 
 
 def _settle(threshold: float = 2.0, max_wait: int = 180) -> None:
@@ -194,6 +212,11 @@ PROBE_BW_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BW", "0.50"))
 #: job's own streaming inflates the monitor probe ~3-4x over nominal;
 #: a host collapse inflates it 30-100x
 MID_BW_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_BW", "2.0"))
+#: worst in-flight 8-thread sort during a measured region: contention
+#: with the job's own 8 busy cores inflates it to ~0.3-0.5s on a
+#: healthy 32-vCPU guest; host-side multi-core starvation inflates it
+#: to multiple seconds
+MID_PAR8_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_PAR8", "1.0"))
 
 
 def _quiet(p: tuple[float, float, float]) -> bool:
