@@ -37,6 +37,7 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     knn_join,
     occupancy_hist,
     point_in_polygon_join,
+    tile_polygons,
     tile_stats,
 )
 from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
@@ -167,6 +168,16 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tile_id", "n_points")
         .orderBy("tile_id")
     )
+
+
+def _q_tile_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: polygonize the occupied zoom-4 raster tiles into
+    exact-double rectangles + WKT rings (the inverse of tile assignment).
+    Hash-checked: the oracle recomputes tile ids via the float32-exact
+    reference-prefix emulation, then applies the IDENTICAL dual-engine
+    de-interleave/extent/WKT SQL (functions/geocell.py)."""
+    tbl = _build_table(spark, sf_dir)
+    return tile_polygons(tbl, zoom=4).orderBy("tile_id")
 
 
 def _q_geo_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +415,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pip_join": _q_pip_join,
         "knn": _q_knn,
         "tile_stats": _q_tile_stats,
+        "tile_polygons": _q_tile_polygons,
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
         "events_hourly": _q_events_hourly,
@@ -438,6 +450,36 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # -------------------------------------------------------------------- oracle
+def _tile_polygons_oracle() -> str:
+    """DuckDB twin of _q_tile_polygons: reference-prefix tile ids
+    (float32-exact refsql emulation), then the SAME dual-engine
+    de-interleave / extent / WKT expressions rendered for DuckDB."""
+    from linear_quadtree_spark.functions.geocell import (
+        cell_axis_expr,
+        cell_rect_sql,
+        cell_wkt_sql,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    rect = cell_rect_sql(DUCK, "tx", "ty", DEFAULT_BOUNDS, 4)
+    wkt = cell_wkt_sql(DUCK, "x0", "y0", "x1", "y1", 4)
+    return f"""
+WITH {_PTS_CTE},
+{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},
+t AS (SELECT pref AS tile_id, COUNT(*) AS n_points FROM refenc GROUP BY 1),
+c AS (SELECT tile_id, n_points,
+             {cell_axis_expr(DUCK, 'tile_id', 4, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', 4, 1)} AS ty
+      FROM t),
+r AS (SELECT tile_id, n_points, tx, ty,
+             {rect['x0']} AS x0, {rect['y0']} AS y0,
+             {rect['x1']} AS x1, {rect['y1']} AS y1
+      FROM c)
+SELECT tile_id, n_points, tx, ty, x0, y0, x1, y1, {wkt} AS wkt
+FROM r ORDER BY tile_id
+"""
+
+
 def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
@@ -464,6 +506,7 @@ WITH {_PTS_CTE},
 SELECT pref AS tile_id, COUNT(*) AS n_points
 FROM refenc GROUP BY 1 ORDER BY 1
 """,
+        "tile_polygons": _tile_polygons_oracle(),
         "occupancy_hist": f"""
 WITH {_PTS_CTE},
 {ref_prefix_cte_duck('pts', 6, DEFAULT_BOUNDS)},

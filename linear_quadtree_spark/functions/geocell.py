@@ -43,6 +43,9 @@ __all__ = [
     "cell_parent_col",
     "cell_children_range",
     "cell_neighbors",
+    "cell_axis_expr",
+    "cell_rect_sql",
+    "cell_wkt_sql",
 ]
 
 
@@ -117,6 +120,65 @@ def cell_children_range(cell_id: int, level: int, child_level: int) -> tuple[int
         raise ValueError("child_level must be >= level")
     shift = 2 * (child_level - level)
     return cell_id << shift, (cell_id + 1) << shift
+
+
+def cell_axis_expr(e: Eng, cell: str, level: int, axis: int) -> str:
+    """De-interleave one axis index out of a Morton cell id — the SQL twin
+    of the driver-side loop in :func:`cell_neighbors`. ``axis`` 0 extracts
+    x (even bit positions), 1 extracts y (odd positions; y is the high bit
+    of each pair, lqt.cpp:55-58). Pure integer HOF expression, identical
+    text semantics in both engines."""
+    if axis not in (0, 1):
+        raise ValueError("axis must be 0 (x) or 1 (y)")
+    bit = "(" + e.shiftr(cell, f"2 * i + {axis}") + " % 2)"
+    pairs = e.transform(e.seq("0", str(level - 1)), "i", e.shiftl(bit, "i"))
+    return e.fold(pairs, "CAST(0 AS BIGINT)", "a", "x", "a + x")
+
+
+def cell_rect_sql(
+    e: Eng,
+    tx: str,
+    ty: str,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    level: int = 8,
+) -> dict[str, str]:
+    """Vector extent of the grid cell with axis indices (``tx``, ``ty``)
+    at ``level``: SQL expressions for the corner columns x0/y0/x1/y1.
+
+    All-double arithmetic with literal cell widths: for the reference
+    bounds the width 100/2^L is an exact binary fraction, so both engines
+    produce bit-identical corners (hash-comparable). This is the
+    raster→vector direction of the tiling stack — the inverse of
+    tile_id_col / geocell_expr."""
+    n = 1 << level
+    wx = repr((bounds.xend - bounds.xstart) / n)
+    wy = repr((bounds.yend - bounds.ystart) / n)
+    return {
+        "x0": f"(CAST({tx} AS DOUBLE) * {wx} + {bounds.xstart!r})",
+        "y0": f"(CAST({ty} AS DOUBLE) * {wy} + {bounds.ystart!r})",
+        "x1": f"((CAST({tx} AS DOUBLE) + 1) * {wx} + {bounds.xstart!r})",
+        "y1": f"((CAST({ty} AS DOUBLE) + 1) * {wy} + {bounds.ystart!r})",
+    }
+
+
+def cell_wkt_sql(
+    e: Eng, x0: str, y0: str, x1: str, y1: str, level: int = 8
+) -> str:
+    """WKT POLYGON ring (counter-clockwise, closed) for a cell rectangle.
+
+    Corners are rendered through a fixed-scale DECIMAL so both engines
+    print the same digits: a cell width of 100/2^L has exactly L-2
+    fractional decimal digits (100/2^L = 25/2^(L-2)), so scale L-2 is
+    lossless for every corner of the default bounds."""
+    s = max(1, level - 2)
+    txt = "STRING" if e.name == "spark" else "VARCHAR"
+
+    def fmt(v: str) -> str:
+        return f"CAST(CAST({v} AS DECIMAL(18,{s})) AS {txt})"
+
+    pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    inner = ", ', ', ".join(f"{fmt(x)}, ' ', {fmt(y)}" for x, y in pts)
+    return f"concat('POLYGON((', {inner}, '))')"
 
 
 def cell_neighbors(cell_id: int, level: int) -> list[int]:

@@ -24,12 +24,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from linear_quadtree_spark.config import DEPTH
+from linear_quadtree_spark.functions.geocell import (
+    cell_axis_expr,
+    cell_rect_sql,
+    cell_wkt_sql,
+)
 from linear_quadtree_spark.functions.geometry import point_in_polygon_np
+from linear_quadtree_spark.functions.textexpr import SPARK
 from linear_quadtree_spark.cache import track
 from linear_quadtree_spark.operators.build import LQTTable, STORE_SPLIT_LEVEL
 from linear_quadtree_spark.plans.cover import cover_cells, cover_rect
 
-__all__ = ["bbox_query", "point_in_polygon_join", "knn_join", "tile_stats"]
+__all__ = [
+    "bbox_query",
+    "point_in_polygon_join",
+    "knn_join",
+    "tile_stats",
+    "tile_polygons",
+    "occupancy_hist",
+]
 
 
 def bbox_query(
@@ -325,4 +338,35 @@ def tile_stats(tbl: LQTTable, zoom: int) -> DataFrame:
             F.avg(F.col(tbl.x_col).cast("double")).alias("avg_x"),
             F.avg(F.col(tbl.y_col).cast("double")).alias("avg_y"),
         )
+    )
+
+
+def tile_polygons(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Raster→vector: polygonize the occupied raster tiles at ``zoom``.
+
+    The inverse direction of tile assignment (the north rule's
+    "raster↔vector"): tile ids (top 2z zkey bits, reference semantics)
+    are de-interleaved back to grid indices and lifted to exact-double
+    vector rectangles plus a WKT ring. Plan: the per-tile aggregate runs
+    FIRST (map-side combine → one shuffle, output ≤ 4^zoom rows), and
+    all geometry derivation is pure integer/double column expressions on
+    that tiny relation — zero UDFs, zero extra shuffles, any scale.
+
+    Note collapsed keys (functions/encode.py midline collapse) count
+    toward the tile their *key* names, exactly like the reference's own
+    key→tile arithmetic; rows with ``zlvl >= zoom`` are guaranteed to
+    lie geometrically inside their tile polygon (tested)."""
+    per_tile = (
+        tbl.tiles(zoom)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    out = per_tile.withColumn(
+        "tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0))
+    ).withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
+    rect = cell_rect_sql(SPARK, "tx", "ty", tbl.bounds, zoom)
+    for name in ("x0", "y0", "x1", "y1"):
+        out = out.withColumn(name, F.expr(rect[name]))
+    return out.withColumn(
+        "wkt", F.expr(cell_wkt_sql(SPARK, "x0", "y0", "x1", "y1", zoom))
     )

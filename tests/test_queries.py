@@ -221,3 +221,47 @@ def test_occupancy_hist_reconciles(tbl, points_pdf):
     assert sum(hist.values()) == expect_cells
     ks, kc = np.unique(counts, return_counts=True)
     assert hist == {int(k): int(c) for k, c in zip(ks, kc)}
+
+
+def test_tile_polygons_raster_to_vector(tbl, points_pdf):
+    """Raster→vector polygonization: tile ids round-trip through the
+    de-interleave (re-interleaving (tx,ty) reproduces tile_id), corners
+    are the exact-double grid lines, the WKT ring is closed and matches
+    the corner columns, counts reconcile with tile_stats, and every
+    prefix-faithful point lies inside its tile polygon (closed rect —
+    strict-> boundary semantics put exact-edge points on the rect edge)."""
+    from linear_quadtree_spark.operators.spatial import tile_polygons
+
+    zoom = 4
+    w = 100.0 / (1 << zoom)
+    polys = {r.tile_id: r for r in tile_polygons(tbl, zoom).collect()}
+
+    # counts reconcile with the aggregation the polygonization wraps
+    stats = {r.tile_id: r.n_points for r in tile_stats(tbl, zoom).collect()}
+    assert {t: r.n_points for t, r in polys.items()} == stats
+
+    for t, r in polys.items():
+        # Morton round trip
+        morton = 0
+        for b in range(zoom - 1, -1, -1):
+            morton = (morton << 2) | (((r.ty >> b) & 1) << 1) | ((r.tx >> b) & 1)
+        assert morton == t
+        # exact-double grid corners
+        assert r.x0 == 1000.0 + r.tx * w and r.x1 == 1000.0 + (r.tx + 1) * w
+        assert r.y0 == 1000.0 + r.ty * w and r.y1 == 1000.0 + (r.ty + 1) * w
+        # WKT: closed 5-point ring rendering exactly the corner values
+        assert r.wkt.startswith("POLYGON((") and r.wkt.endswith("))")
+        pts = [p.split() for p in r.wkt[9:-2].split(", ")]
+        assert len(pts) == 5 and pts[0] == pts[4]
+        assert float(pts[0][0]) == r.x0 and float(pts[0][1]) == r.y0
+        assert float(pts[2][0]) == r.x1 and float(pts[2][1]) == r.y1
+
+    # containment of prefix-faithful rows
+    rows = tbl.main.unionByName(tbl.side).select("x", "y", "zkey", "zlvl").collect()
+    for row in rows:
+        if row.zlvl < zoom:
+            continue
+        t = (row.zkey & ((1 << 64) - 1)) >> (64 - 2 * zoom)
+        p = polys[t]
+        assert p.x0 <= np.float64(row.x) <= p.x1, (row.x, p)
+        assert p.y0 <= np.float64(row.y) <= p.y1, (row.y, p)
