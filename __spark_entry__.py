@@ -293,6 +293,13 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return _sim.ann_topk_lsh(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k: stride-64 coarse quantizer (one broadcast
+    assignment pass), nprobe-4 list pruning, exact-cosine rerank.
+    Deterministic index → hash-checkable despite recall < 1."""
+    return _sim.ann_topk_ivf(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
+
+
 def _q_emb_neardup(spark, sf_dir):
     return _sim.emb_neardup_pairs(corpus_embs(spark, sf_dir))
 
@@ -435,6 +442,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "emb_neardup_pairs": _q_emb_neardup,
         # multimodal
         "media_metadata": _q_media_metadata,
@@ -598,6 +606,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         # ---- similarity
         "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_lsh": _emb_corpus(_sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10)),
+        "ann_topk_ivf": _emb_corpus(_sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),
         # ---- multimodal (oracle recomputes from source text)
         "media_metadata": _media.media_metadata_sql_duck(),

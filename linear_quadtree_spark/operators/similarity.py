@@ -47,6 +47,9 @@ __all__ = [
     "ann_topk_bruteforce_sql_duck",
     "ann_topk_lsh",
     "ann_topk_lsh_sql_duck",
+    "ann_topk_ivf",
+    "ann_topk_ivf_sql_duck",
+    "ivf_assign",
     "emb_neardup_pairs",
     "emb_neardup_pairs_sql_duck",
     "cosine_col",
@@ -241,6 +244,165 @@ r AS (
   SELECT qid, {id_col}, ({cos}) AS cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ({cos}) DESC, {id_col}) AS rn
   FROM cand)
+SELECT qid, {id_col}, CAST(rn AS BIGINT) AS rn,
+       CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM r WHERE rn <= {k}
+"""
+
+
+# --------------------------------------------------------- IVF top-k
+#: default centroid stride for the oracle-checked query entry: one
+#: centroid per 64 vectors keeps every inverted list ~64 vectors wide
+#: regardless of corpus size (the list COUNT grows with n). See
+#: ann_topk_ivf for the production sizing rule.
+IVF_STRIDE = 64
+IVF_NPROBE = 4
+
+
+def _auto_stride(n: int) -> int:
+    """Power-of-two stride giving nlist ≈ sqrt(n) — the standard IVF
+    balance point where per-query work (nlist centroid cosines +
+    nprobe·n/nlist list scans) is minimized."""
+    import math
+
+    if n <= 1:
+        return 1
+    return max(1, 1 << round(math.log2(max(1.0, math.sqrt(n)))))
+
+
+def ivf_assign(
+    embs: DataFrame,
+    stride: int | None = None,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: returns ``(centroids, assigned)`` where
+    ``centroids`` is (cid, c_emb) and ``assigned`` adds a ``list_id``
+    column — each vector's nearest centroid by exact cosine (ties →
+    lowest cid, so assignment is deterministic and oracle-checkable).
+
+    Centroid choice is the deterministic degenerate "training": every
+    ``stride``-th vector by id. Real k-means (sampled Lloyd's iterations,
+    trained offline and broadcast) drops into the same seam — the
+    assignment plan below is unchanged by how centroids were produced.
+
+    Scale shape: centroids are a tiny broadcast dimension; assignment is
+    ONE broadcast-join map pass over the corpus (no shuffle of the big
+    side), the same plan Spark uses for any small-dim enrichment. At
+    10^12 vectors, `list_id` becomes the table's partition/bucket key so
+    a query's nprobe lists prune to nprobe·stride rows of scan.
+
+    ``stride=None`` sizes itself from a corpus count as ~sqrt(n)
+    (nlist ≈ sqrt(n), the standard IVF balance point) — corpus-sized by
+    default, never a fixed-width constant."""
+    if stride is None:
+        stride = _auto_stride(embs.count())
+    cents = embs.filter(F.expr(f"{id_col} % {stride} = 0")).select(
+        F.col(id_col).alias("cid"), F.col(emb_col).alias("c_emb")
+    )
+    scored = embs.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", cosine_col("c_emb", emb_col)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select(id_col, emb_col, F.col("cid").alias("list_id"))
+    )
+    return cents, assigned
+
+
+def ann_topk_ivf(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    stride: int | None = IVF_STRIDE,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, vec_id, rn, cos_ppm): IVF approximate top-k — candidates are
+    vectors whose inverted list is among the query's ``nprobe`` nearest
+    centroids, reranked by EXACT cosine. Like ann_topk_lsh, recall < 1 is
+    a deterministic property of the index (same centroids → same lists →
+    same candidates), so output is oracle-checkable by value.
+
+    This is the partition-pruning ANN shape: where LSH prunes by hash
+    bucket, IVF prunes by data-adaptive Voronoi cell, which clusters
+    correlated vectors together and typically gives better recall per
+    candidate at the same scan budget. Per-query cost is nlist centroid
+    cosines + ~nprobe·stride exact cosines, vs n for brute force."""
+    cents, assigned = ivf_assign(embs, stride, emb_col, id_col)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    qv = embs.filter(F.expr(f"{id_col} IN ({ids})")).select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("q_emb")
+    )
+    qs = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "qcos", cosine_col("c_emb", "q_emb")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probed = (
+        qs.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= nprobe)
+        .select("qid", "q_emb", F.col("cid").alias("list_id"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "list_id")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", "q_emb", id_col, emb_col)
+    )
+    cand = cand.withColumn("cos", cosine_col("q_emb", emb_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            id_col,
+            F.col("rn").cast("long").alias("rn"),
+            F.floor(F.col("cos") * 1_000_000).cast("long").alias("cos_ppm"),
+        )
+    )
+
+
+def ann_topk_ivf_sql_duck(
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    stride: int = IVF_STRIDE,
+    src: str = "emb_corpus",
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ann_topk_ivf (same stride/nprobe, lockstep cosine)."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    ccos = _cos_duck("c.c_emb", f"s.{emb_col}")
+    qcos = _cos_duck("c.c_emb", f"q.{emb_col}")
+    rcos = _cos_duck("cd.q_emb", f"cd.{emb_col}")
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cid, {emb_col} AS c_emb FROM {src} WHERE {id_col} % {stride} = 0),
+asg AS (
+  SELECT {id_col}, {emb_col}, list_id FROM (
+    SELECT s.{id_col}, s.{emb_col}, c.cid AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                              ORDER BY ({ccos}) DESC, c.cid) AS crn
+    FROM {src} s CROSS JOIN cents c) t WHERE crn = 1),
+probed AS (
+  SELECT qid, q_emb, list_id FROM (
+    SELECT q.{id_col} AS qid, q.{emb_col} AS q_emb, c.cid AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_col}
+                              ORDER BY ({qcos}) DESC, c.cid) AS qrn
+    FROM {src} q CROSS JOIN cents c WHERE q.{id_col} IN ({ids})) t
+  WHERE qrn <= {nprobe}),
+cd AS (
+  SELECT p.qid, p.q_emb, a.{id_col}, a.{emb_col}
+  FROM asg a JOIN probed p ON a.list_id = p.list_id
+  WHERE a.{id_col} <> p.qid),
+r AS (
+  SELECT qid, {id_col}, ({rcos}) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ({rcos}) DESC, {id_col}) AS rn
+  FROM cd)
 SELECT qid, {id_col}, CAST(rn AS BIGINT) AS rn,
        CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
 FROM r WHERE rn <= {k}

@@ -97,3 +97,46 @@ def test_ann_topk_lsh_lockstep_and_recall(spark, sf_dir, duck):
     # rows present in both frames must agree on cos_ppm
     merged = got.merge(exact, on=["qid", "vec_id"], suffixes=("_l", "_e"))
     assert (merged["cos_ppm_l"] == merged["cos_ppm_e"]).all()
+
+
+def test_ann_topk_ivf_lockstep_and_recall(spark, sf_dir, duck):
+    """IVF ANN: Spark == DuckDB by value (deterministic stride centroids,
+    lockstep cosine), every vector lands in exactly one inverted list,
+    and top-k recall vs exact brute force is high at nprobe=4."""
+    embs = corpus_embs(spark, sf_dir)
+    got = _norm(S.ann_topk_ivf(embs, QIDS, k=10).toPandas())
+    exp = _norm(
+        duck.execute(_with_corpus(S.ann_topk_ivf_sql_duck(QIDS, k=10))).fetch_df()
+    )
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+
+    # partition property: assignment is a function — one list per vector
+    cents, assigned = S.ivf_assign(embs, S.IVF_STRIDE)
+    n = embs.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 < n_lists <= cents.count()
+
+    # recall vs the exact baseline
+    exact = S.ann_topk_bruteforce(embs, QIDS, k=10).toPandas()
+    hits = tot = 0
+    for q in QIDS:
+        e = set(exact[exact["qid"] == q]["vec_id"])
+        g = set(got[got["qid"] == q]["vec_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.5, f"IVF recall {hits}/{tot} too low"
+
+
+def test_ivf_auto_stride(spark, sf_dir):
+    """stride=None sizes the quantizer from the corpus (~sqrt(n) lists)."""
+    embs = corpus_embs(spark, sf_dir)
+    n = embs.count()
+    _, assigned = S.ivf_assign(embs, None)
+    assert assigned.count() == n
+    s = S._auto_stride(n)
+    assert n ** 0.5 / 2 <= s <= 2 * n ** 0.5
+    out = S.ann_topk_ivf(embs, QIDS[:2], k=5, stride=None)
+    assert out.count() == 10
