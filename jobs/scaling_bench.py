@@ -299,11 +299,13 @@ def main() -> None:
                          "clean": clean})
             print(f"rep {i}: local[{lo}] {r_lo['build_s']:.2f}s "
                   f"(probe {r_lo['probe_pre']}->{r_lo['probe_post']} "
-                  f"mid {r_lo.get('probe_mid_max_bw')}, "
+                  f"mid bw {r_lo.get('probe_mid_max_bw')} "
+                  f"par8 {r_lo.get('probe_mid_max_par8')}, "
                   f"steal {r_lo.get('steal_pct', 0)}%)  "
                   f"local[{hi}] {r_hi['build_s']:.2f}s "
                   f"(probe {r_hi['probe_pre']}->{r_hi['probe_post']} "
-                  f"mid {r_hi.get('probe_mid_max_bw')}, "
+                  f"mid bw {r_hi.get('probe_mid_max_bw')} "
+                  f"par8 {r_hi.get('probe_mid_max_par8')}, "
                   f"steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}"
                   f"{' CLEAN' if clean else ''}", file=sys.stderr)
             i += 1
@@ -332,6 +334,12 @@ def main() -> None:
             "probes_all_reps": [
                 {"lo": [r["lo"]["probe_pre"], r["lo"]["probe_post"]],
                  "hi": [r["hi"]["probe_pre"], r["hi"]["probe_post"]]}
+                for r in reps],
+            "mids_all_reps": [
+                {"lo": [r["lo"].get("probe_mid_max_bw"),
+                        r["lo"].get("probe_mid_max_par8")],
+                 "hi": [r["hi"].get("probe_mid_max_bw"),
+                        r["hi"].get("probe_mid_max_par8")]}
                 for r in reps],
             "levels": {str(c): {"build_s": round(res[c]["build_s"], 2),
                                 "rows_per_sec": round(res[c]["rows_per_sec"], 1)}
