@@ -147,6 +147,11 @@ def main() -> None:
     tile_rows = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = time.time() - t0
 
+    t0 = time.time()
+    from linear_quadtree_spark.operators.spatial import tile_polygons
+    tpoly_rows = tile_polygons(tbl, zoom=8).count()
+    timings["tile_polygons_z8"] = time.time() - t0
+
     # --- training-data pipeline layer (documents / embeddings tables)
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (
@@ -185,6 +190,13 @@ def main() -> None:
     t0 = time.time()
     ann_lsh_rows = ann_topk_lsh(embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10).count()
     timings["ann_topk_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.similarity import ann_topk_ivf
+    ann_ivf_rows = ann_topk_ivf(
+        embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10, stride=None
+    ).count()
+    timings["ann_topk_ivf"] = time.time() - t0
 
     t0 = time.time()
     from linear_quadtree_spark.operators.similarity import _make_planes
