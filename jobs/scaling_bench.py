@@ -212,11 +212,16 @@ PROBE_BW_QUIET_S = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_BW", "0.50"))
 #: job's own streaming inflates the monitor probe ~3-4x over nominal;
 #: a host collapse inflates it 30-100x
 MID_BW_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_BW", "2.0"))
-#: worst in-flight 8-thread sort during a measured region: contention
-#: with the job's own 8 busy cores inflates it to ~0.3-0.5s on a
-#: healthy 32-vCPU guest; host-side multi-core starvation inflates it
-#: to multiple seconds
-MID_PAR8_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_PAR8", "1.0"))
+#: worst in-flight 8-thread sort during a measured region. CALIBRATED
+#: (not guessed): a region with only 2 busy cores on an otherwise
+#: ~1-load host measured a worst par8 of 1.7 s while its wall was
+#: near best-ever, and reps at best-ever local[8] walls (23.5 s) were
+#: rejected by the original 1.0 s guess; a genuinely sick region
+#: (4x wall) measured ~4.0 s. The healthy/sick separation is only ~2x
+#: for this probe (vs 30-100x for the bandwidth stream, which stays
+#: the decisive gate), so the reject line sits at 3.0 s — above
+#: measured-healthy, below measured-sick.
+MID_PAR8_LIMIT_S = float(os.environ.get("SPARK_GRAFT_SCALE_MID_PAR8", "3.0"))
 
 
 def _quiet(p: tuple[float, float, float]) -> bool:
