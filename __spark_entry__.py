@@ -38,6 +38,7 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     occupancy_hist,
     point_in_polygon_join,
     tile_polygons,
+    tile_pyramid,
     tile_stats,
 )
 from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
@@ -168,6 +169,19 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tile_id", "n_points")
         .orderBy("tile_id")
     )
+
+
+PYRAMID_ZOOMS = [2, 4, 6]
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile rollup in one data pass (hypertable-rollup shape):
+    finest zoom aggregates the rows; coarser zooms roll up the finest
+    per-tile relation by prefix shift. Hash-checked: the oracle emulates
+    the finest zoom's reference prefixes in float32-exact DuckDB SQL,
+    then applies the identical shift-rollup."""
+    tbl = _build_table(spark, sf_dir)
+    return tile_pyramid(tbl, PYRAMID_ZOOMS)
 
 
 def _q_tile_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +437,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn": _q_knn,
         "tile_stats": _q_tile_stats,
         "tile_polygons": _q_tile_polygons,
+        "tile_pyramid": _q_tile_pyramid,
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
         "events_hourly": _q_events_hourly,
@@ -515,6 +530,21 @@ SELECT pref AS tile_id, COUNT(*) AS n_points
 FROM refenc GROUP BY 1 ORDER BY 1
 """,
         "tile_polygons": _tile_polygons_oracle(),
+        "tile_pyramid": f"""
+WITH {_PTS_CTE},
+{ref_prefix_cte_duck('pts', max(PYRAMID_ZOOMS), DEFAULT_BOUNDS)},
+base AS (SELECT pref AS tile_id, COUNT(*) AS n_points FROM refenc GROUP BY 1)
+SELECT CAST({max(PYRAMID_ZOOMS)} AS INTEGER) AS zoom, tile_id, n_points FROM base
+"""
+        + "".join(
+            f"""UNION ALL
+SELECT CAST({z} AS INTEGER) AS zoom,
+       (tile_id >> {2 * (max(PYRAMID_ZOOMS) - z)}) AS tile_id,
+       CAST(SUM(n_points) AS BIGINT) AS n_points
+FROM base GROUP BY 1, 2
+"""
+            for z in PYRAMID_ZOOMS[:-1]
+        ),
         "occupancy_hist": f"""
 WITH {_PTS_CTE},
 {ref_prefix_cte_duck('pts', 6, DEFAULT_BOUNDS)},

@@ -152,6 +152,11 @@ def main() -> None:
     tpoly_rows = tile_polygons(tbl, zoom=8).count()
     timings["tile_polygons_z8"] = time.time() - t0
 
+    t0 = time.time()
+    from linear_quadtree_spark.operators.spatial import tile_pyramid
+    tpyr_rows = tile_pyramid(tbl, [2, 4, 6, 8]).count()
+    timings["tile_pyramid_z2468"] = time.time() - t0
+
     # --- training-data pipeline layer (documents / embeddings tables)
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (

@@ -41,6 +41,7 @@ __all__ = [
     "knn_join",
     "tile_stats",
     "tile_polygons",
+    "tile_pyramid",
     "occupancy_hist",
 ]
 
@@ -339,6 +340,53 @@ def tile_stats(tbl: LQTTable, zoom: int) -> DataFrame:
             F.avg(F.col(tbl.y_col).cast("double")).alias("avg_y"),
         )
     )
+
+
+def tile_pyramid(tbl: LQTTable, zooms: list[int]) -> DataFrame:
+    """Multi-resolution tile rollup: per-tile point counts at EVERY zoom
+    in ``zooms``, in one pass over the data (the hypertable-rollup /
+    tile-pyramid pattern every tiling stack needs).
+
+    Scale shape: only the FINEST zoom aggregates the raw rows (one
+    shuffle, map-side combine, ≤ 4^max(zooms) output rows); every
+    coarser level re-aggregates the finest per-tile relation by prefix
+    shift — the quadtree invariant that a parent tile is exactly the
+    union of its 4 children makes the rollup lossless. Building L zoom
+    levels therefore costs one scan + one shuffle of the data plus L
+    shuffles of tile-count-sized relations (thousands of rows at any
+    input scale). Output: (zoom, tile_id, n_points).
+    """
+    if not zooms:
+        raise ValueError("zooms must be non-empty")
+    zooms = sorted(set(zooms))
+    finest = zooms[-1]
+    # track(): every union branch references the finest aggregate — the
+    # cache pins the (tile-count-sized) relation so Catalyst doesn't
+    # rescan the raw data once per zoom level
+    base = track(
+        tbl.tiles(finest)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    levels = [
+        base.select(
+            F.lit(finest).cast("int").alias("zoom"), "tile_id", "n_points"
+        )
+    ]
+    for z in zooms[:-1]:
+        levels.append(
+            base.groupBy(
+                F.shiftrightunsigned(F.col("tile_id"), 2 * (finest - z)).alias(
+                    "tile_id"
+                )
+            )
+            .agg(F.sum("n_points").alias("n_points"))
+            .select(F.lit(z).cast("int").alias("zoom"), "tile_id", "n_points")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def tile_polygons(tbl: LQTTable, zoom: int) -> DataFrame:

@@ -265,3 +265,32 @@ def test_tile_polygons_raster_to_vector(tbl, points_pdf):
         p = polys[t]
         assert p.x0 <= np.float64(row.x) <= p.x1, (row.x, p)
         assert p.y0 <= np.float64(row.y) <= p.y1, (row.y, p)
+
+
+def test_tile_pyramid_rollup_invariants(tbl, points_pdf):
+    """Pyramid invariants: every level's counts sum to the row count;
+    each level equals a direct independent aggregation at that zoom
+    (the rollup-from-finest shortcut is lossless because a parent tile
+    is exactly the union of its 4 children); parent count == sum of its
+    children across adjacent levels."""
+    from linear_quadtree_spark.operators.spatial import tile_pyramid
+
+    zooms = [2, 4, 6]
+    pyr = tile_pyramid(tbl, zooms).collect()
+    n = len(points_pdf)
+    by_zoom = {}
+    for r in pyr:
+        by_zoom.setdefault(r.zoom, {})[r.tile_id] = r.n_points
+    assert set(by_zoom) == set(zooms)
+    for z in zooms:
+        assert sum(by_zoom[z].values()) == n
+        direct = {
+            r.tile_id: r.n_points for r in tile_stats(tbl, z).collect()
+        }
+        assert by_zoom[z] == direct, f"zoom {z} rollup != direct aggregation"
+    for z_par, z_chi in zip(zooms, zooms[1:]):
+        shift = 2 * (z_chi - z_par)
+        rolled = {}
+        for t, c in by_zoom[z_chi].items():
+            rolled[t >> shift] = rolled.get(t >> shift, 0) + c
+        assert rolled == by_zoom[z_par]
