@@ -43,6 +43,7 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
 )
 from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
 from linear_quadtree_spark.operators import dedup as _dedup  # noqa: E402
+from linear_quadtree_spark.operators.crawl import captures_cte_duck  # noqa: E402
 from linear_quadtree_spark.operators import media as _media  # noqa: E402
 from linear_quadtree_spark.operators import similarity as _sim  # noqa: E402
 from linear_quadtree_spark.operators import text as _text  # noqa: E402
@@ -331,6 +332,43 @@ def _q_sessionize(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
 
 
+# ----------------------------------------------------------- crawl layer
+DIST_JOIN_R = 2.0
+
+
+def _q_distance_join(spark, sf_dir):
+    """Spatial self-join: all unordered doc pairs within Euclidean
+    distance r (cell-bucketed forward-half-neighborhood plan — ONE
+    equi-join shuffle, no all-pairs)."""
+    from linear_quadtree_spark.operators.spatial import distance_join
+
+    tbl = _build_table(spark, sf_dir)
+    return distance_join(tbl, DIST_JOIN_R).select("id_a", "id_b")
+
+
+def _q_latest_capture(spark, sf_dir):
+    """CDX dedup: latest capture per url over the multi-capture crawl
+    index (window rank + capture count in one shuffle)."""
+    from linear_quadtree_spark.operators.crawl import captures_table, latest_capture
+
+    out = latest_capture(captures_table(spark, sf_dir))
+    return out.select(
+        "url",
+        F.col("capture_ts").cast("long").alias("capture_ts"),
+        F.col("capture").cast("int").alias("capture"),
+        "n_captures",
+    )
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-site rollup of the page table (regexp site key + one hash
+    aggregate with map-side combine)."""
+    from linear_quadtree_spark.operators.crawl import domain_stats
+    from linear_quadtree_spark.sources.pages import pages_table
+
+    return domain_stats(pages_table(spark, sf_dir))
+
+
 # -------------------------------------------------------- alternate index
 GEOCELL_LEVEL = 6
 
@@ -464,6 +502,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_frames": _q_media_frames,
         # sessionization (batch twin of the streaming operator)
         "sessionize": _q_sessionize,
+        # crawl index maintenance
+        "distance_join": _q_distance_join,
+        "latest_capture": _q_latest_capture,
+        "domain_stats": _q_domain_stats,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         # relational joins
@@ -643,6 +685,31 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "media_frames": _media.frame_fps_sql_duck(),
         # ---- sessionization
         "sessionize": sessionize_batch_sql_duck("events", 30),
+        # ---- crawl index maintenance
+        "distance_join": f"""
+WITH {_PTS_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+      <= {DIST_JOIN_R * DIST_JOIN_R!r}
+""",
+        "latest_capture": f"""
+WITH {captures_cte_duck()},
+r AS (SELECT url, capture_ts, capture,
+        ROW_NUMBER() OVER (PARTITION BY url
+                           ORDER BY capture_ts DESC, capture DESC) AS rk,
+        COUNT(*) OVER (PARTITION BY url) AS n_captures
+      FROM caps)
+SELECT url, CAST(capture_ts AS BIGINT) AS capture_ts,
+       CAST(capture AS INTEGER) AS capture, n_captures
+FROM r WHERE rk = 1
+""",
+        "domain_stats": """
+SELECT source AS site, COUNT(*) AS n_pages,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+""",
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

@@ -157,6 +157,16 @@ def main() -> None:
     tpyr_rows = tile_pyramid(tbl, [2, 4, 6, 8]).count()
     timings["tile_pyramid_z2468"] = time.time() - t0
 
+    t0 = time.time()
+    from linear_quadtree_spark.operators.spatial import distance_join
+    dj_rows = distance_join(tbl, r=0.1).count()
+    timings["distance_join_r01"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.crawl import captures_table, latest_capture
+    lc_rows = latest_capture(captures_table(spark, SF_DIR)).count()
+    timings["latest_capture"] = time.time() - t0
+
     # --- training-data pipeline layer (documents / embeddings tables)
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (

@@ -1,0 +1,92 @@
+"""Crawl-layer operators: distance self-join, CDX latest-capture dedup,
+per-site rollup. Semantics checked against brute-force / first-principles
+computations on the session fixture; value-hash parity with DuckDB is
+covered by the driver oracle (jobs/check_oracles.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.operators.build import LQTTable
+from linear_quadtree_spark.operators.crawl import (
+    captures_table,
+    domain_stats,
+    latest_capture,
+)
+from linear_quadtree_spark.operators.spatial import distance_join
+from linear_quadtree_spark.sources.pages import pages_table
+from linear_quadtree_spark.sources.synth import geotagged_docs
+
+
+def _build(spark, sf_dir):
+    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
+    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True)
+
+
+def test_distance_join_matches_bruteforce(spark, sf_dir):
+    tbl = _build(spark, sf_dir)
+    r = 3.0
+    got = sorted(
+        (row.id_a, row.id_b)
+        for row in distance_join(tbl, r).select("id_a", "id_b").collect()
+    )
+    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y").collect()
+    coords = [(row.doc_id, float(row.x), float(row.y)) for row in pts]
+    exp = sorted(
+        (min(a, b), max(a, b))
+        for i, (a, ax, ay) in enumerate(coords)
+        for b, bx, by in coords[i + 1 :]
+        if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+    )
+    assert got == exp and len(got) > 0
+    tbl.unpersist()
+
+
+def test_distance_join_pairs_unique_and_exact(spark, sf_dir):
+    tbl = _build(spark, sf_dir)
+    r = 5.0
+    out = distance_join(tbl, r).collect()
+    pairs = [(row.id_a, row.id_b) for row in out]
+    # forward-half-neighborhood => each pair exactly once, no dedup pass
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(row.dist2 <= r * r + 1e-12 for row in out)
+    assert all(math.sqrt(row.dist2) <= r for row in out)
+    tbl.unpersist()
+
+
+def test_latest_capture_picks_max_ts(spark, sf_dir):
+    caps = captures_table(spark, sf_dir)
+    out = latest_capture(caps)
+    # one row per url
+    n_urls = caps.select("url").distinct().count()
+    assert out.count() == n_urls
+    # per-url max timestamp and capture count agree with a plain aggregate
+    agg = caps.groupBy("url").agg(
+        F.max("capture_ts").alias("max_ts"), F.count(F.lit(1)).alias("n")
+    )
+    joined = out.join(agg, "url")
+    bad = joined.filter(
+        (F.col("capture_ts") != F.col("max_ts")) | (F.col("n_captures") != F.col("n"))
+    ).count()
+    assert bad == 0
+    # payload rides through: latest row keeps its text column
+    assert "text" in out.columns
+
+
+def test_domain_stats_totals(spark, sf_dir):
+    pages = pages_table(spark, sf_dir)
+    out = domain_stats(pages)
+    total_pages = out.agg(F.sum("n_pages")).first()[0]
+    assert total_pages == pages.count()
+    # site key is exactly the source path segment
+    sites = {row.site for row in out.select("site").collect()}
+    sources = {
+        row.source
+        for row in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert sites == sources
