@@ -288,9 +288,14 @@ def ivf_assign(
 
     Scale shape: centroids are a tiny broadcast dimension; assignment is
     ONE broadcast-join map pass over the corpus (no shuffle of the big
-    side), the same plan Spark uses for any small-dim enrichment. At
-    10^12 vectors, `list_id` becomes the table's partition/bucket key so
-    a query's nprobe lists prune to nprobe·stride rows of scan.
+    side) followed by a ``max_by`` hash aggregate whose map-side combine
+    collapses the nlist scored rows per vector back to ONE row before
+    any exchange — the shuffle carries n rows, not n×nlist (a window
+    argmax here would exchange the full cross product with every
+    embedding duplicated nlist times: measured 5× slower at sf0.1 and
+    growing with nlist). At 10^12 vectors, `list_id` becomes the
+    table's partition/bucket key so a query's nprobe lists prune to
+    nprobe·stride rows of scan.
 
     ``stride=None`` sizes itself from a corpus count as ~sqrt(n)
     (nlist ≈ sqrt(n), the standard IVF balance point) — corpus-sized by
@@ -303,11 +308,13 @@ def ivf_assign(
     scored = embs.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", cosine_col("c_emb", emb_col)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
-    assigned = (
-        scored.withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
-        .select(id_col, emb_col, F.col("cid").alias("list_id"))
+    # argmax by (ccos DESC, cid ASC) — identical tie semantics to the
+    # oracle's ROW_NUMBER() ORDER BY ccos DESC, cid
+    assigned = scored.groupBy(id_col).agg(
+        F.first(emb_col).alias(emb_col),
+        F.max_by(
+            "cid", F.struct(F.col("ccos"), (-F.col("cid")).cast("double"))
+        ).alias("list_id"),
     )
     return cents, assigned
 
@@ -331,7 +338,14 @@ def ann_topk_ivf(
     bucket, IVF prunes by data-adaptive Voronoi cell, which clusters
     correlated vectors together and typically gives better recall per
     candidate at the same scan budget. Per-query cost is nlist centroid
-    cosines + ~nprobe·stride exact cosines, vs n for brute force."""
+    cosines + ~nprobe·stride exact cosines, vs n for brute force.
+
+    The input is tracked in the cache registry for the call's duration:
+    the plan reads it three times (centroid filter, assignment pass,
+    query-vector lookup), and an expensive upstream (a synth CTE, a
+    filtered scan) would otherwise be recomputed per pass. Release with
+    ``cache.release_caches()`` / ``cache_scope`` as usual."""
+    embs = track(embs)
     cents, assigned = ivf_assign(embs, stride, emb_col, id_col)
     ids = ", ".join(str(int(q)) for q in query_ids)
     qv = embs.filter(F.expr(f"{id_col} IN ({ids})")).select(
