@@ -6,6 +6,12 @@ from linear_quadtree_spark.streaming.pipeline import (  # noqa: F401
     run_available_now,
     run_available_now_to_parquet,
 )
+from linear_quadtree_spark.streaming.tiles import (  # noqa: F401
+    DOCS_SCHEMA,
+    read_docs_stream,
+    tile_counts_batch,
+    tile_counts_stream,
+)
 from linear_quadtree_spark.streaming.sessionize import (  # noqa: F401
     sessionize_batch,
     sessionize_batch_sql_duck,

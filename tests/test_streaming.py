@@ -131,3 +131,49 @@ def test_checkpoint_resume(spark, split_events_dir, tmp_path):
     # resumed run consumed only the appended file; re-seeing early events
     # after later ones forcibly closes sessions, so SOME rows were added
     assert third > first
+
+
+# ---------------------------------------------------- streaming tiles
+from linear_quadtree_spark.streaming import (  # noqa: E402
+    read_docs_stream,
+    tile_counts_batch,
+    tile_counts_stream,
+)
+
+TILE_ZOOM = 4
+
+
+@pytest.fixture(scope="module")
+def split_docs_dir(spark, sf_dir, tmp_path_factory):
+    """documents parquet split into 3 files with increasing mtimes so
+    maxFilesPerTrigger=1 yields 3 micro-batches."""
+    out = tmp_path_factory.mktemp("docs_split")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i)
+        tmp = str(out / f"_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(out / f"part-{i:03d}.parquet")
+        shutil.copyfile(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return str(out)
+
+
+def test_tile_counts_stream_equals_batch(spark, sf_dir, split_docs_dir, tmp_path):
+    """Per-tile counts maintained across 3 micro-batches == one-shot
+    batch rollup (same Arrow encode UDF on both paths)."""
+    stream = read_docs_stream(spark, split_docs_dir, max_files_per_trigger=1)
+    got = run_available_now(
+        tile_counts_stream(stream, TILE_ZOOM),
+        "tiles_stream_test",
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "tiles_ckpt"),
+    ).toPandas()
+    exp = tile_counts_batch(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), TILE_ZOOM
+    ).toPandas()
+    g, e = _norm(got), _norm(exp)
+    assert len(g) > 0
+    assert g.shape == e.shape
+    assert (g.values == e.values).all()
