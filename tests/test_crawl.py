@@ -90,3 +90,45 @@ def test_domain_stats_totals(spark, sf_dir):
         .collect()
     }
     assert sites == sources
+
+
+def test_distance_join_boundary_cases(spark):
+    """Adversarial shapes: pairs at EXACTLY distance r (closed predicate),
+    duplicate points (dist 0), clusters straddling a grid-cell boundary,
+    and points on the domain corner — all vs brute force."""
+    import itertools
+
+    r = 2.0
+    pts = [
+        (1, 1000.0, 1000.0),           # domain corner
+        (2, 1000.0 + r, 1000.0),       # exactly r from corner -> included
+        (3, 1001.0, 1001.0),
+        (4, 1001.0, 1001.0),           # exact duplicate of 3 (dist 0)
+        (5, 1001.9999, 1000.0),        # just under cell boundary at x=1002
+        (6, 1002.0001, 1000.0),        # just over -> adjacent cell, dist ~2e-4
+        (7, 1050.0, 1050.0),           # root midline (side relation)
+        (8, 1050.0, 1050.0 + r / 2),   # within r of the midline point
+        (9, 1099.0, 1099.0),           # far corner, isolated
+    ]
+    df = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    tbl = LQTTable.build(df, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True)
+    got = sorted(
+        (row.id_a, row.id_b)
+        for row in distance_join(tbl, r).select("id_a", "id_b").collect()
+    )
+    # brute force over the float32-rounded coordinates the table stores
+    import numpy as np
+
+    stored = [(i, float(np.float32(x)), float(np.float32(y))) for i, x, y in pts]
+    exp = sorted(
+        (a, b)
+        for (a, ax, ay), (b, bx, by) in itertools.combinations(stored, 2)
+        if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+    )
+    assert got == exp
+    assert (3, 4) in got        # duplicates pair at dist 0
+    assert (1, 2) in got        # exact-r pair included (closed)
+    assert (5, 6) in got        # cross-cell-boundary pair found
+    assert (7, 8) in got        # side-relation (midline) rows participate
+    assert not any(9 in p for p in got)
+    tbl.unpersist()
