@@ -332,6 +332,31 @@ def _q_sessionize(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
 
 
+# ---------------------------------------------------- incremental build
+INCR_BBOX = (1012.0, 1040.0, 1048.0, 1082.0)
+
+
+def _q_incremental_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance equivalence (operators/maintain.py): build
+    a base over 2/3 of the points, ingest the rest as a sorted delta run
+    (O(delta), base untouched — the reference's lqt_merge as table
+    maintenance), and answer a bbox query through the merged base∪run
+    view. Hash-checked against the oracle over ALL points: the merged
+    view must be indistinguishable from a monolithic build."""
+    from linear_quadtree_spark.operators.maintain import merge_runs
+
+    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
+    base = LQTTable.build(
+        pts.filter(F.col("doc_id") % 3 != 0), DEFAULT_BOUNDS,
+        tiebreaker="doc_id", persist=True,
+    )
+    run = LQTTable.build(
+        pts.filter(F.col("doc_id") % 3 == 0), DEFAULT_BOUNDS,
+        tiebreaker="doc_id", num_partitions=2, persist=True,
+    )
+    return bbox_query(merge_runs(base, run), *INCR_BBOX).select("doc_id")
+
+
 # ----------------------------------------------------------- crawl layer
 DIST_JOIN_R = 2.0
 
@@ -502,6 +527,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_frames": _q_media_frames,
         # sessionization (batch twin of the streaming operator)
         "sessionize": _q_sessionize,
+        # incremental table maintenance
+        "incremental_bbox": _q_incremental_bbox,
         # crawl index maintenance
         "distance_join": _q_distance_join,
         "latest_capture": _q_latest_capture,
@@ -685,6 +712,13 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "media_frames": _media.frame_fps_sql_duck(),
         # ---- sessionization
         "sessionize": sessionize_batch_sql_duck("events", 30),
+        # ---- incremental table maintenance (merged base∪run ≡ all points)
+        "incremental_bbox": f"""
+WITH {_PTS_CTE}
+SELECT doc_id FROM pts
+WHERE px >= {INCR_BBOX[0]!r} AND px <= {INCR_BBOX[1]!r}
+  AND py >= {INCR_BBOX[2]!r} AND py <= {INCR_BBOX[3]!r}
+""",
         # ---- crawl index maintenance
         "distance_join": f"""
 WITH {_PTS_CTE}
