@@ -332,6 +332,19 @@ def _q_sessionize(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
 
 
+RASTERIZE_ZOOM = 6
+
+
+def _q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: center-sampling rasterization of the polygon
+    fixture onto the zoom-6 Morton grid (the dual of tile_polygons).
+    Hash-checked: the oracle runs the IDENTICAL literal-double bbox /
+    explode / crossing-parity / interleave pipeline in DuckDB."""
+    from linear_quadtree_spark.operators.spatial import rasterize_polygons
+
+    return rasterize_polygons(polygons_df(spark, N_POLYGONS), RASTERIZE_ZOOM)
+
+
 # ---------------------------------------------------- incremental build
 INCR_BBOX = (1012.0, 1040.0, 1048.0, 1082.0)
 
@@ -500,6 +513,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn": _q_knn,
         "tile_stats": _q_tile_stats,
         "tile_polygons": _q_tile_polygons,
+        "rasterize_polygons": _q_rasterize_polygons,
         "tile_pyramid": _q_tile_pyramid,
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
@@ -572,6 +586,18 @@ FROM r ORDER BY tile_id
 """
 
 
+def _rasterize_oracle() -> str:
+    """DuckDB twin of _q_rasterize_polygons: exact-literal edge VALUES +
+    the shared dual-engine rasterization SQL (operators/spatial.py)."""
+    from linear_quadtree_spark.operators.spatial import rasterize_polygons_sql_duck
+
+    return f"""
+WITH edges(poly_id, x1v, y1v, x2v, y2v) AS (VALUES
+    {polygon_edges_values_sql(N_POLYGONS)}),
+{rasterize_polygons_sql_duck('edges', RASTERIZE_ZOOM)}
+"""
+
+
 def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
@@ -599,6 +625,7 @@ SELECT pref AS tile_id, COUNT(*) AS n_points
 FROM refenc GROUP BY 1 ORDER BY 1
 """,
         "tile_polygons": _tile_polygons_oracle(),
+        "rasterize_polygons": _rasterize_oracle(),
         "tile_pyramid": f"""
 WITH {_PTS_CTE},
 {ref_prefix_cte_duck('pts', max(PYRAMID_ZOOMS), DEFAULT_BOUNDS)},

@@ -42,6 +42,8 @@ __all__ = [
     "distance_join",
     "tile_stats",
     "tile_polygons",
+    "rasterize_polygons",
+    "rasterize_polygons_sql_duck",
     "tile_pyramid",
     "occupancy_hist",
 ]
@@ -507,3 +509,140 @@ def tile_polygons(tbl: LQTTable, zoom: int) -> DataFrame:
     return out.withColumn(
         "wkt", F.expr(cell_wkt_sql(SPARK, "x0", "y0", "x1", "y1", zoom))
     )
+
+
+# ------------------------------------------------------- vector → raster
+def rasterize_polygons(
+    polygons: DataFrame, zoom: int, bounds=None
+) -> DataFrame:
+    """Vector→raster: the tiles of the zoom-``zoom`` grid whose CENTER
+    lies inside each polygon (center-sampling rasterization — the
+    deterministic dual of `tile_polygons`, closing the north rule's
+    raster↔vector loop).
+
+    Plan (pure Catalyst expressions, zero UDFs):
+
+    1. per-polygon bbox → clamped tile-index ranges (`axis_index_expr`);
+    2. candidate tiles = explode(sequence) × explode(sequence) — a
+       narrow lateral fan-out of O(bbox_area / cell_area) rows per
+       polygon, bounded by the caller's ``zoom`` choice, never a
+       shuffle;
+    3. even-odd crossing parity of each tile center against the
+       polygon's edge list — ONE poly_id equi-join (partial-agg
+       crossing sums combine map-side), the same exact test the
+       point-in-polygon refine uses;
+    4. Morton tile id from (tx, ty) via the dual-engine interleave
+       (`functions/geocell.py`), so output joins directly against
+       `geocell` cells and geometric tile ids.
+
+    Every expression is engine-portable literal double arithmetic —
+    `rasterize_polygons_sql_duck` renders the identical computation for
+    DuckDB, which is what makes the query hash-oracle-checkable.
+
+    ``polygons``: (poly_id, xs: array<double>, ys: array<double>)
+    closed rings (implicit last→first edge). Output: (poly_id, tile_id,
+    tx, ty), one row per covered tile.
+    """
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.functions.geocell import (
+        _interleave_expr,
+        axis_index_expr,
+    )
+
+    b = bounds or DEFAULT_BOUNDS
+    n = 1 << zoom
+    cell_w = repr((b.xend - b.xstart) / n)
+    cell_h = repr((b.yend - b.ystart) / n)
+
+    idx = polygons.select(
+        "poly_id",
+        "xs",
+        "ys",
+        F.expr(axis_index_expr(SPARK, "array_min(xs)", b.xstart, b.xend, zoom)).alias("tx0"),
+        F.expr(axis_index_expr(SPARK, "array_max(xs)", b.xstart, b.xend, zoom)).alias("tx1"),
+        F.expr(axis_index_expr(SPARK, "array_min(ys)", b.ystart, b.yend, zoom)).alias("ty0"),
+        F.expr(axis_index_expr(SPARK, "array_max(ys)", b.ystart, b.yend, zoom)).alias("ty1"),
+    )
+    cand = (
+        idx.select("poly_id", "ty0", "ty1",
+                   F.explode(F.sequence("tx0", "tx1")).alias("tx"))
+        .select("poly_id", "tx", F.explode(F.sequence("ty0", "ty1")).alias("ty"))
+        .withColumn("cx", F.expr(f"{b.xstart!r} + (CAST(tx AS DOUBLE) + 0.5) * {cell_w}"))
+        .withColumn("cy", F.expr(f"{b.ystart!r} + (CAST(ty AS DOUBLE) + 0.5) * {cell_h}"))
+    )
+    edges = (
+        polygons.select("poly_id", "xs", "ys",
+                        F.posexplode("xs").alias("pos", "x1v"))
+        .select(
+            "poly_id",
+            "x1v",
+            F.expr("ys[pos]").alias("y1v"),
+            F.expr("xs[(pos + 1) % size(xs)]").alias("x2v"),
+            F.expr("ys[(pos + 1) % size(ys)]").alias("y2v"),
+        )
+    )
+    crossing = (
+        "CASE WHEN (y1v > cy) != (y2v > cy) "
+        "THEN CASE WHEN cx < (x2v - x1v) * (cy - y1v) / (y2v - y1v) + x1v "
+        "THEN 1 ELSE 0 END ELSE 0 END"
+    )
+    inside = (
+        cand.join(edges, "poly_id")
+        .withColumn("cr", F.expr(crossing))
+        .groupBy("poly_id", "tx", "ty")
+        .agg(F.sum("cr").alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+    )
+    return inside.select(
+        F.col("poly_id").cast("int").alias("poly_id"),
+        F.expr(_interleave_expr(SPARK, "tx", "ty", zoom)).alias("tile_id"),
+        "tx",
+        "ty",
+    )
+
+
+def rasterize_polygons_sql_duck(edges_cte: str, zoom: int, bounds=None) -> str:
+    """DuckDB twin of `rasterize_polygons` — identical literal-double
+    arithmetic, bbox from the edge list's start vertices (every vertex
+    starts exactly one edge, so MIN(x1v) == array_min(xs)).
+    ``edges_cte`` is the NAME of a CTE (poly_id, x1v, y1v, x2v, y2v)."""
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.functions.geocell import (
+        _interleave_expr,
+        axis_index_expr,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    b = bounds or DEFAULT_BOUNDS
+    n = 1 << zoom
+    cell_w = repr((b.xend - b.xstart) / n)
+    cell_h = repr((b.yend - b.ystart) / n)
+    return f"""
+bb AS (SELECT poly_id, MIN(x1v) AS xmin, MAX(x1v) AS xmax,
+              MIN(y1v) AS ymin, MAX(y1v) AS ymax
+       FROM {edges_cte} GROUP BY 1),
+ti AS (SELECT poly_id,
+              {axis_index_expr(DUCK, 'xmin', b.xstart, b.xend, zoom)} AS tx0,
+              {axis_index_expr(DUCK, 'xmax', b.xstart, b.xend, zoom)} AS tx1,
+              {axis_index_expr(DUCK, 'ymin', b.ystart, b.yend, zoom)} AS ty0,
+              {axis_index_expr(DUCK, 'ymax', b.ystart, b.yend, zoom)} AS ty1
+       FROM bb),
+cand AS (SELECT poly_id, tx, ty,
+                {b.xstart!r} + (CAST(tx AS DOUBLE) + 0.5) * {cell_w} AS cx,
+                {b.ystart!r} + (CAST(ty AS DOUBLE) + 0.5) * {cell_h} AS cy
+         FROM ti,
+              UNNEST(generate_series(tx0, tx1)) AS ux(tx),
+              UNNEST(generate_series(ty0, ty1)) AS uy(ty)),
+cr AS (SELECT c.poly_id, c.tx, c.ty,
+              CASE WHEN (e.y1v > c.cy) != (e.y2v > c.cy)
+                   THEN CASE WHEN c.cx < (e.x2v - e.x1v) * (c.cy - e.y1v)
+                                       / (e.y2v - e.y1v) + e.x1v
+                             THEN 1 ELSE 0 END
+                   ELSE 0 END AS cross_flag
+       FROM cand c JOIN {edges_cte} e ON c.poly_id = e.poly_id),
+rast AS (SELECT poly_id, tx, ty FROM cr
+         GROUP BY 1, 2, 3 HAVING SUM(cross_flag) % 2 = 1)
+SELECT CAST(poly_id AS INTEGER) AS poly_id,
+       {_interleave_expr(DUCK, 'tx', 'ty', zoom)} AS tile_id,
+       tx, ty
+FROM rast"""
