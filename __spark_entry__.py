@@ -332,6 +332,16 @@ def _q_sessionize(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
 
 
+def _q_tile_activity(spark, sf_dir):
+    """Spatio-temporal rollup: events geotagged by user_id → Morton
+    geocell × hour bucket → count + decimal-exact value sum (one hash
+    aggregate; a watermarked streaming twin lives in
+    operators/spacetime.py and is equivalence-tested)."""
+    from linear_quadtree_spark.operators.spacetime import tile_activity
+
+    return tile_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
+
+
 RASTERIZE_ZOOM = 6
 
 
@@ -541,6 +551,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_frames": _q_media_frames,
         # sessionization (batch twin of the streaming operator)
         "sessionize": _q_sessionize,
+        # spatio-temporal rollup (batch twin of the streaming operator)
+        "tile_activity": _q_tile_activity,
         # incremental table maintenance
         "incremental_bbox": _q_incremental_bbox,
         # crawl index maintenance
@@ -596,6 +608,12 @@ WITH edges(poly_id, x1v, y1v, x2v, y2v) AS (VALUES
     {polygon_edges_values_sql(N_POLYGONS)}),
 {rasterize_polygons_sql_duck('edges', RASTERIZE_ZOOM)}
 """
+
+
+def _spacetime_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import tile_activity_sql_duck
+
+    return tile_activity_sql_duck("events", zoom=4)
 
 
 def _corpus(sql: str) -> str:
@@ -739,6 +757,8 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "media_frames": _media.frame_fps_sql_duck(),
         # ---- sessionization
         "sessionize": sessionize_batch_sql_duck("events", 30),
+        # ---- spatio-temporal rollup
+        "tile_activity": _spacetime_oracle(),
         # ---- incremental table maintenance (merged base∪run ≡ all points)
         "incremental_bbox": f"""
 WITH {_PTS_CTE}

@@ -1,0 +1,114 @@
+"""Spatio-temporal rollups: activity per (tile, time window) — the
+query shape behind every "what happened where, when" dashboard over a
+geotagged event stream (crawl fetches, user actions, sensor pings).
+
+Spatial key: the dual-engine Morton geocell (functions/geocell.py —
+pure Catalyst integer expressions, no UDF). Temporal key: truncated
+event time. The whole operator is one hash aggregate with map-side
+combine over (tile, window) — output is bounded by
+occupied_tiles × windows regardless of input rows, so the plan is a
+single shuffle at any scale, and AQE coalesces the post-shuffle
+partitions when output is small.
+
+The streaming variant is the identical plan with a watermark: state is
+occupied_tiles × live-windows (watermark bounds the window count), so
+the continuously-maintained rollup runs forever in bounded memory —
+the spatio-temporal extension of streaming/tiles.py's all-time tile
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.config import DEFAULT_BOUNDS, Bounds
+from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck
+from linear_quadtree_spark.functions.geotag import (
+    geotag_x,
+    geotag_x_sql,
+    geotag_y,
+    geotag_y_sql,
+)
+
+__all__ = ["tile_activity", "tile_activity_sql_duck", "tile_activity_stream"]
+
+
+def _with_keys(events: DataFrame, zoom: int, bounds: Bounds,
+               id_col: str, ts_col: str) -> DataFrame:
+    return events.withColumn(
+        "_x", geotag_x(id_col)
+    ).withColumn(
+        "_y", geotag_y(id_col)
+    ).withColumn(
+        "tile", geocell_col("_x", "_y", bounds, zoom)
+    )
+
+
+def tile_activity(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(tile, hour) event rollup: geotag ``id_col`` → Morton geocell
+    at ``zoom`` → hour bucket → count + decimal-exact value sum.
+    Output: (tile, hour_epoch, n_events, sum_value)."""
+    keyed = _with_keys(events, zoom, bounds, id_col, ts_col)
+    return keyed.groupBy(
+        "tile",
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hour_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def tile_activity_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin — identical geotag + geocell + truncation SQL."""
+    return f"""
+WITH keyed AS (
+  SELECT {geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, zoom)} AS tile,
+         CAST(epoch(date_trunc('hour', {ts_col})) AS BIGINT) AS hour_epoch,
+         {value_col} AS v
+  FROM {src})
+SELECT tile, hour_epoch, COUNT(*) AS n_events,
+       CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM keyed GROUP BY 1, 2
+"""
+
+
+def tile_activity_stream(
+    stream: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming twin: same keys, windowed aggregation.
+    State = occupied tiles × live hour-windows; the watermark closes
+    windows (append-mode emission) and ages their state out."""
+    keyed = _with_keys(stream.withWatermark(ts_col, watermark), zoom, bounds,
+                       id_col, ts_col)
+    return keyed.groupBy(
+        "tile", F.window(ts_col, "1 hour").alias("win")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    ).select(
+        "tile",
+        F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+        "n_events",
+        "sum_value",
+    )

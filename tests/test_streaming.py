@@ -177,3 +177,22 @@ def test_tile_counts_stream_equals_batch(spark, sf_dir, split_docs_dir, tmp_path
     assert len(g) > 0
     assert g.shape == e.shape
     assert (g.values == e.values).all()
+
+
+def test_tile_activity_stream_equals_batch(spark, sf_dir, events_dir):
+    """Spatio-temporal rollup: the watermarked streaming plan over a
+    finite backlog (complete mode) must equal the batch twin exactly."""
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_activity,
+        tile_activity_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        tile_activity_stream(stream, zoom=4), "tile_activity_test",
+        output_mode="complete",
+    ).toPandas()
+    exp = tile_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4).toPandas()
+    g, e = _norm(got), _norm(exp)
+    assert g.shape == e.shape
+    assert (g.values == e.values).all()
