@@ -280,6 +280,17 @@ def _q_exact_dedup(spark, sf_dir):
     return _text.exact_dedup(corpus_docs(spark, sf_dir))
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot dedup: the odd-id half of the duplicate-planted
+    corpus ingests against a fingerprint library built from the even-id
+    half (within-batch hash-agg + one narrow anti-join — the per-snapshot
+    crawl ingest plan; operators/text.py dedup_against)."""
+    corpus = corpus_docs(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 2 == 1)
+    return _text.dedup_against(new, _text.fingerprint(base))
+
+
 def _q_minhash_lsh(spark, sf_dir):
     return _dedup.minhash_lsh_pairs(corpus_docs(spark, sf_dir))
 
@@ -537,6 +548,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_fingerprint": _q_fingerprint,
         # deduplication
         "exact_dedup": _q_exact_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -743,6 +755,8 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "doc_fingerprint": _text.fingerprint_sql_duck(),
         # ---- dedup (corpus CTE plants deterministic duplicates)
         "exact_dedup": _corpus(_text.exact_dedup_sql_duck("corpus")),
+        "incremental_dedup": _corpus(_text.dedup_against_sql_duck(
+            "corpus", "doc_id % 2 = 0", "doc_id % 2 = 1")),
         "minhash_lsh_pairs": _corpus(_dedup.minhash_lsh_pairs_sql_duck("corpus")),
         "simhash": _dedup.simhash_sketch_sql_duck(),
         "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),

@@ -267,3 +267,68 @@ WITH fp AS (
 SELECT MIN({id_col}) AS kept_id, COUNT(*) AS n_copies
 FROM fp GROUP BY fp1, fp2, text_len
 """
+
+
+# ------------------------------------------------------ incremental dedup
+def dedup_against(
+    new_docs: DataFrame,
+    library_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against an
+    existing fingerprint library — the realistic crawl-ingest pattern
+    (each snapshot dedups against everything already kept; nobody
+    re-dedups the cumulative 10^12-doc corpus per ingest).
+
+    ``library_fps``: relation with (fp1, fp2, text_len) — the output of
+    `fingerprint` over the kept corpus, or the durable fingerprint
+    table it was saved to.
+
+    Plan: within-batch dedup first (hash aggregate on the 60-bit
+    composite — O(batch)), then ONE left-anti shuffle hash join against
+    the library on the same narrow key. The library side carries 24
+    bytes/row regardless of document size; bucketing the stored library
+    by fp1 makes every future ingest's anti-join co-partitioned
+    (shuffle only the batch side). Returns (kept_id, n_copies) — new
+    distinct texts only, with their within-batch copy counts."""
+    grouped = (
+        fingerprint(new_docs, text_col, id_col)
+        .groupBy("fp1", "fp2", "text_len")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    lib = library_fps.select("fp1", "fp2", "text_len").distinct()
+    return grouped.join(
+        lib, on=["fp1", "fp2", "text_len"], how="left_anti"
+    ).select("kept_id", "n_copies")
+
+
+def dedup_against_sql_duck(
+    src: str,
+    base_pred: str,
+    new_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: library = fingerprints of ``src`` rows matching
+    ``base_pred``; new batch = rows matching ``new_pred``."""
+    e = DUCK
+    return f"""
+WITH fpall AS (
+  SELECT {id_col},
+         {text_fp_expr(e, text_col)} AS fp1,
+         {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
+         CAST(length(coalesce({text_col}, '')) AS BIGINT) AS text_len
+  FROM {src}),
+lib AS (SELECT DISTINCT fp1, fp2, text_len FROM fpall WHERE {base_pred}),
+grouped AS (
+  SELECT fp1, fp2, text_len, MIN({id_col}) AS kept_id, COUNT(*) AS n_copies
+  FROM fpall WHERE {new_pred} GROUP BY 1, 2, 3)
+SELECT kept_id, n_copies FROM grouped g
+WHERE NOT EXISTS (
+  SELECT 1 FROM lib l
+  WHERE l.fp1 = g.fp1 AND l.fp2 = g.fp2 AND l.text_len = g.text_len)
+"""

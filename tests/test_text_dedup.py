@@ -206,3 +206,25 @@ def test_empty_and_null_text_lockstep(spark, duck):
     empties = sk[sk["doc_id"] != 4]
     assert (empties["simhash"] == 0).all()
     assert all(len(set(s)) == 1 for s in empties["sig"])
+
+
+def test_dedup_against_library(spark):
+    """Incremental dedup: new-batch docs whose text already exists in
+    the library are dropped; new duplicates collapse within the batch."""
+    from linear_quadtree_spark.operators.text import dedup_against, fingerprint
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta"),      # exists in library -> dropped
+            (11, "epsilon zeta"),    # fresh -> kept
+            (12, "epsilon zeta"),    # within-batch duplicate of 11
+            (13, "gamma delta"),     # exists in library -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["kept_id"]: r["n_copies"]
+           for r in dedup_against(new, fingerprint(base)).collect()}
+    assert out == {11: 2}
