@@ -441,6 +441,34 @@ def _q_geocell_stats(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- z-order clustering
+#: assumed column ranges for the z-order key (clamped, sf-independent;
+#: at cluster scale these come from table stats)
+ZORDER_COLS = [("l_partkey", 0.0, 200001.0), ("l_suppkey", 0.0, 10001.0)]
+ZORDER_BITS = 16
+ZORDER_SHIFT = 12
+
+
+def _q_zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic multi-column Z-order clustering key (functions/zorder.py —
+    the reference's interleaved-bit key generalized to any table for
+    lakehouse data-skipping): lineitem keyed on (l_partkey, l_suppkey),
+    aggregated per coarse key prefix. Hash-checked via the identical
+    dual-engine staged-index interleave SQL; the actual file-pruning
+    effect is measured in tests/test_zorder.py on parquet footers."""
+    from linear_quadtree_spark.functions.zorder import zorder_col
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    z = zorder_col(li, ZORDER_COLS, ZORDER_BITS)
+    return (
+        z.groupBy(F.shiftrightunsigned(F.col("zval"), ZORDER_SHIFT).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_partkey").alias("sum_partkey"),
+        )
+    )
+
+
 # ------------------------------------------------------- relational joins
 def _q_q3_shipping(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → broadcast hash joins →
@@ -573,6 +601,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "domain_stats": _q_domain_stats,
         # alternate index
         "geocell_stats": _q_geocell_stats,
+        # z-order clustering
+        "zorder_key_stats": _q_zorder_key_stats,
         # relational joins
         "q3_shipping": _q_q3_shipping,
         "q5_region_revenue": _q_q5_region_revenue,
@@ -626,6 +656,19 @@ def _spacetime_oracle() -> str:
     from linear_quadtree_spark.operators.spacetime import tile_activity_sql_duck
 
     return tile_activity_sql_duck("events", zoom=4)
+
+
+def _zorder_oracle() -> str:
+    from linear_quadtree_spark.functions.zorder import zorder_sql_duck
+
+    inner = zorder_sql_duck("lineitem", ZORDER_COLS, ZORDER_BITS,
+                            payload="l_partkey")
+    return f"""
+WITH z AS ({inner})
+SELECT (zval >> {ZORDER_SHIFT}) AS zcell, COUNT(*) AS n_rows,
+       CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey
+FROM z GROUP BY 1
+"""
 
 
 def _corpus(sql: str) -> str:
@@ -812,6 +855,8 @@ SELECT {geocell_sql_duck('px', 'py', DEFAULT_BOUNDS, GEOCELL_LEVEL)} AS geocell,
        COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM pts GROUP BY 1
 """,
+        # ---- z-order clustering
+        "zorder_key_stats": _zorder_oracle(),
         # ---- relational joins
         "q3_shipping": """
 WITH j AS (
