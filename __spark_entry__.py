@@ -353,6 +353,27 @@ def _q_tile_activity(spark, sf_dir):
     return tile_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
 
 
+N_SITES = 10
+
+
+def _sites() -> list[tuple[int, float, float]]:
+    from linear_quadtree_spark.sources.synth import knn_query_params
+
+    return [(s, *knn_query_params(s)) for s in range(N_SITES)]
+
+
+def _q_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi labeling: every point assigned to its nearest site via a
+    literal-array fold argmin — map-ONLY plan, zero shuffle (the
+    100 TB shape for small site sets). Hash-checked against the
+    definitional cross-join × window-argmin oracle, including the exact
+    double dist2."""
+    from linear_quadtree_spark.operators.spatial import nearest_site
+
+    pts = geotagged_docs(spark, sf_dir).select("doc_id", "x", "y")
+    return nearest_site(pts, _sites()).select("doc_id", "site_id", "dist2")
+
+
 RASTERIZE_ZOOM = 6
 
 
@@ -563,6 +584,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_stats": _q_tile_stats,
         "tile_polygons": _q_tile_polygons,
         "rasterize_polygons": _q_rasterize_polygons,
+        "nearest_site": _q_nearest_site,
         "tile_pyramid": _q_tile_pyramid,
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
@@ -671,6 +693,15 @@ FROM z GROUP BY 1
 """
 
 
+def _nearest_site_oracle() -> str:
+    from linear_quadtree_spark.operators.spatial import nearest_site_sql_duck
+
+    vals = ",\n    ".join(
+        f"({s}, {sx!r}, {sy!r})" for s, sx, sy in _sites()
+    )
+    return f"WITH {_PTS_CTE},\n{nearest_site_sql_duck('pts', vals)}"
+
+
 def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
@@ -699,6 +730,7 @@ FROM refenc GROUP BY 1 ORDER BY 1
 """,
         "tile_polygons": _tile_polygons_oracle(),
         "rasterize_polygons": _rasterize_oracle(),
+        "nearest_site": _nearest_site_oracle(),
         "tile_pyramid": f"""
 WITH {_PTS_CTE},
 {ref_prefix_cte_duck('pts', max(PYRAMID_ZOOMS), DEFAULT_BOUNDS)},

@@ -167,6 +167,39 @@ def main() -> None:
     lc_rows = latest_capture(captures_table(spark, SF_DIR)).count()
     timings["latest_capture"] = time.time() - t0
 
+    # incremental maintenance: ingest a 1/32 delta as a sorted run and
+    # query the merged view — cost must track the DELTA, not the base
+    t0 = time.time()
+    from linear_quadtree_spark.operators.maintain import merge_runs
+    delta = pts.filter(F.col("pid") % 32 == 0)
+    run = LQTTable.build(delta, DEFAULT_BOUNDS, tiebreaker="pid",
+                         num_partitions=4, persist=False, eager_count=False)
+    merged = merge_runs(tbl, run)
+    incr_rows = bbox_query(merged, 1020.0, 1045.0, 1030.0, 1070.0).count()
+    timings["incremental_append"] = time.time() - t0
+    run.unpersist()
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.spatial import rasterize_polygons
+    rast_rows = rasterize_polygons(polygons_df(spark, 16), zoom=8).count()
+    timings["rasterize_z8"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.spacetime import tile_activity
+    ta_rows = tile_activity(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=4
+    ).count()
+    timings["tile_activity"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.functions.zorder import cluster_by_zorder
+    zli = cluster_by_zorder(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        [("l_partkey", 0.0, 200001.0), ("l_suppkey", 0.0, 10001.0)],
+    )
+    materialize(zli)
+    timings["zorder_cluster"] = time.time() - t0
+
     # --- training-data pipeline layer (documents / embeddings tables)
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (
@@ -188,6 +221,14 @@ def main() -> None:
     t0 = time.time()
     ded_rows = exact_dedup(corp).count()
     timings["exact_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.text import dedup_against, fingerprint
+    incr_ded_rows = dedup_against(
+        corp.filter(F.col("doc_id") % 2 == 1),
+        fingerprint(corp.filter(F.col("doc_id") % 2 == 0)),
+    ).count()
+    timings["incremental_dedup"] = time.time() - t0
 
     t0 = time.time()
     mh_rows = minhash_lsh_pairs(corp).count()
@@ -241,6 +282,10 @@ def main() -> None:
             "ann_rows": ann_rows,
             "ann_lsh_rows": ann_lsh_rows,
             "emb_neardup_rows": nd_rows,
+            "incremental_bbox_rows": incr_rows,
+            "rasterize_rows": rast_rows,
+            "tile_activity_rows": ta_rows,
+            "incremental_dedup_rows": incr_ded_rows,
         },
     }
     spark.stop()

@@ -646,3 +646,67 @@ SELECT CAST(poly_id AS INTEGER) AS poly_id,
        {_interleave_expr(DUCK, 'tx', 'ty', zoom)} AS tile_id,
        tx, ty
 FROM rast"""
+
+
+# ---------------------------------------------------- nearest-site assign
+def nearest_site(
+    pts: DataFrame,
+    sites: list[tuple[int, float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Assign every point to its nearest site (Voronoi labeling): the
+    "label every row against a small dimension" join — crawl pages to
+    nearest datacenter, events to nearest city.
+
+    Scale shape: the site list is embedded as a LITERAL array and the
+    argmin runs as a fold expression inside the row projection — a
+    map-ONLY plan, zero shuffle, zero broadcast exchange, whole-stage
+    codegen. At 100 TB this is the fastest possible shape: the scan is
+    the entire cost. (For site sets too big to inline — >10^4 — use
+    `knn_join(k=1)` with the sites as the indexed side instead.)
+
+    Ties break toward the lowest site id (strict-less fold over
+    ascending ids). Output: input columns + site_id + the same row's
+    dist2 (exact double math, engine-portable)."""
+    arr = ", ".join(
+        f"named_struct('sid', {sid}, 'sx', CAST({sx!r} AS DOUBLE), "
+        f"'sy', CAST({sy!r} AS DOUBLE))"
+        for sid, sx, sy in sites
+    )
+    px, py = f"CAST({x_col} AS DOUBLE)", f"CAST({y_col} AS DOUBLE)"
+    d2 = f"(({px}) - s.sx) * (({px}) - s.sx) + (({py}) - s.sy) * (({py}) - s.sy)"
+    fold = (
+        f"aggregate(array({arr}), "
+        f"named_struct('sid', CAST(-1 AS INT), 'd2', CAST('Infinity' AS DOUBLE)), "
+        f"(a, s) -> CASE WHEN {d2} < a.d2 "
+        f"THEN named_struct('sid', s.sid, 'd2', {d2}) ELSE a END)"
+    )
+    return pts.withColumn("_ns", F.expr(fold)).withColumn(
+        "site_id", F.col("_ns.sid")
+    ).withColumn("dist2", F.col("_ns.d2")).drop("_ns")
+
+
+def nearest_site_sql_duck(
+    pts_src: str,
+    sites_values: str,
+    id_col: str = "doc_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> str:
+    """DuckDB twin via the definitional plan: cross join × window argmin
+    (dist2 with the identical double arithmetic; ties → lowest site id).
+    ``sites_values``: a VALUES list "(sid, sx, sy), ...". """
+    return f"""
+sites(sid, sx, sy) AS (VALUES {sites_values}),
+nsd AS (
+  SELECT p.{id_col}, s.sid,
+         (p.{x_col} - s.sx) * (p.{x_col} - s.sx)
+         + (p.{y_col} - s.sy) * (p.{y_col} - s.sy) AS d2
+  FROM {pts_src} p CROSS JOIN sites s),
+nsr AS (
+  SELECT {id_col}, sid, d2,
+         ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY d2, sid) AS rn
+  FROM nsd)
+SELECT {id_col}, CAST(sid AS INTEGER) AS site_id, d2 AS dist2
+FROM nsr WHERE rn = 1"""
