@@ -295,6 +295,20 @@ def _q_minhash_lsh(spark, sf_dir):
     return _dedup.minhash_lsh_pairs(corpus_docs(spark, sf_dir))
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup-group resolution: MinHash near-dup pairs →
+    distributed connected components (min-label propagation + pointer
+    jumping, O(log diameter) bounded-shuffle rounds) → one canonical doc
+    per group over the FULL corpus. Oracle computes components by the
+    definition (recursive transitive closure in DuckDB) — zero shared
+    algorithmic structure."""
+    from linear_quadtree_spark.operators.components import dedup_groups
+
+    corpus = corpus_docs(spark, sf_dir)
+    pairs = _dedup.minhash_lsh_pairs(corpus)
+    return dedup_groups(corpus, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     return _dedup.simhash_sketch(_docs(spark, sf_dir))
 
@@ -600,6 +614,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_groups": _q_dedup_groups,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -700,6 +715,22 @@ def _nearest_site_oracle() -> str:
         f"({s}, {sx!r}, {sy!r})" for s, sx, sy in _sites()
     )
     return f"WITH {_PTS_CTE},\n{nearest_site_sql_duck('pts', vals)}"
+
+
+def _dedup_groups_oracle() -> str:
+    """`WITH RECURSIVE` opener applies to the whole CTE list in DuckDB,
+    so this oracle is assembled directly instead of via _corpus()."""
+    from linear_quadtree_spark.operators.components import (
+        components_ctes_duck,
+        dedup_groups_sql_duck,
+    )
+
+    return (
+        f"WITH RECURSIVE {corpus_cte_duck()},\n"
+        f"{_dedup.minhash_pairs_ctes_duck('corpus')},\n"
+        f"{components_ctes_duck('mh_pairs')}\n"
+        f"{dedup_groups_sql_duck('corpus', 'mh_pairs')}"
+    )
 
 
 def _corpus(sql: str) -> str:
@@ -833,6 +864,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "incremental_dedup": _corpus(_text.dedup_against_sql_duck(
             "corpus", "doc_id % 2 = 0", "doc_id % 2 = 1")),
         "minhash_lsh_pairs": _corpus(_dedup.minhash_lsh_pairs_sql_duck("corpus")),
+        "dedup_groups": _dedup_groups_oracle(),
         "simhash": _dedup.simhash_sketch_sql_duck(),
         "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),
         "ngram_jaccard_pairs": _corpus(_dedup.ngram_jaccard_pairs_sql_duck("corpus")),

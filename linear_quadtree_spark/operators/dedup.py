@@ -41,6 +41,7 @@ __all__ = [
     "with_shingles",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_sql_duck",
+    "minhash_pairs_ctes_duck",
     "simhash_sketch",
     "simhash_sketch_sql_duck",
     "simhash_pairs",
@@ -138,15 +139,16 @@ def minhash_lsh_pairs(
     return _verify_pairs(cand, sets, id_col, tau_pct)
 
 
-def minhash_lsh_pairs_sql_duck(
+def minhash_pairs_ctes_duck(
     src: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
     tau_pct: int = 80,
 ) -> str:
+    """CTE chain ending in mh_pairs(id_a, id_b, inter, union_sz) —
+    reusable by downstream oracles (e.g. dedup_groups)."""
     e = DUCK
-    return f"""
-WITH {_duck_shd_cte(src, text_col, id_col)},
+    return f"""{_duck_shd_cte(src, text_col, id_col)},
 sig AS (SELECT {id_col}, shd, {minhash_sig_expr(e, "shd", NUM_PERM)} AS sig FROM shd),
 bh AS (SELECT {id_col}, shd, {band_hashes_expr(e, "sig", BANDS, ROWS_PER_BAND)} AS bh FROM sig),
 bandrel AS (
@@ -162,9 +164,21 @@ v AS (
          CAST(len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)) AS BIGINT) AS union_sz
   FROM cand c
   JOIN shd sa ON sa.{id_col} = c.id_a
-  JOIN shd sb ON sb.{id_col} = c.id_b)
-SELECT id_a, id_b, inter, union_sz
-FROM v WHERE union_sz > 0 AND inter * 100 >= {tau_pct} * union_sz
+  JOIN shd sb ON sb.{id_col} = c.id_b),
+mh_pairs AS (
+  SELECT id_a, id_b, inter, union_sz
+  FROM v WHERE union_sz > 0 AND inter * 100 >= {tau_pct} * union_sz)"""
+
+
+def minhash_lsh_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 80,
+) -> str:
+    return f"""
+WITH {minhash_pairs_ctes_duck(src, text_col, id_col, tau_pct)}
+SELECT id_a, id_b, inter, union_sz FROM mh_pairs
 """
 
 
