@@ -272,6 +272,32 @@ def _q_lang_id(spark, sf_dir):
     return _text.lang_id(_docs(spark, sf_dir))
 
 
+VOCAB_MIN_DF = 1
+VOCAB_TOP_K = 300
+
+#: per-myriad keep rates for the sampling query (en-heavy training mix)
+SAMPLE_RATES_PM = {"en": 10000, "de": 5000, "es": 2500, "fr": 2500}
+SAMPLE_DEFAULT_PM = 1000
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary via skew-safe two-level aggregate (hot tokens
+    like 'the' never concentrate on one reducer); top-k resolves as
+    TakeOrderedAndProject, not a global sort."""
+    return _text.vocab_stats(
+        _docs(spark, sf_dir), min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling — a map-only filter
+    compiled into the scan (integer-hash coin, no RNG), so identical
+    rows survive across runs, engines, and resumed ingests."""
+    return _text.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM
+    ).select("doc_id", "lang")
+
+
 def _q_fingerprint(spark, sf_dir):
     return _text.fingerprint(_docs(spark, sf_dir))
 
@@ -607,6 +633,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_orders_per_cust": _q_top_orders_per_cust,
         # text analysis
         "token_stats": _q_token_stats,
+        "vocab_stats": _q_vocab_stats,
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -856,6 +884,11 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
 """,
         # ---- text analysis (lockstep SQL twins from operators/text.py)
         "token_stats": _text.token_stats_sql_duck(),
+        "vocab_stats": _text.vocab_stats_sql_duck(
+            min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
+        "stratified_sample": _text.stratified_sample_sql_duck(
+            "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,
+            cols="doc_id, lang"),
         "quality_score": _text.quality_score_sql_duck(),
         "lang_id": _text.lang_id_sql_duck(),
         "doc_fingerprint": _text.fingerprint_sql_duck(),

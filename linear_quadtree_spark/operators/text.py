@@ -53,6 +53,10 @@ __all__ = [
     "fingerprint_sql_duck",
     "exact_dedup",
     "exact_dedup_sql_duck",
+    "vocab_stats",
+    "vocab_stats_sql_duck",
+    "stratified_sample",
+    "stratified_sample_sql_duck",
 ]
 
 #: English stopword sample used by the quality heuristic.
@@ -331,4 +335,117 @@ SELECT kept_id, n_copies FROM grouped g
 WHERE NOT EXISTS (
   SELECT 1 FROM lib l
   WHERE l.fp1 = g.fp1 AND l.fp2 = g.fp2 AND l.text_len = g.text_len)
+"""
+
+
+# ------------------------------------------------------------ vocab stats
+def vocab_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (token, term_freq, doc_freq) — the frequency
+    table behind tokenizer training, stopword induction, and df-based
+    quality filters.
+
+    Plan: explode tokens, then a TWO-LEVEL aggregate —
+    (token, doc) partial counts first, token totals second — instead of
+    count(DISTINCT doc) in one pass. One-pass distinct would Expand the
+    exploded relation 2x and make hot tokens ('the' appears in every
+    doc) single-reducer skew magnets; the two-level shape keeps both
+    shuffles map-side-combined and the per-token row count at the
+    second stage == doc_freq's partials, bounded by partition count.
+    top_k resolves as TakeOrderedAndProject (per-partition top-k, then
+    a driver-side merge of k·partitions rows) with a deterministic
+    (term_freq DESC, token ASC) tiebreak — no global sort."""
+    d = _with_tokens(docs, text_col)
+    ex = d.select(F.col(id_col).alias("_doc"), F.explode("toks").alias("token"))
+    per_doc = ex.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("tf"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    if min_doc_freq > 1:
+        agg = agg.filter(F.col("doc_freq") >= min_doc_freq)
+    if top_k is not None:
+        agg = agg.orderBy(F.col("term_freq").desc(), F.col("token")).limit(top_k)
+    return agg
+
+
+def vocab_stats_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+    top_k: int | None = None,
+) -> str:
+    e = DUCK
+    lim = f"ORDER BY term_freq DESC, token LIMIT {top_k}" if top_k is not None else ""
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+ex AS (SELECT {id_col}, unnest(toks) AS token FROM t),
+agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS term_freq,
+         CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS doc_freq
+  FROM ex GROUP BY 1)
+SELECT token, term_freq, doc_freq FROM agg
+WHERE doc_freq >= {min_doc_freq} {lim}
+"""
+
+
+# ------------------------------------------------------ stratified sample
+#: Knuth multiplicative constant (public domain, TAOCP vol 3) — the
+#: deterministic per-doc coin for sampling. Applied to the doc id in
+#: 64-bit space, then reduced mod 10^4 for per-myriad rate compare.
+_SAMPLE_MULT = 2654435761
+
+
+def _sample_coin_sql(id_col: str) -> str:
+    # identical integer semantics in Spark SQL and DuckDB: 32-bit-ish
+    # mix in BIGINT space, folded to [0, 10000)
+    return (
+        f"((({id_col} + 1) * {_SAMPLE_MULT}) % 4294967296 "
+        f"+ (({id_col} + 1) * 40503) % 65536) % 10000"
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pm: dict[str, int],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pm: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    id-derived coin (integer hash, no RNG) falls under its stratum's
+    per-myriad rate — the mix-rebalancing step of a training-data
+    pipeline (e.g. keep 100% en, 30% de, 1% everything else).
+
+    Map-ONLY plan: the rate lookup is a small CASE expression compiled
+    from `rates_pm` and the coin is pure integer arithmetic on the id,
+    so the filter runs inside the scan's whole-stage codegen, pushes
+    down past column pruning, and needs zero shuffle/broadcast at any
+    scale. Same-id rows sample identically across runs and engines
+    (resumable ingests agree with their history)."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates_pm.items())
+    )
+    rate = f"CASE {strat_col} {cases} ELSE {default_pm} END"
+    return docs.filter(F.expr(f"{_sample_coin_sql(id_col)} < {rate}"))
+
+
+def stratified_sample_sql_duck(
+    src: str,
+    rates_pm: dict[str, int],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pm: int = 0,
+    cols: str = "*",
+) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(rates_pm.items()))
+    return f"""
+SELECT {cols} FROM {src}
+WHERE {_sample_coin_sql(id_col)} < CASE {strat_col} {cases} ELSE {default_pm} END
 """
