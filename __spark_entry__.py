@@ -172,6 +172,17 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal smoothing of tile density (raster cell algebra) via
+    scatter-gather: 9x explode of the TILE relation + one equi-keyed
+    gather — never an inequality join. Oracle is the definitional
+    neighborhood self-join over reference-exact tile prefixes."""
+    from linear_quadtree_spark.operators.spatial import focal_smooth
+
+    tbl = _build_table(spark, sf_dir)
+    return focal_smooth(tbl, zoom=4)
+
+
 PYRAMID_ZOOMS = [2, 4, 6]
 
 
@@ -622,6 +633,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pip_join": _q_pip_join,
         "knn": _q_knn,
         "tile_stats": _q_tile_stats,
+        "focal_smooth": _q_focal_smooth,
         "tile_polygons": _q_tile_polygons,
         "rasterize_polygons": _q_rasterize_polygons,
         "nearest_site": _q_nearest_site,
@@ -761,6 +773,16 @@ def _dedup_groups_oracle() -> str:
     )
 
 
+def _focal_smooth_oracle() -> str:
+    from linear_quadtree_spark.operators.spatial import focal_smooth_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{focal_smooth_sql_duck(4)}"
+    )
+
+
 def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
@@ -787,6 +809,7 @@ WITH {_PTS_CTE},
 SELECT pref AS tile_id, COUNT(*) AS n_points
 FROM refenc GROUP BY 1 ORDER BY 1
 """,
+        "focal_smooth": _focal_smooth_oracle(),
         "tile_polygons": _tile_polygons_oracle(),
         "rasterize_polygons": _rasterize_oracle(),
         "nearest_site": _nearest_site_oracle(),

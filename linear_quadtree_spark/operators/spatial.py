@@ -46,6 +46,10 @@ __all__ = [
     "rasterize_polygons_sql_duck",
     "tile_pyramid",
     "occupancy_hist",
+    "focal_smooth",
+    "focal_smooth_sql_duck",
+    "nearest_site",
+    "nearest_site_sql_duck",
 ]
 
 
@@ -710,3 +714,105 @@ nsr AS (
   FROM nsd)
 SELECT {id_col}, CAST(sid AS INTEGER) AS site_id, d2 AS dist2
 FROM nsr WHERE rn = 1"""
+
+
+# ------------------------------------------------------- focal smoothing
+def focal_smooth(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Raster cell algebra: 3x3 focal (neighborhood) aggregation of the
+    per-tile point density at ``zoom`` — the smoothing/convolution step
+    of a heatmap pipeline, and the canonical "each cell needs its
+    neighbors" raster operator.
+
+    Scale shape: the convolution runs SCATTER-GATHER — the per-tile
+    aggregate (map-side combine, one shuffle of the raw rows) is
+    exploded 9x, each occupied tile scattering its count to the cells
+    of its own 3x3 window, then ONE equi-join-shaped groupBy on the
+    target cell gathers the sums. No inequality join, no window over a
+    cross product, and the 9x fanout applies to the TILE relation
+    (<= 4^zoom rows), never the data. Boundary cells use their true
+    (smaller) window size, computed in closed form.
+
+    Output per OCCUPIED tile: (tile_id, tx, ty, n_points, focal_sum,
+    n_occupied_nbrs, window_sz, focal_mean)."""
+    m = (1 << zoom) - 1
+    per_tile = (
+        tbl.tiles(zoom)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0)))
+        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
+    )
+    per_tile = track(per_tile)
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    contrib = (
+        per_tile.select("tx", "ty", "n_points", offs.alias("o"))
+        .select(
+            (F.col("tx") + F.col("o.dx")).alias("ctx"),
+            (F.col("ty") + F.col("o.dy")).alias("cty"),
+            "n_points",
+        )
+        .filter(
+            (F.col("ctx") >= 0) & (F.col("ctx") <= m)
+            & (F.col("cty") >= 0) & (F.col("cty") <= m)
+        )
+    )
+    focal = contrib.groupBy("ctx", "cty").agg(
+        F.sum("n_points").alias("focal_sum"),
+        F.count(F.lit(1)).alias("n_occupied_nbrs"),
+    )
+    out = per_tile.join(
+        focal,
+        (per_tile["tx"] == focal["ctx"]) & (per_tile["ty"] == focal["cty"]),
+    )
+    wx = F.least(F.col("tx") + 1, F.lit(m)) - F.greatest(F.col("tx") - 1, F.lit(0)) + 1
+    wy = F.least(F.col("ty") + 1, F.lit(m)) - F.greatest(F.col("ty") - 1, F.lit(0)) + 1
+    return (
+        out.withColumn("window_sz", (wx * wy).cast("bigint"))
+        .withColumn(
+            "focal_mean",
+            F.col("focal_sum").cast("double") / F.col("window_sz"),
+        )
+        .select(
+            "tile_id", "tx", "ty", "n_points", "focal_sum",
+            "n_occupied_nbrs", "window_sz", "focal_mean",
+        )
+    )
+
+
+def focal_smooth_sql_duck(zoom: int) -> str:
+    """DuckDB twin by the DEFINITION: occupied-tile relation from the
+    reference-exact prefix CTE (`refenc`), then a neighborhood
+    SELF-JOIN with BETWEEN bounds — deliberately a different plan
+    family than the Spark scatter-gather. Embed after a CTE chain
+    providing refenc(pref)."""
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    m = (1 << zoom) - 1
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM refenc GROUP BY 1),
+g AS (SELECT tile_id, n_points,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+nb AS (
+  SELECT a.tile_id, a.tx, a.ty, a.n_points,
+         CAST(SUM(b.n_points) AS BIGINT) AS focal_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_occupied_nbrs
+  FROM g a JOIN g b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+  GROUP BY 1, 2, 3, 4)
+SELECT tile_id, tx, ty, n_points, focal_sum, n_occupied_nbrs,
+       CAST((LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
+            * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1) AS BIGINT)
+         AS window_sz,
+       CAST(focal_sum AS DOUBLE)
+         / ((LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
+            * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1)) AS focal_mean
+FROM nb"""
