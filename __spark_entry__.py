@@ -491,6 +491,45 @@ def _q_latest_capture(spark, sf_dir):
     )
 
 
+#: probe-time derivation for the as-of query: a per-url deterministic
+#: instant mid-way through the capture window, so some probes PREDATE
+#: their url's first capture (exercising the null-match path).
+ASOF_PROBE = (
+    "1704067200 + (doc_id * 17) % 2592000 "
+    "+ CASE WHEN doc_id % 5 = 0 THEN -43200 "
+    "ELSE 43200 + 86400 * (doc_id % 3) END"
+)
+
+
+def _q_asof_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each probe matched to the url's latest capture
+    at-or-before the probe instant (CDX replay lookup). Spark side is
+    the single-shuffle union+window as-of; the oracle is the
+    definitional inequality join + per-probe argmax."""
+    from linear_quadtree_spark.operators.asof import asof_join
+    from linear_quadtree_spark.operators.crawl import captures_table
+
+    caps = captures_table(spark, sf_dir)
+    probes = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lit("https://example.org/"), F.col("source"),
+                F.lit("/page-"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.expr(ASOF_PROBE).alias("probe_ts"),
+        )
+    )
+    out = asof_join(
+        probes, caps,
+        key_cols=["url"], probe_ts_col="probe_ts",
+        version_ts_col="capture_ts", payload_cols=["capture"],
+    )
+    return out.select(
+        "url", "probe_ts", "matched_ts", F.col("capture").cast("int").alias("capture")
+    )
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-site rollup of the page table (regexp site key + one hash
     aggregate with map-side combine)."""
@@ -675,6 +714,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # crawl index maintenance
         "distance_join": _q_distance_join,
         "latest_capture": _q_latest_capture,
+        "asof_capture": _q_asof_capture,
         "domain_stats": _q_domain_stats,
         # alternate index
         "geocell_stats": _q_geocell_stats,
@@ -771,6 +811,20 @@ def _dedup_groups_oracle() -> str:
         f"{components_ctes_duck('mh_pairs')}\n"
         f"{dedup_groups_sql_duck('corpus', 'mh_pairs')}"
     )
+
+
+def _asof_capture_oracle() -> str:
+    from linear_quadtree_spark.operators.asof import asof_join_sql_duck
+    from linear_quadtree_spark.operators.crawl import captures_cte_duck
+
+    return f"""
+WITH {captures_cte_duck()},
+probes AS (
+  SELECT 'https://example.org/' || source || '/page-' || CAST(doc_id AS VARCHAR) AS url,
+         CAST({ASOF_PROBE} AS BIGINT) AS probe_ts
+  FROM documents),
+{asof_join_sql_duck("probes", "caps", ["url"], "probe_ts", "capture_ts",
+                    ["capture"], probe_cols=[])}"""
 
 
 def _focal_smooth_oracle() -> str:
@@ -962,6 +1016,7 @@ SELECT url, CAST(capture_ts AS BIGINT) AS capture_ts,
        CAST(capture AS INTEGER) AS capture, n_captures
 FROM r WHERE rk = 1
 """,
+        "asof_capture": _asof_capture_oracle(),
         "domain_stats": """
 SELECT source AS site, COUNT(*) AS n_pages,
        COUNT(DISTINCT lang) AS n_langs,
