@@ -192,6 +192,24 @@ def main() -> None:
     timings["tile_activity"] = time.time() - t0
 
     t0 = time.time()
+    from linear_quadtree_spark.operators.spatial import focal_smooth
+    focal_rows = focal_smooth(tbl, zoom=8).count()
+    timings["focal_smooth_z8"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.asof import asof_join
+    from linear_quadtree_spark.operators.crawl import captures_table
+    caps = captures_table(spark, SF_DIR)
+    probes = caps.groupBy("url").agg(
+        (F.min("capture_ts") + 43200).alias("probe_ts")
+    )
+    asof_rows = asof_join(
+        probes, caps, key_cols=["url"], probe_ts_col="probe_ts",
+        version_ts_col="capture_ts", payload_cols=["capture"],
+    ).count()
+    timings["asof_join"] = time.time() - t0
+
+    t0 = time.time()
     from linear_quadtree_spark.functions.zorder import cluster_by_zorder
     zli = cluster_by_zorder(
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
@@ -231,8 +249,18 @@ def main() -> None:
     timings["incremental_dedup"] = time.time() - t0
 
     t0 = time.time()
+    from linear_quadtree_spark.operators.text import vocab_stats
+    vocab_rows = vocab_stats(docs, top_k=1000).count()
+    timings["vocab_stats"] = time.time() - t0
+
+    t0 = time.time()
     mh_rows = minhash_lsh_pairs(corp).count()
     timings["minhash_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.components import dedup_groups
+    grp_rows = dedup_groups(corp, minhash_lsh_pairs(corp)).count()
+    timings["dedup_groups"] = time.time() - t0
 
     t0 = time.time()
     sh_rows = simhash_pairs(corp).count()
@@ -286,6 +314,10 @@ def main() -> None:
             "rasterize_rows": rast_rows,
             "tile_activity_rows": ta_rows,
             "incremental_dedup_rows": incr_ded_rows,
+            "vocab_rows": vocab_rows,
+            "dedup_group_rows": grp_rows,
+            "focal_rows": focal_rows,
+            "asof_rows": asof_rows,
         },
     }
     spark.stop()
