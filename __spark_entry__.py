@@ -530,6 +530,23 @@ def _q_asof_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction over the page table's binary payload (tag
+    strip + entity decode as one codegen projection, no UDF). The
+    output carries the full extracted text AND the byte-identity flag
+    vs the source text, so the hash check certifies the north rule's
+    per-url extracted-text invariant itself."""
+    from linear_quadtree_spark.operators.crawl import extract_text
+    from linear_quadtree_spark.sources.pages import pages_table
+
+    out = extract_text(pages_table(spark, sf_dir))
+    return out.select(
+        "url",
+        "extracted_text",
+        (F.col("extracted_text") == F.col("text")).cast("int").alias("is_identical"),
+    )
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-site rollup of the page table (regexp site key + one hash
     aggregate with map-side combine)."""
@@ -715,6 +732,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "distance_join": _q_distance_join,
         "latest_capture": _q_latest_capture,
         "asof_capture": _q_asof_capture,
+        "extract_text": _q_extract_text,
         "domain_stats": _q_domain_stats,
         # alternate index
         "geocell_stats": _q_geocell_stats,
@@ -825,6 +843,19 @@ probes AS (
   FROM documents),
 {asof_join_sql_duck("probes", "caps", ["url"], "probe_ts", "capture_ts",
                     ["capture"], probe_cols=[])}"""
+
+
+def _extract_text_oracle() -> str:
+    from linear_quadtree_spark.functions.textexpr import DUCK
+    from linear_quadtree_spark.operators.crawl import extract_text_expr
+
+    html = "'<html><body><p>' || text || '</p></body></html>'"
+    ext = extract_text_expr(DUCK, html)
+    return f"""
+SELECT 'https://example.org/' || source || '/page-' || CAST(doc_id AS VARCHAR) AS url,
+       {ext} AS extracted_text,
+       CAST({ext} = text AS INTEGER) AS is_identical
+FROM documents"""
 
 
 def _focal_smooth_oracle() -> str:
@@ -1017,6 +1048,7 @@ SELECT url, CAST(capture_ts AS BIGINT) AS capture_ts,
 FROM r WHERE rk = 1
 """,
         "asof_capture": _asof_capture_oracle(),
+        "extract_text": _extract_text_oracle(),
         "domain_stats": """
 SELECT source AS site, COUNT(*) AS n_pages,
        COUNT(DISTINCT lang) AS n_langs,

@@ -19,6 +19,8 @@ __all__ = [
     "captures_cte_duck",
     "latest_capture",
     "domain_stats",
+    "extract_text",
+    "extract_text_expr",
 ]
 
 # deterministic multi-capture synth: each url has 1 + (doc_id % 3)
@@ -110,4 +112,39 @@ def domain_stats(pages: DataFrame) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
             F.sum(F.length("text")).alias("sum_chars"),
         )
+    )
+
+
+# -------------------------------------------------------- text extraction
+#: entity decode order matters: named/numeric entities first, &amp; LAST
+#: (single-pass decode; '&amp;lt;' correctly yields '&lt;', not '<').
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+             ("&amp;", "&")]
+
+
+def extract_text_expr(e, html_str: str) -> str:
+    """Engine-portable extraction over an html STRING expression: strip
+    tags, then decode the 5 core entities. Deliberately minimal and
+    exactly reproducible — the point is a deterministic, byte-stable
+    transform (the north rule's per-url text invariant), not a browser."""
+    out = e.re_replace_all(html_str, r"<[^>]*>", "")
+    for ent, ch in _ENTITIES:
+        rep = ch.replace("'", "\\'") if e.name == "spark" else ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep}')"
+    return out
+
+
+def extract_text(
+    pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Adds ``out_col``: text extracted from the binary html payload.
+
+    Scale shape: CAST(binary AS STRING) + regexp_replace + 5 replace()
+    calls — one narrow JVM projection inside whole-stage codegen, no
+    UDF, no shuffle; at 100 TB the parquet scan is the entire cost and
+    the binary column never crosses a Python boundary."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    return pages.withColumn(
+        out_col, F.expr(extract_text_expr(SPARK, f"CAST({html_col} AS STRING)"))
     )
