@@ -309,6 +309,13 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keywords (rational idf — IEEE-exact double
+    division, bit-identical across engines; doc_freq broadcast against
+    the corpus-sized tf relation)."""
+    return _text.tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+
+
 def _q_fingerprint(spark, sf_dir):
     return _text.fingerprint(_docs(spark, sf_dir))
 
@@ -702,6 +709,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # text analysis
         "token_stats": _q_token_stats,
         "vocab_stats": _q_vocab_stats,
+        "tfidf_keywords": _q_tfidf_keywords,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -994,6 +1002,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "token_stats": _text.token_stats_sql_duck(),
         "vocab_stats": _text.vocab_stats_sql_duck(
             min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
+        "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "stratified_sample": _text.stratified_sample_sql_duck(
             "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,
             cols="doc_id, lang"),

@@ -57,6 +57,8 @@ __all__ = [
     "vocab_stats_sql_duck",
     "stratified_sample",
     "stratified_sample_sql_duck",
+    "tfidf_keywords",
+    "tfidf_keywords_sql_duck",
 ]
 
 #: English stopword sample used by the quality heuristic.
@@ -448,4 +450,88 @@ def stratified_sample_sql_duck(
     return f"""
 SELECT {cols} FROM {src}
 WHERE {_sample_coin_sql(id_col)} < CASE {strat_col} {cases} ELSE {default_pm} END
+"""
+
+
+# ----------------------------------------------------------- tf-idf keywords
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Per-document top-k keywords by tf·idf:
+    (id, token, tf, df, score, rank) — the keyword/topic-tagging step of
+    a corpus pipeline.
+
+    idf is the RATIONAL form (N+1)/(df+1), not log-damped: IEEE double
+    division is exactly rounded, so the score is bit-identical across
+    engines (ln() is correctly-rounded in neither JVM nor DuckDB and
+    may drift a ulp — enough to flip a rank tie). The ranking is the
+    same monotone-in-df ordering; swap in log1p for presentation.
+
+    Plan: one (doc, token) tf aggregate (the token explode shuffles
+    once); doc_freq is a token-level rollup of THAT relation (no second
+    scan); the corpus size joins in as a broadcast 1-row relation, and
+    the df table broadcasts too when `broadcast_df` (a web corpus'
+    vocabulary is ~10^6-10^7 rows — megabytes — while the tf relation
+    is corpus-sized; broadcasting the small side avoids re-shuffling
+    the big one on the skew-heavy token key). Final top-k is a
+    row_number window per doc with a (score DESC, token ASC) tiebreak."""
+    d = _with_tokens(docs, text_col)
+    ex = d.select(F.col(id_col), F.explode("toks").alias("token"))
+    from linear_quadtree_spark.cache import track
+
+    # tracked cache (caller-releasable via cache_scope/release_caches):
+    # the tf relation feeds both the doc_freq rollup and the score join
+    tf = track(ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    ndocs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(ndocs)
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * ((F.col("n_docs").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
+    return out
+
+
+def tfidf_keywords_sql_duck(
+    src: str = "documents",
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    e = DUCK
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+ex AS (SELECT {id_col}, unnest(toks) AS token FROM t),
+tf AS (SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {src}),
+s AS (
+  SELECT tf.{id_col}, tf.token, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE)
+           * ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {id_col} ORDER BY score DESC, token) AS rank
+  FROM s)
+SELECT {id_col}, token, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {top_k}
 """
