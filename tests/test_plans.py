@@ -1,0 +1,113 @@
+"""Plan-shape audits: the scale contracts SCALE.md promises, asserted
+on the EXECUTED physical plans so a regression that silently adds a
+shuffle, drops a broadcast, or breaks scan-level filter pushdown fails
+CI — not a 1000-executor cluster.
+
+These parse `queryExecution.executedPlan` strings: coarse, but the
+properties asserted (operator counts, pushed-filter presence) are
+stable across Spark 3.5/4.x plan renderings.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+from linear_quadtree_spark.operators import LQTTable
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", geotag_x("doc_id").alias("x"), geotag_y("doc_id").alias("y")
+    )
+
+
+@pytest.fixture(scope="module")
+def tbl(spark, sf_dir):
+    t = LQTTable.build(_pts(spark, sf_dir), DEFAULT_BOUNDS, tiebreaker="doc_id")
+    yield t
+    t.unpersist()
+
+
+def test_nearest_site_is_map_only(spark, sf_dir):
+    from linear_quadtree_spark.operators.spatial import nearest_site
+
+    plan = _plan(nearest_site(_pts(spark, sf_dir), [(0, 1010.0, 1010.0), (1, 1090.0, 1090.0)]))
+    assert "Exchange" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
+    from linear_quadtree_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, {"en": 5000}, default_pm=0).select("doc_id", "lang")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    # column pruning: the text payload must not be read for an id/lang query
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_asof_join_single_exchange(spark):
+    from linear_quadtree_spark.operators.asof import asof_join
+
+    p = spark.createDataFrame([("a", 1, 10)], "k: string, pid: long, pts: long")
+    v = spark.createDataFrame([("a", 5, "x")], "k: string, vts: long, payload: string")
+    plan = _plan(asof_join(p, v, ["k"], "pts", "vts", ["payload"]))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_bbox_prunes_scan_with_pushed_filters(spark, tbl):
+    from linear_quadtree_spark.operators.spatial import bbox_query
+
+    plan = _plan(bbox_query(tbl, 1020.0, 1045.0, 1030.0, 1070.0))
+    # zs-range predicates must exist as data filters (in-memory relation
+    # here; on parquet/Iceberg the same predicates become PushedFilters)
+    assert "zs#" in plan and "Filter" in plan
+
+
+def test_text_ops_no_shuffle_no_python(spark, sf_dir):
+    from linear_quadtree_spark.operators.text import quality_score, token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for op in (token_stats, quality_score):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, op.__name__
+
+
+def test_tile_stats_partial_aggregation(spark, tbl):
+    from linear_quadtree_spark.operators.spatial import tile_stats
+
+    plan = _plan(tile_stats(tbl, zoom=4))
+    # one shuffle stage; the main∪side union renders an Exchange node
+    # per branch, so allow 2 nodes but never a second aggregate shuffle
+    assert plan.count("Exchange") <= 2
+    assert "partial" in plan.lower()
+
+
+def test_pip_join_broadcasts_cover_cells(spark, sf_dir, tbl):
+    from linear_quadtree_spark.operators.spatial import point_in_polygon_join
+    from linear_quadtree_spark.sources.synth import polygons_df
+
+    out = point_in_polygon_join(tbl, polygons_df(spark, 4))
+    assert "BroadcastExchange" in _plan(out)
+
+
+def test_stored_media_scan_prunes_binary_payload(spark, sf_dir, tmp_path):
+    from linear_quadtree_spark.operators.media import synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "media")
+    synth_media(docs).write.parquet(path)
+    # metadata-only query over the STORED table: the binary payload
+    # column must be pruned out of the parquet scan entirely
+    plan = _plan(spark.read.parquet(path).select("doc_id", "media_type"))
+    assert "ReadSchema" in plan
+    assert "payload" not in plan.split("ReadSchema")[1]
