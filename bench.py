@@ -172,8 +172,11 @@ def main() -> None:
     t0 = time.time()
     from linear_quadtree_spark.operators.maintain import merge_runs
     delta = pts.filter(F.col("pid") % 32 == 0)
+    # the run is PERSISTED like a written delta file would be: querying
+    # an unmaterialized run re-executes its encode + range sampling per
+    # action (the round-1 UDF re-execution trap), ~6x slower here
     run = LQTTable.build(delta, DEFAULT_BOUNDS, tiebreaker="pid",
-                         num_partitions=4, persist=False, eager_count=False)
+                         num_partitions=4, persist=True)
     merged = merge_runs(tbl, run)
     incr_rows = bbox_query(merged, 1020.0, 1045.0, 1030.0, 1070.0).count()
     timings["incremental_append"] = time.time() - t0
