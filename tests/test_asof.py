@@ -73,3 +73,62 @@ def test_validation(spark):
     with pytest.raises(ValueError):
         asof_join(p.withColumnRenamed("pid", "payload"), v, ["k"], "pts",
                   "vts", ["payload"])
+
+
+# ------------------------------------------------- property: pandas twin
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b", "c"]
+    n_v = draw(st.integers(1, 12))
+    n_p = draw(st.integers(1, 12))
+    vts = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=n_v, max_size=n_v, unique=True,  # unique (k, ts)
+        )
+    )
+    probes = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 60)),
+            min_size=n_p, max_size=n_p,
+        )
+    )
+    return vts, probes
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_asof_case())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    """Independent third-engine cross-check: pandas merge_asof
+    (direction='backward', exact matches allowed) on random inputs."""
+    vts, probes = case
+    v = spark.createDataFrame(
+        [(k, t, f"{k}@{t}") for k, t in vts], "k: string, vts: long, payload: string"
+    )
+    p = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(probes)],
+        "k: string, pid: long, pts: long",
+    )
+    got = {
+        r.pid: (r.matched_ts, r.payload)
+        for r in asof_join(p, v, ["k"], "pts", "vts", ["payload"]).collect()
+    }
+    pv = pd.DataFrame([(k, t, f"{k}@{t}") for k, t in vts],
+                      columns=["k", "ts", "payload"]).sort_values("ts")
+    pp = pd.DataFrame([(k, i, t) for i, (k, t) in enumerate(probes)],
+                      columns=["k", "pid", "ts"]).sort_values("ts")
+    m = pd.merge_asof(pp, pv, on="ts", by="k", direction="backward",
+                      suffixes=("", "_v"))
+    for _, row in m.iterrows():
+        # matched_ts is the VERSION's ts; recover it from the payload tag
+        if isinstance(row["payload"], str):
+            want = (int(row["payload"].split("@")[1]), row["payload"])
+        else:
+            want = (None, None)
+        assert got[int(row["pid"])] == want, (row.to_dict(), got[int(row["pid"])])
