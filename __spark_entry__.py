@@ -309,6 +309,13 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation over the duplicate corpus: canonical-copy ∧
+    quality ∧ language in one composition (single tokens pass for the
+    filters, one fingerprint aggregate, one semi-join)."""
+    return _text.curate_corpus(corpus_docs(spark, sf_dir))
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (rational idf — IEEE-exact double
     division, bit-identical across engines; doc_freq broadcast against
@@ -710,6 +717,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_stats": _q_token_stats,
         "vocab_stats": _q_vocab_stats,
         "tfidf_keywords": _q_tfidf_keywords,
+        "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1003,6 +1011,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "vocab_stats": _text.vocab_stats_sql_duck(
             min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
+        "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
         "stratified_sample": _text.stratified_sample_sql_duck(
             "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,
             cols="doc_id, lang"),

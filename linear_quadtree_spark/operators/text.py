@@ -59,6 +59,8 @@ __all__ = [
     "stratified_sample_sql_duck",
     "tfidf_keywords",
     "tfidf_keywords_sql_duck",
+    "curate_corpus",
+    "curate_corpus_sql_duck",
 ]
 
 #: English stopword sample used by the quality heuristic.
@@ -534,4 +536,83 @@ r AS (
   FROM s)
 SELECT {id_col}, token, tf, df, score, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= {top_k}
+"""
+
+
+# ---------------------------------------------------------- corpus curation
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: int = 700,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composition:
+    keep documents that are (a) the canonical copy of their exact-dedup
+    group, (b) above the quality threshold, (c) predicted to be in an
+    accepted language. Output (id, quality, pred_lang) IS the curated
+    corpus membership — what a training-data pipeline materializes.
+
+    Plan: quality and language evaluate in a SINGLE pass over one
+    tokens projection (they are map-only sibling expressions, not two
+    scans joined on id), and that filter prunes rows BEFORE the only
+    joins: the exact-dedup canonical set (one fingerprint hash-aggregate
+    over the full corpus — it must see every row) semi-joined back on
+    the id. Total: one corpus scan for the filter side, one for the
+    dedup aggregate, one equi-join on the id — each co-partitioned at
+    100 TB with the corpus's natural id layout."""
+    d = _with_tokens(docs, text_col)
+    for name, ex in _quality_exprs(SPARK, text_col).items():
+        d = d.withColumn(name, F.expr(ex))
+    for name, ex in _lang_score_cols(SPARK).items():
+        d = d.withColumn(name, F.expr(ex))
+    pred, m = _lang_pred_expr()
+    d = d.withColumn("_m", F.expr(m))
+    d = d.withColumn("quality", F.expr(_QUALITY_SCORE_TMPL).cast("long"))
+    d = d.withColumn("pred_lang", F.expr(pred))
+    passed = d.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
+    ).select(id_col, "quality", "pred_lang")
+    canonical = (
+        fingerprint(docs, text_col, id_col)
+        .groupBy("fp1", "fp2", "text_len")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return passed.join(canonical, id_col, "left_semi")
+
+
+def curate_corpus_sql_duck(
+    src: str = "documents",
+    min_quality: int = 700,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    e = DUCK
+    qcols = ",\n       ".join(
+        f"{ex} AS {name}" for name, ex in _quality_exprs(e, text_col).items()
+    )
+    scores = ",\n       ".join(
+        f"{ex} AS {name}" for name, ex in _lang_score_cols(e).items()
+    )
+    pred, m = _lang_pred_expr()
+    in_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH t AS (SELECT {id_col}, {text_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+q AS (SELECT {id_col}, {text_col}, {qcols}, {scores} FROM t),
+g AS (SELECT *, {m} AS _m,
+             CAST({_QUALITY_SCORE_TMPL} AS BIGINT) AS quality
+      FROM q),
+p AS (SELECT {id_col}, quality, {pred} AS pred_lang FROM g
+      WHERE quality >= {min_quality}),
+fp AS (SELECT {id_col},
+              {text_fp_expr(e, text_col)} AS fp1,
+              {text_fp_expr(e, text_col, P2, B2, SEED2)} AS fp2,
+              CAST(length(coalesce({text_col}, '')) AS BIGINT) AS text_len
+       FROM {src}),
+canon AS (SELECT MIN({id_col}) AS {id_col} FROM fp GROUP BY fp1, fp2, text_len)
+SELECT p.{id_col}, p.quality, p.pred_lang
+FROM p SEMI JOIN canon ON p.{id_col} = canon.{id_col}
+WHERE p.pred_lang IN ({in_list})
 """

@@ -85,3 +85,25 @@ def test_stratified_sample_rate_tracks_target(spark, sf_dir):
     assert kept.filter("lang <> 'en'").count() == 0
     # integer-hash coin is uniform-ish: 50% +- 15 points at sf0.001 n
     assert 0.35 * n_en <= n_kept <= 0.65 * n_en
+
+
+def test_curate_corpus_equals_operator_composition(spark, sf_dir):
+    """The one-pass composite must equal composing the three verified
+    operators independently (dedup-canonical ∩ quality ∩ language)."""
+    from linear_quadtree_spark.operators.text import (
+        curate_corpus,
+        exact_dedup,
+        lang_id,
+        quality_score,
+    )
+    from linear_quadtree_spark.sources.synth import corpus_docs
+
+    corp = corpus_docs(spark, sf_dir)
+    got = {(r.doc_id, r.quality, r.pred_lang)
+           for r in curate_corpus(corp, 700, ("en", "de", "fr")).collect()}
+    keep = {r.kept_id for r in exact_dedup(corp).collect()}
+    q = {r.doc_id: r.quality for r in quality_score(corp).collect()}
+    lg = {r.doc_id: r.pred_lang for r in lang_id(corp).collect()}
+    exp = {(i, q[i], lg[i]) for i in q
+           if i in keep and q[i] >= 700 and lg[i] in ("en", "de", "fr")}
+    assert got == exp and len(got) > 0
