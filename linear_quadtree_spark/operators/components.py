@@ -84,7 +84,7 @@ def connected_components(
         jumped = stepped.join(parent, stepped["lbl"] == parent["p_id"]).select(
             "id", F.col("p_lbl").alias("lbl")
         )
-        old, labels = labels, jumped.localCheckpoint()
+        labels = jumped.localCheckpoint()
         s = labels.agg(F.sum("lbl")).first()[0]
         if s == prev_sum:
             break
