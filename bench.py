@@ -257,6 +257,24 @@ def main() -> None:
     timings["vocab_stats"] = time.time() - t0
 
     t0 = time.time()
+    from linear_quadtree_spark.operators.text import tfidf_keywords
+    tfidf_rows = tfidf_keywords(docs, top_k=5).count()
+    timings["tfidf_keywords"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.text import curate_corpus
+    curated_rows = curate_corpus(corp).count()
+    timings["curate_corpus"] = time.time() - t0
+
+    t0 = time.time()
+    from linear_quadtree_spark.operators.crawl import extract_text
+    from linear_quadtree_spark.sources.pages import pages_table
+    extract_rows = extract_text(pages_table(spark, SF_DIR)).filter(
+        F.col("extracted_text") == F.col("text")
+    ).count()
+    timings["extract_text"] = time.time() - t0
+
+    t0 = time.time()
     mh_rows = minhash_lsh_pairs(corp).count()
     timings["minhash_lsh"] = time.time() - t0
 
@@ -318,6 +336,9 @@ def main() -> None:
             "tile_activity_rows": ta_rows,
             "incremental_dedup_rows": incr_ded_rows,
             "vocab_rows": vocab_rows,
+            "tfidf_rows": tfidf_rows,
+            "curated_rows": curated_rows,
+            "extract_identical_rows": extract_rows,
             "dedup_group_rows": grp_rows,
             "focal_rows": focal_rows,
             "asof_rows": asof_rows,
