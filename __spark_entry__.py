@@ -42,6 +42,7 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     tile_stats,
 )
 from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
+from linear_quadtree_spark.operators import clean as _clean  # noqa: E402
 from linear_quadtree_spark.operators import dedup as _dedup  # noqa: E402
 from linear_quadtree_spark.operators.crawl import captures_cte_duck  # noqa: E402
 from linear_quadtree_spark.operators import media as _media  # noqa: E402
@@ -561,6 +562,27 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    return _clean.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """Scrub over the PII-injected demo view (the raw corpus has no
+    digits, so the raw check would be vacuously all-zeros)."""
+    demo = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(_clean.pii_demo_text_expr(_clean.SPARK))
+    )
+    return _clean.pii_scrub(demo)
+
+
+def _q_boilerplate_ngrams(spark, sf_dir):
+    return _clean.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    return _clean.decontaminate(_docs(spark, sf_dir))
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-site rollup of the page table (regexp site key + one hash
     aggregate with map-side combine)."""
@@ -720,6 +742,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        # corpus cleaning
+        "pii_scrub": _q_pii_scrub,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         # deduplication
@@ -1016,6 +1043,13 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
             "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,
             cols="doc_id, lang"),
         "quality_score": _text.quality_score_sql_duck(),
+        "repetition_stats": _clean.repetition_stats_sql_duck(),
+        "pii_scrub": (
+            f"WITH demo AS (SELECT doc_id, {_clean.pii_demo_text_expr(_clean.DUCK)} "
+            "AS text FROM documents)" + _clean.pii_scrub_sql_duck("demo")
+        ),
+        "boilerplate_ngrams": _clean.boilerplate_ngrams_sql_duck(),
+        "decontaminate": _clean.decontaminate_sql_duck(),
         "lang_id": _text.lang_id_sql_duck(),
         "doc_fingerprint": _text.fingerprint_sql_duck(),
         # ---- dedup (corpus CTE plants deterministic duplicates)

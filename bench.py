@@ -267,6 +267,32 @@ def main() -> None:
     timings["curate_corpus"] = time.time() - t0
 
     t0 = time.time()
+    from linear_quadtree_spark.operators.clean import (
+        boilerplate_ngrams,
+        decontaminate,
+        pii_demo_text_expr,
+        pii_scrub,
+        repetition_stats,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SPARK_ENG
+    rep_rows = repetition_stats(docs).count()
+    timings["repetition_stats"] = time.time() - t0
+
+    t0 = time.time()
+    pii_rows = pii_scrub(
+        docs.withColumn("text", F.expr(pii_demo_text_expr(_SPARK_ENG)))
+    ).count()
+    timings["pii_scrub"] = time.time() - t0
+
+    t0 = time.time()
+    boiler_rows = boilerplate_ngrams(docs).count()
+    timings["boilerplate_ngrams"] = time.time() - t0
+
+    t0 = time.time()
+    decon_rows = decontaminate(docs).count()
+    timings["decontaminate"] = time.time() - t0
+
+    t0 = time.time()
     from linear_quadtree_spark.operators.crawl import extract_text
     from linear_quadtree_spark.sources.pages import pages_table
     extract_rows = extract_text(pages_table(spark, SF_DIR)).filter(
@@ -342,6 +368,10 @@ def main() -> None:
             "dedup_group_rows": grp_rows,
             "focal_rows": focal_rows,
             "asof_rows": asof_rows,
+            "repetition_rows": rep_rows,
+            "pii_rows": pii_rows,
+            "boilerplate_rows": boiler_rows,
+            "decontaminate_rows": decon_rows,
         },
     }
     spark.stop()
