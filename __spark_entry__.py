@@ -222,6 +222,37 @@ def _q_geo_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geospatial × webtext flagship composition: curated-corpus
+    membership (exact-dedup canonical + quality threshold + language
+    filter, operators/text.curate_corpus) geotagged and rolled up per
+    raster tile — the per-region training-data inventory a 10^12-page
+    pipeline materializes. Plan: curation's one-scan filter + one
+    fingerprint aggregate + one semi-join, then a pure-Catalyst tile
+    expression and ONE final hash aggregate (map-side combine); no UDF,
+    no extra shuffle beyond curation's own."""
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.operators.text import curate_corpus
+
+    kept = curate_corpus(corpus_docs(spark, sf_dir))
+    geo = kept.withColumn("x", geotag_x("doc_id")).withColumn("y", geotag_y("doc_id"))
+    px = F.col("x").cast("double")
+    py = F.col("y").cast("double")
+    tx = F.floor((px - F.lit(1000.0)) * F.lit(GEO_ZOOM_CELLS) / F.lit(100.0))
+    ty = F.floor((py - F.lit(1000.0)) * F.lit(GEO_ZOOM_CELLS) / F.lit(100.0))
+    return (
+        geo.withColumn("tile", (ty * F.lit(16) + tx).cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+            F.sum(F.when(F.col("pred_lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+        )
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -732,6 +763,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_pyramid": _q_tile_pyramid,
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
+        "tile_quality_rollup": _q_tile_quality_rollup,
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -1006,6 +1038,19 @@ SELECT CAST(FLOOR((py - 1000.0) * {GEO_ZOOM_CELLS!r} / 100.0) * 16
        COUNT(*) AS n_points,
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM pts GROUP BY 1
+""",
+        "tile_quality_rollup": f"""
+SELECT CAST(FLOOR((CAST({geotag_y_sql('doc_id')} AS DOUBLE) - 1000.0)
+                  * {GEO_ZOOM_CELLS!r} / 100.0) * 16
+            + FLOOR((CAST({geotag_x_sql('doc_id')} AS DOUBLE) - 1000.0)
+                    * {GEO_ZOOM_CELLS!r} / 100.0) AS BIGINT) AS tile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality,
+       CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM (
+{_corpus(_text.curate_corpus_sql_duck("corpus"))}
+) kept
+GROUP BY 1
 """,
         "events_hourly": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -267,6 +267,11 @@ def main() -> None:
     timings["curate_corpus"] = time.time() - t0
 
     t0 = time.time()
+    import __spark_entry__ as _entry
+    rollup_rows = _entry.queries()["tile_quality_rollup"](spark, SF_DIR).count()
+    timings["tile_quality_rollup"] = time.time() - t0
+
+    t0 = time.time()
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
         decontaminate,
@@ -372,6 +377,7 @@ def main() -> None:
             "pii_rows": pii_rows,
             "boilerplate_rows": boiler_rows,
             "decontaminate_rows": decon_rows,
+            "tile_quality_rollup_rows": rollup_rows,
         },
     }
     spark.stop()
