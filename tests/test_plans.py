@@ -111,3 +111,42 @@ def test_stored_media_scan_prunes_binary_payload(spark, sf_dir, tmp_path):
     plan = _plan(spark.read.parquet(path).select("doc_id", "media_type"))
     assert "ReadSchema" in plan
     assert "payload" not in plan.split("ReadSchema")[1]
+
+
+def test_clean_map_ops_no_shuffle_no_python(spark, sf_dir):
+    from linear_quadtree_spark.functions.textexpr import SPARK
+    from linear_quadtree_spark.operators.clean import (
+        pii_demo_text_expr,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    demo = docs.withColumn("text", F.expr(pii_demo_text_expr(SPARK)))
+    for name, df in (
+        ("repetition_stats", repetition_stats(docs)),
+        ("pii_scrub", pii_scrub(demo)),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_boilerplate_broadcasts_hot_gram_set(spark, sf_dir):
+    from linear_quadtree_spark.operators.clean import boilerplate_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(boilerplate_ngrams(docs))
+    # the >= min_docs gram set must come back as a broadcast, and the
+    # posting relation must shuffle only for the doc-frequency aggregate
+    # (+ the final per-doc aggregate and left join) — never a sort-merge
+    # join of two exploded posting relations
+    assert "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from linear_quadtree_spark.operators.clean import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(decontaminate(docs))
+    assert "BroadcastExchange" in plan
