@@ -128,6 +128,18 @@ def main() -> None:
     pip_rows = point_in_polygon_join(tbl, polys).count()
     timings["pip_join"] = time.time() - t0
 
+    # 10^4-polygon dimension, fully distributed (round-3): the polygon
+    # side never touches the driver — spark.range generator, column-expr
+    # bbox cover, broadcast cell join, JVM edge-fold refine. Radii are
+    # scaled down so the OUTPUT pair count (a workload property) stays
+    # comparable to the 16-polygon entry.
+    t0 = time.time()
+    from linear_quadtree_spark.sources.synth import polygons_df_distributed
+    pip10k_rows = point_in_polygon_join(
+        tbl, polygons_df_distributed(spark, 10_000, r_scale=0.05)
+    ).count()
+    timings["pip_join_10kpoly"] = time.time() - t0
+
     t0 = time.time()
     q = knn_queries_df(spark, 16)
     knn_rows = knn_join(tbl, q, k=10).count()
@@ -350,6 +362,7 @@ def main() -> None:
         "host_probe_at_build": probe_at_build,
         "aux": {
             "pip_rows": pip_rows,
+            "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,
             "knn_bulk_rows": knn_bulk_rows,
             "tiles": tile_rows,

@@ -33,8 +33,10 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-#: keep sampling the primary pair until a rep reaches this efficiency
-#: (or the deadline passes) — the north rule's bar
+#: the north rule's bar — REPORTED against, never part of the stop rule:
+#: sampling stops at the FIRST strictly-clean rep (all four probe triples
+#: + both in-flight monitors nominal), whatever its value, so the
+#: protocol is value-blind (no optional stopping on the outcome)
 TARGET_EFF = 0.8
 DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_DEADLINE_MIN", "90"))
 #: (N, 4N, rows) pairs. The primary pair runs below this machine's memory
@@ -314,21 +316,23 @@ def main() -> None:
                   f"steal {r_hi.get('steal_pct', 0)}%)  eff {e:.3f}"
                   f"{' CLEAN' if clean else ''}", file=sys.stderr)
             i += 1
+            # VALUE-BLIND stop rule: the first strictly-clean rep ends the
+            # sampling, whatever its efficiency — stopping on the VALUE
+            # (e.g. "until a rep >= target") is optional stopping and
+            # biases the headline up. The deadline is the only other exit.
             clean_effs = [r["efficiency"] for r in reps if r["clean"]]
-            if os.environ.get("SPARK_GRAFT_SCALE_STOP_ON_CLEAN") and clean_effs:
+            if clean_effs:
                 break
             if pair_idx == 0:
-                if i >= REPS and (
-                        (clean_effs and max(clean_effs) >= TARGET_EFF)
-                        or time.time() >= deadline_ts):
-                    break
-                if i >= max_reps:
+                if time.time() >= deadline_ts or i >= max_reps:
                     break
             elif i >= max_reps:
                 break
-        # headline: least-contaminated CLEAN rep; fall back to all reps
-        pool = [r for r in reps if r["clean"]] or reps
-        best = min(pool, key=lambda r: r["lo"]["build_s"] + r["hi"]["build_s"])
+        # headline: the FIRST clean rep (value-blind); fall back to the
+        # least-contaminated (min combined wall) rep if none were clean
+        clean = [r for r in reps if r["clean"]]
+        best = clean[0] if clean else min(
+            reps, key=lambda r: r["lo"]["build_s"] + r["hi"]["build_s"])
         res = {lo: best["lo"], hi: best["hi"]}
         pairs_out.append({
             "n": lo, "n4": hi, "rows": rows,
@@ -400,11 +404,12 @@ aggregate rate, so a bandwidth collapse reads as anti-scaling). The
 gate runs INSIDE each child with the JVM hot, immediately before the
 measured region (quiet windows are often shorter than JVM startup), the
 child re-probes after the measured region, and a rep counts as CLEAN
-only when all four probe triples (pre/post × both levels) were nominal
-— and the primary pair keeps sampling reps until one is certified
-clean at the target or a deadline passes. The headline ratio comes from
-the clean rep with the smallest combined wall; every rep's ratio, probe
-values, and clean flag are reported.
+only when all four probe triples (pre/post × both levels) AND both
+in-flight monitors were nominal. The stop rule is VALUE-BLIND: sampling
+ends at the first strictly-clean rep, whatever its efficiency (or at a
+deadline), and that first clean rep is the headline — no stopping or
+selecting on the measured value. Every rep's ratio, probe values, and
+clean flag are reported.
 `python jobs/scaling_bench.py --write` regenerates this file.
 
 | pair (N → 4N) | rows | N: wall / throughput | 4N: wall / throughput | efficiency | all interleaved reps |

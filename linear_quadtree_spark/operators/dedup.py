@@ -184,8 +184,8 @@ SELECT id_a, id_b, inter, union_sz FROM mh_pairs
 
 # ------------------------------------------------------------------ SimHash
 def simhash_sketch(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash): 32-bit SimHash over token hashes — pure map (one
-    Arrow pass, functions/sketch.py)."""
+    """(id, simhash): 64-bit SimHash (SIMHASH_BITS) over token hashes —
+    pure map (one Arrow pass, functions/sketch.py)."""
     return sketch_docs(docs, text_col).select(id_col, "simhash")
 
 

@@ -17,23 +17,17 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
-from linear_quadtree_spark.config import DEPTH
 from linear_quadtree_spark.functions.geocell import (
     cell_axis_expr,
     cell_rect_sql,
     cell_wkt_sql,
 )
-from linear_quadtree_spark.functions.geometry import point_in_polygon_np
 from linear_quadtree_spark.functions.textexpr import SPARK
 from linear_quadtree_spark.cache import track
 from linear_quadtree_spark.operators.build import LQTTable, STORE_SPLIT_LEVEL
-from linear_quadtree_spark.plans.cover import cover_cells, cover_rect
 
 __all__ = [
     "bbox_query",
@@ -73,24 +67,15 @@ def bbox_query(
     return tbl.candidates(ranges).filter(exact)
 
 
-def _poly_refine_udf(poly_map: dict[int, tuple[list[float], list[float]]]):
-    """Scalar pandas UDF: exact even-odd test, vectorized per polygon group
-    within each Arrow batch. poly_map rides the closure (broadcast by
-    Spark's task serialization — polygons are a small dimension)."""
-
-    @F.pandas_udf(BooleanType())
-    def _refine(px: pd.Series, py: pd.Series, poly_id: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(dtype=np.float64)
-        pyv = py.to_numpy(dtype=np.float64)
-        pid = poly_id.to_numpy()
-        for p in np.unique(pid):
-            xs, ys = poly_map[int(p)]
-            m = pid == p
-            out[m] = point_in_polygon_np(pxv[m], pyv[m], np.array(xs), np.array(ys))
-        return pd.Series(out)
-
-    return _refine
+#: even-odd ray-crossing contribution of one edge struct ``e`` against the
+#: candidate point (_px, _py) — the IDENTICAL literal-double formula the
+#: DuckDB correctness oracle runs (nested CASE so horizontal edges never
+#: divide), so Spark and the oracle make bit-identical decisions.
+_EDGE_CROSSING_SQL = (
+    "CASE WHEN ({y1} > _py) != ({y2} > _py) "
+    "THEN CASE WHEN _px < ({x2} - {x1}) * (_py - {y1}) / ({y2} - {y1}) + {x1} "
+    "THEN 1 ELSE 0 END ELSE 0 END"
+)
 
 
 def point_in_polygon_join(
@@ -98,57 +83,161 @@ def point_in_polygon_join(
     polygons: DataFrame,
     level: int = 8,
     max_cells_per_poly: int = 4096,
+    refine: str = "fold",
 ) -> DataFrame:
     """Join: every (point row, poly_id) with the point strictly inside the
     polygon (even-odd rule).
 
-    Plan (scale-first): polygons are a small dimension → driver-side cover
-    of each polygon's bbox into uniform level-L grid cells → broadcast
-    (poly_id, cell) relation → **broadcast hash equi-join** on
-    ``cell = zkey >>> (64-2L)`` (no nested-loop range join; AQE can
-    skew-split hot cells) → exact pandas-UDF refine. The side relation
-    (prefix-unfaithful rows) is bbox-filtered against each polygon and
-    refined the same way.
-    """
-    spark = tbl.main.sparkSession
-    polys = polygons.select("poly_id", "xs", "ys").collect()
-    poly_map = {int(r.poly_id): (list(r.xs), list(r.ys)) for r in polys}
+    Fully distributed — the polygon dimension stays a DataFrame end to
+    end (no driver collect, no closure dict, no per-polygon Python loop),
+    so 10^4+ polygons cost the same plan shape as 4:
 
-    # driver-side planning: grid cells per polygon bbox at one shared level
-    shared_level = level
-    bboxes = {}
-    for pid, (xs, ys) in poly_map.items():
-        bboxes[pid] = (min(xs), max(xs), min(ys), max(ys))
-        lv, _ = cover_cells(*bboxes[pid], tbl.bounds, shared_level, max_cells_per_poly)
-        shared_level = min(shared_level, lv)
-    # cell prefixes and shiftrightunsigned(zkey) are both plain non-negative
-    # longs — no sign-flip needed on the equi-join key
-    cell_rows = []
-    for pid, bb in bboxes.items():
-        _, cells = cover_cells(*bb, tbl.bounds, shared_level, max_cells_per_poly)
-        cell_rows.extend((pid, c) for c in cells)
-    cells_df = spark.createDataFrame(cell_rows, ["poly_id", "cell"])
+    1. per-polygon bbox via ``array_min/array_max`` column expressions;
+    2. ONE scalar pair to the driver (the widest bbox extents) picks the
+       shared cover level L ≤ min(level, STORE_SPLIT_LEVEL) such that the
+       widest polygon's padded cover fits ``max_cells_per_poly``;
+    3. bbox → cell fan-out with ``explode(sequence) × explode(sequence)``
+       over the ideal float64 grid padded ONE cell per side, Morton-folded
+       to zkey prefixes — the same enumeration (and the same
+       conservativeness contract vs the float32 descent grid, see
+       ``_grid_cells_df``) the kNN operator uses;
+    4. **broadcast hash equi-join** on ``cell = zkey >>> (64-2L)`` (AQE
+       can skew-split hot cells); the tiny prefix-unfaithful side relation
+       joins per-polygon bboxes by broadcast nested loop;
+    5. exact even-odd refine with ZERO Python and the oracle's exact
+       arithmetic, two interchangeable physical shapes:
+
+       * ``refine="fold"`` (default): edges aggregated per polygon into an
+         array column, broadcast-joined to candidates, crossing parity via
+         an ``aggregate()`` HOF — map-only, no extra shuffle; right while
+         per-polygon vertex counts are broadcastable (≤ ~10^3 vertices ×
+         10^4 polygons);
+       * ``refine="edges"``: edges exploded to rows, broadcast equi-join
+         on poly_id, ONE hash aggregate of crossing parity per (candidate,
+         polygon) with map-side combine — the `rasterize_polygons` shape;
+         use for very large rings where edge arrays shouldn't ride rows.
+    """
+    if refine not in ("fold", "edges"):
+        raise ValueError("refine must be 'fold' or 'edges'")
+    b = tbl.bounds
+    bw, bh = b.xend - b.xstart, b.yend - b.ystart
+
+    pb = polygons.select(
+        "poly_id",
+        "xs",
+        "ys",
+        F.array_min("xs").alias("bx0"),
+        F.array_max("xs").alias("bx1"),
+        F.array_min("ys").alias("by0"),
+        F.array_max("ys").alias("by1"),
+    )
+
+    # shared cover level: the one driver-side scalar of the whole plan —
+    # an aggregate of the polygon relation, not a materialization of it
+    ext = pb.agg(
+        F.max(F.col("bx1") - F.col("bx0")).alias("w"),
+        F.max(F.col("by1") - F.col("by0")).alias("h"),
+    ).collect()[0]
+    shared_level = min(level, STORE_SPLIT_LEVEL)
+    if ext["w"] is not None:
+        while shared_level > 1:
+            n = 1 << shared_level
+            ncx = int(ext["w"] / (bw / n)) + 3
+            ncy = int(ext["h"] / (bh / n)) + 3
+            if ncx * ncy <= max_cells_per_poly:
+                break
+            shared_level -= 1
+
+    n_cells = 1 << shared_level
+    cw, ch = bw / n_cells, bh / n_cells
+
+    def _clamp(c):
+        return F.greatest(F.lit(0).cast("long"), F.least(F.lit(n_cells - 1).cast("long"), c))
+
+    # cell prefixes and shiftrightunsigned(zkey) are both plain
+    # non-negative longs — no sign-flip needed on the equi-join key
+    cells_df = (
+        pb.withColumn(
+            "ix",
+            F.explode(
+                F.sequence(
+                    _clamp(F.floor((F.col("bx0") - F.lit(b.xstart)) / F.lit(cw)) - 1),
+                    _clamp(F.floor((F.col("bx1") - F.lit(b.xstart)) / F.lit(cw)) + 1),
+                )
+            ),
+        )
+        .withColumn(
+            "iy",
+            F.explode(
+                F.sequence(
+                    _clamp(F.floor((F.col("by0") - F.lit(b.ystart)) / F.lit(ch)) - 1),
+                    _clamp(F.floor((F.col("by1") - F.lit(b.ystart)) / F.lit(ch)) + 1),
+                )
+            ),
+        )
+        .withColumn("cell", F.expr(_interleave_expr("ix", "iy", shared_level)))
+        .select("poly_id", "cell")
+    )
 
     shift = 64 - 2 * shared_level
-    cand_main = tbl.main.withColumn(
-        "_cell", F.shiftrightunsigned(F.col("zkey"), shift)
-    ).join(F.broadcast(cells_df), F.col("_cell") == F.col("cell"), "inner").drop(
-        "_cell", "cell"
+    cand_main = (
+        tbl.main.withColumn("_cell", F.shiftrightunsigned(F.col("zkey"), shift))
+        .join(F.broadcast(cells_df), F.col("_cell") == F.col("cell"), "inner")
+        .drop("_cell", "cell")
     )
 
     # side relation: tiny → broadcast nested-loop against per-poly bboxes
-    bbox_rows = [(pid,) + bb for pid, bb in bboxes.items()]
-    bbox_df = spark.createDataFrame(bbox_rows, ["poly_id", "bx0", "bx1", "by0", "by1"])
     xc, yc = F.col(tbl.x_col), F.col(tbl.y_col)
+    bbox_df = pb.select("poly_id", "bx0", "bx1", "by0", "by1")
     cand_side = tbl.side.join(
         F.broadcast(bbox_df),
         (xc >= F.col("bx0")) & (xc <= F.col("bx1")) & (yc >= F.col("by0")) & (yc <= F.col("by1")),
         "inner",
     ).drop("bx0", "bx1", "by0", "by1")
 
-    cand = cand_main.unionByName(cand_side)
-    refine = _poly_refine_udf(poly_map)
-    return cand.filter(refine(xc.cast("double"), yc.cast("double"), F.col("poly_id")))
+    cand = (
+        cand_main.unionByName(cand_side)
+        .withColumn("_px", xc.cast("double"))
+        .withColumn("_py", yc.cast("double"))
+    )
+    out_cols = [c for c in cand.columns if c not in ("_px", "_py")]
+
+    if refine == "fold":
+        edge_arr = (
+            "transform(sequence(0, size(xs) - 1), i -> named_struct("
+            "'x1v', xs[i], 'y1v', ys[i], "
+            "'x2v', xs[(i + 1) % size(xs)], 'y2v', ys[(i + 1) % size(ys)]))"
+        )
+        poly_edges = polygons.select("poly_id", F.expr(edge_arr).alias("_edges"))
+        cr = _EDGE_CROSSING_SQL.format(x1="e.x1v", y1="e.y1v", x2="e.x2v", y2="e.y2v")
+        parity = (
+            f"aggregate(_edges, CAST(0 AS BIGINT), (acc, e) -> acc + ({cr})) % 2 = 1"
+        )
+        return (
+            cand.join(F.broadcast(poly_edges), "poly_id")
+            .filter(F.expr(parity))
+            .select(*out_cols)
+        )
+
+    edges = (
+        polygons.select("poly_id", "xs", "ys", F.posexplode("xs").alias("pos", "x1v"))
+        .select(
+            "poly_id",
+            "x1v",
+            F.expr("ys[pos]").alias("y1v"),
+            F.expr("xs[(pos + 1) % size(xs)]").alias("x2v"),
+            F.expr("ys[(pos + 1) % size(ys)]").alias("y2v"),
+        )
+    )
+    cr = _EDGE_CROSSING_SQL.format(x1="x1v", y1="y1v", x2="x2v", y2="y2v")
+    return (
+        cand.join(F.broadcast(edges), "poly_id")
+        .withColumn("_cr", F.expr(cr))
+        .groupBy(*out_cols)
+        .agg(F.sum("_cr").alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .drop("_crossings")
+    )
 
 
 def _interleave_expr(ix: str, iy: str, level: int) -> str:
@@ -162,11 +251,10 @@ def _interleave_expr(ix: str, iy: str, level: int) -> str:
     )
 
 
-def _grid_cells_df(
-    unresolved: DataFrame, bounds, r: float, level: int
-) -> DataFrame:
-    """(qid, qx, qy, cell): all level-``level`` grid cells whose closure
-    can intersect the r-square around each query — enumerated with
+def _grid_cells_df(unresolved: DataFrame, bounds, level: int) -> DataFrame:
+    """(qid, qx, qy, r, cell): all level-``level`` grid cells whose closure
+    can intersect the per-query r-square (``r`` is a COLUMN of
+    ``unresolved`` — each query carries its own radius) — enumerated with
     DataFrame expressions (sequence + explode + Morton fold), so the
     query table never visits the driver.
 
@@ -183,13 +271,13 @@ def _grid_cells_df(
     def _lo(coord: str, start: float, w: float):
         return F.greatest(
             F.lit(0).cast("long"),
-            F.floor((F.col(coord) - F.lit(r) - F.lit(start)) / F.lit(w)) - 1,
+            F.floor((F.col(coord) - F.col("r") - F.lit(start)) / F.lit(w)) - 1,
         )
 
     def _hi(coord: str, start: float, w: float):
         return F.least(
             F.lit(n_cells - 1).cast("long"),
-            F.floor((F.col(coord) + F.lit(r) - F.lit(start)) / F.lit(w)) + 1,
+            F.floor((F.col(coord) + F.col("r") - F.lit(start)) / F.lit(w)) + 1,
         )
 
     return (
@@ -200,7 +288,7 @@ def _grid_cells_df(
             "iy", F.explode(F.sequence(_lo("qy", bounds.ystart, ch), _hi("qy", bounds.ystart, ch)))
         )
         .withColumn("cell", F.expr(_interleave_expr("ix", "iy", level)))
-        .select("qid", "qx", "qy", "cell")
+        .select("qid", "qx", "qy", "r", "cell")
     )
 
 
@@ -210,30 +298,41 @@ def knn_join(
     k: int,
     level: int = 10,
     initial_radius: float | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors for each query point (SURVEY §2.9 ring
     expansion), fully distributed: the query table stays a DataFrame
     end-to-end (cell enumeration, candidate join, resolution, and the
     expand-anti-join are all DataFrame ops); the driver holds only the
-    round counter and one remaining-count scalar per round.
+    round counter and one stats row (count, min r, max r) per round.
 
-    Per round (shared radius r — every unresolved query is on the same
-    expansion schedule): enumerate the level-L grid cells covering each
-    query's r-square (L sized so a query touches O(1) cells), broadcast
-    equi-join against ``zkey >>> (64-2L)`` on the main relation + a
-    bbox broadcast join against the tiny side relation, keep candidates
-    with dist² ≤ r², window top-k per query. A query resolves when it
-    has ≥ k candidates within r: the square covers the full r-disk, so
-    nothing outside can beat the k-th hit — exactness is unconditional.
-    Unresolved queries expand r ×4; the loop is O(log(domain/r₀)) rounds
-    and terminates by emitting partial results only for queries the
-    whole table cannot supply k rows for.
+    PER-QUERY adaptive radius (round-3): ``r`` is a COLUMN of the
+    unresolved set. Per round: enumerate the level-L grid cells covering
+    each query's own r-square, broadcast equi-join against
+    ``zkey >>> (64-2L)`` on the main relation + a bbox broadcast join
+    against the tiny side relation, keep candidates with dist² ≤ r²,
+    window top-k per query. A query resolves when it has ≥ k candidates
+    within its r: the square covers the full r-disk, so nothing outside
+    can beat the k-th hit — exactness is unconditional regardless of the
+    expansion schedule. Unresolved queries then expand INDIVIDUALLY from
+    their observed local density: a query that found m of k candidates
+    expands by ~1.5·√(k/m) (the radius a uniform local density needs,
+    with slack), clamped to [2, 8]; a query that found nothing expands
+    ×8 — so one far outlier stops forcing extra ×4 global rounds on
+    everyone and itself converges in log₈ instead of log₄ rounds. The
+    shared cell level per round spans the in-flight radius range
+    (matched to the smallest r, capped 3 levels below the largest so no
+    query fans out more than ~19² cells). Queries whose r exceeds the
+    domain diagonal emit their (necessarily complete-as-possible)
+    partial result and leave the set; every r grows ≥×2 per round, so
+    the loop is O(log(domain/r₀)) rounds and always terminates.
 
     Returns (qid, qx, qy, payload columns..., dist2, rn). Distance:
     squared Euclidean float64, ties broken by the tiebreaker. Round
     caches are registered with cache.track; call
     ``cache.release_caches()`` (or wrap in ``cache_scope``) after
-    consuming the result.
+    consuming the result. ``stats_out``, if given, receives
+    {"rounds": int} for diagnostics/tests.
     """
     n_est = tbl.build_metrics.get("rows") or max(tbl.main.count(), 1)
     bw = tbl.bounds.xend - tbl.bounds.xstart
@@ -246,16 +345,30 @@ def knn_join(
     xc, yc = F.col(tbl.x_col), F.col(tbl.y_col)
     max_r = math.hypot(bw, bh) * 2
 
-    unresolved = track(queries.select("qid", "qx", "qy"))
+    def _lvl_for(r: float) -> int:
+        # cell width ≈ r keeps the per-query cell count O(1) (≤ ~5×5)
+        if r >= max(bw, bh):
+            return 1
+        return max(1, min(max_level, int(math.floor(math.log2(max(bw, bh) / r)))))
+
+    unresolved = track(
+        queries.select("qid", "qx", "qy").withColumn(
+            "r", F.lit(float(initial_radius))
+        )
+    )
     prev_unresolved = None
-    r = initial_radius
+    r_min = r_max = float(initial_radius)
     results: list[DataFrame] = []
+    rounds = 0
 
     while True:
-        # cell width ≈ r keeps the per-query cell count O(1) (≤ ~5×5)
-        lvl = max(1, min(max_level, int(math.floor(math.log2(max(bw, bh) / r))) if r < max(bw, bh) else 1))
+        rounds += 1
+        # shared level spanning the in-flight radius range: matched to the
+        # smallest radius (tight pruning), capped 3 levels below the level
+        # of the largest (bounds the widest query's fan-out at ~19² cells)
+        lvl = max(1, min(_lvl_for(r_min), _lvl_for(r_max) + 3))
         shift = 64 - 2 * lvl
-        cells = _grid_cells_df(unresolved, tbl.bounds, r, lvl)
+        cells = _grid_cells_df(unresolved, tbl.bounds, lvl)
 
         cand_main = (
             tbl.main.withColumn("_cell", F.shiftrightunsigned(F.col("zkey"), shift))
@@ -264,8 +377,8 @@ def knn_join(
         )
         cand_side = tbl.side.join(
             F.broadcast(unresolved),
-            (xc >= F.col("qx") - r) & (xc <= F.col("qx") + r)
-            & (yc >= F.col("qy") - r) & (yc <= F.col("qy") + r),
+            (xc >= F.col("qx") - F.col("r")) & (xc <= F.col("qx") + F.col("r"))
+            & (yc >= F.col("qy") - F.col("r")) & (yc <= F.col("qy") + F.col("r")),
             "inner",
         )
         dx = xc.cast("double") - F.col("qx")
@@ -273,33 +386,55 @@ def knn_join(
         cand = (
             cand_main.unionByName(cand_side)
             .withColumn("dist2", dx * dx + dy * dy)
-            .filter(F.col("dist2") <= F.lit(r * r))
+            .filter(F.col("dist2") <= F.col("r") * F.col("r"))
+            .drop("r")
         )
         w = Window.partitionBy("qid").orderBy("dist2", tb)
         topk = track(cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k))
-        resolved = (
-            topk.groupBy("qid").agg(F.count(F.lit(1)).alias("_cnt"))
-            .filter(F.col("_cnt") >= k)
-            .select("qid")
-        )
+        found = topk.groupBy("qid").agg(F.count(F.lit(1)).alias("_cnt"))
+        resolved = found.filter(F.col("_cnt") >= k).select("qid")
         results.append(topk.join(F.broadcast(resolved), "qid", "semi"))
 
-        if r > max_r:
-            # fewer than k rows exist in the whole table for these:
-            # emit the partial result and stop — r already covers the
-            # entire domain, so the answer cannot improve
-            still = unresolved.join(F.broadcast(resolved), "qid", "anti").select("qid")
-            results.append(topk.join(F.broadcast(still), "qid", "semi"))
-            break
-        nxt = track(unresolved.join(F.broadcast(resolved), "qid", "anti"))
-        n_left = nxt.count()  # the ONE driver-side scalar per round
+        pending = (
+            unresolved.join(F.broadcast(found), "qid", "left")
+            .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
+            .filter(F.col("_cnt") < k)
+        )
+        # fewer than k rows exist in the whole table for these queries:
+        # their r already covers the entire domain, so the answer cannot
+        # improve — emit the partial result and retire them
+        exhausted = pending.filter(F.col("r") > max_r).select("qid")
+        results.append(topk.join(F.broadcast(exhausted), "qid", "semi"))
+        grow = F.when(F.col("_cnt") <= 0, F.lit(8.0)).otherwise(
+            F.least(
+                F.lit(8.0),
+                F.greatest(
+                    F.lit(2.0),
+                    F.lit(1.5) * F.sqrt(F.lit(float(k)) / F.col("_cnt")),
+                ),
+            )
+        )
+        nxt = track(
+            pending.filter(F.col("r") <= max_r)
+            .withColumn("r", F.col("r") * grow)
+            .select("qid", "qx", "qy", "r")
+        )
+        # the ONE driver-side action per round: remaining count + the
+        # next round's radius envelope in a single stats row
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("r").alias("rmin"),
+            F.max("r").alias("rmax"),
+        ).collect()[0]
         if prev_unresolved is not None:
             prev_unresolved.unpersist()
         prev_unresolved, unresolved = unresolved, nxt
-        if n_left == 0:
+        if not stats["n"]:
             break
-        r *= 4
+        r_min, r_max = float(stats["rmin"]), float(stats["rmax"])
 
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     out = results[0]
     for res in results[1:]:
         out = out.unionByName(res)

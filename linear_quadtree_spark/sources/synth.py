@@ -162,6 +162,34 @@ def polygons_df(spark: SparkSession, m: int) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def polygons_df_distributed(spark: SparkSession, m: int, r_scale: float = 1.0) -> DataFrame:
+    """The SAME deterministic polygon dimension as ``polygons_df`` (bit-
+    identical doubles for ``r_scale=1.0``), generated as pure DataFrame
+    expressions over ``spark.range`` — no driver-side row list, so a
+    10^4-10^6-polygon dimension never materializes on the driver. Every
+    intermediate (LCG mod 2^32, division by a power of two, the binary-
+    fraction vertex offsets) is exact in float64, so the Spark and Python
+    derivations agree bitwise. ``r_scale`` shrinks the radii (used by the
+    many-polygon benchmark to keep the join's OUTPUT size, which is a
+    property of the workload not the plan, in check)."""
+    p = spark.range(m).select(F.col("id").alias("_pid"))
+
+    def _frac(a: int, c: int, mod: int) -> F.Column:
+        return ((F.col("_pid") * F.lit(a) + F.lit(c)) % F.lit(mod)).cast(
+            "double"
+        ) / F.lit(float(mod))
+
+    cx = F.lit(1005.0) + F.lit(90.0) * _frac(2654435761, 40503, 4294967296)
+    cy = F.lit(1005.0) + F.lit(90.0) * _frac(2246822519, 1013904223, 4294967296)
+    r = (F.lit(1.0) + F.lit(11.0) * _frac(69069, 12345, 1024)) * F.lit(float(r_scale))
+    p = p.withColumn("_cx", cx).withColumn("_cy", cy).withColumn("_r", r)
+    xs = F.array(*[F.col("_cx") + F.col("_r") * F.lit(ax) for ax, _ in POLY_OFFSETS])
+    ys = F.array(*[F.col("_cy") + F.col("_r") * F.lit(ay) for _, ay in POLY_OFFSETS])
+    return p.select(
+        F.col("_pid").cast("int").alias("poly_id"), xs.alias("xs"), ys.alias("ys")
+    )
+
+
 def polygon_edges_values_sql(m: int) -> str:
     """DuckDB VALUES list of polygon edges (poly_id, x1v, y1v, x2v, y2v)
     with exact literal doubles."""

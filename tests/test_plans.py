@@ -97,7 +97,13 @@ def test_pip_join_broadcasts_cover_cells(spark, sf_dir, tbl):
     from linear_quadtree_spark.sources.synth import polygons_df
 
     out = point_in_polygon_join(tbl, polygons_df(spark, 4))
-    assert "BroadcastExchange" in _plan(out)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan
+    # round-3: the refine is pure JVM (edge-array fold) — the old pandas
+    # refine UDF and its driver-collected closure dict are gone. The only
+    # Python stage allowed anywhere in the plan is the build's encode,
+    # which the cached tbl fixture already materialized.
+    assert "EvalPython" not in plan or "InMemoryTableScan" in plan
 
 
 def test_stored_media_scan_prunes_binary_payload(spark, sf_dir, tmp_path):

@@ -75,9 +75,15 @@ def test_bbox_matches_bruteforce(tbl, points_pdf, rect, spark):
     assert got == exp
 
 
-def test_pip_join_matches_bruteforce(tbl, points_pdf, spark):
+@pytest.mark.parametrize("refine", ["fold", "edges"])
+def test_pip_join_matches_bruteforce(tbl, points_pdf, spark, refine):
     polys = polygons_df(spark, 8)
-    got = {(r.key, r.poly_id) for r in point_in_polygon_join(tbl, polys).select("key", "poly_id").collect()}
+    got = {
+        (r.key, r.poly_id)
+        for r in point_in_polygon_join(tbl, polys, refine=refine)
+        .select("key", "poly_id")
+        .collect()
+    }
     exp = set()
     for prow in polys.collect():
         inside = point_in_polygon_np(
@@ -88,6 +94,19 @@ def test_pip_join_matches_bruteforce(tbl, points_pdf, spark):
         )
         exp |= {(int(k), prow.poly_id) for k in points_pdf.key[inside]}
     assert got == exp
+
+
+def test_polygons_df_distributed_bitexact(spark):
+    """The spark.range-based polygon generator must reproduce the driver-
+    side one bit-for-bit (every step is exact float64 arithmetic)."""
+    from linear_quadtree_spark.sources.synth import polygons_df_distributed
+
+    a = {r.poly_id: (list(r.xs), list(r.ys)) for r in polygons_df(spark, 64).collect()}
+    b = {
+        r.poly_id: (list(r.xs), list(r.ys))
+        for r in polygons_df_distributed(spark, 64).collect()
+    }
+    assert a == b  # exact double equality, not approx
 
 
 def test_knn_matches_bruteforce(tbl, points_pdf, spark):
@@ -105,6 +124,51 @@ def test_knn_matches_bruteforce(tbl, points_pdf, spark):
         order = np.lexsort((points_pdf.key.to_numpy(), d2))[:k]
         exp |= {(qrow.qid, int(points_pdf.key[i]), rn + 1) for rn, i in enumerate(order)}
     assert got == exp
+
+
+def test_knn_adaptive_rounds_mixed_density(spark):
+    """Per-query adaptive radius (round-3): a dense cluster plus 3 far
+    outlier queries. Outliers find 0 candidates for several rounds, so
+    they expand ×8/round (log₈ convergence); the fixed shared ×4
+    schedule needs r to reach ~124 from 0.1 → 7 rounds, the adaptive
+    one ≤ 5 — and cluster queries resolve in round 1 either way, no
+    longer dragged through the outliers' extra global rounds."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "x": (1010 + 2 * rng.random(n)).astype(np.float32),
+            "y": (1010 + 2 * rng.random(n)).astype(np.float32),
+        }
+    )
+    pdf["key"] = np.arange(n, dtype=np.int64)
+    t = LQTTable.build(spark.createDataFrame(pdf), DEFAULT_BOUNDS, tiebreaker="key")
+    k = 10
+    qrows = [
+        (0, 1011.0, 1011.0),
+        (1, 1010.5, 1011.5),
+        (2, 1011.5, 1010.5),
+        (3, 1099.0, 1099.0),  # far outliers: ~124 from the cluster
+        (4, 1001.0, 1099.0),
+        (5, 1099.0, 1001.0),
+    ]
+    q = spark.createDataFrame(qrows, ["qid", "qx", "qy"])
+    stats: dict = {}
+    out = knn_join(t, q, k, initial_radius=0.1, stats_out=stats)
+    got = {
+        (r.qid, r.key, r.rn)
+        for r in out.select("qid", "key", "rn").collect()
+    }
+    exp = set()
+    for qid, qx, qy in qrows:
+        dx = pdf.x.to_numpy(np.float64) - qx
+        dy = pdf.y.to_numpy(np.float64) - qy
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((pdf.key.to_numpy(), d2))[:k]
+        exp |= {(qid, int(pdf.key[i]), rn + 1) for rn, i in enumerate(order)}
+    assert got == exp
+    assert stats["rounds"] <= 5, stats
+    t.unpersist()
 
 
 def test_knn_k_larger_than_table(spark):
