@@ -423,6 +423,13 @@ def _q_ann_topk_ivf(spark, sf_dir):
     return _sim.ann_topk_ivf(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
 
 
+def _q_ann_topk_ivf_km(spark, sf_dir):
+    """IVF top-k with the sampled-k-means quantizer (2 Lloyd iterations on
+    a deterministic sample, fixed-point means → bit-identical centroids
+    in Spark/numpy and the DuckDB twin), nprobe-4, exact-cosine rerank."""
+    return _sim.ann_topk_ivf_kmeans(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
+
+
 def _q_emb_neardup(spark, sf_dir):
     return _sim.emb_neardup_pairs(corpus_embs(spark, sf_dir))
 
@@ -793,6 +800,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivf_km": _q_ann_topk_ivf_km,
         "emb_neardup_pairs": _q_emb_neardup,
         # multimodal
         "media_metadata": _q_media_metadata,
@@ -1110,6 +1118,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_lsh": _emb_corpus(_sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_ivf": _emb_corpus(_sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10)),
+        "ann_topk_ivf_km": _emb_corpus(_sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),
         # ---- multimodal (oracle recomputes from source text)
         "media_metadata": _media.media_metadata_sql_duck(),

@@ -347,6 +347,13 @@ def main() -> None:
     timings["ann_topk_ivf"] = time.time() - t0
 
     t0 = time.time()
+    from linear_quadtree_spark.operators.similarity import ann_topk_ivf_kmeans
+    ann_km_rows = ann_topk_ivf_kmeans(
+        embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10
+    ).count()
+    timings["ann_topk_ivf_km"] = time.time() - t0
+
+    t0 = time.time()
     from linear_quadtree_spark.operators.similarity import _make_planes
     nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
     timings["emb_neardup"] = time.time() - t0
@@ -374,6 +381,7 @@ def main() -> None:
             "simhash_pairs": sh_rows,
             "ann_rows": ann_rows,
             "ann_lsh_rows": ann_lsh_rows,
+            "ann_ivf_km_rows": ann_km_rows,
             "emb_neardup_rows": nd_rows,
             "incremental_bbox_rows": incr_rows,
             "rasterize_rows": rast_rows,

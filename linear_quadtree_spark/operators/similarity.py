@@ -49,6 +49,10 @@ __all__ = [
     "ann_topk_lsh_sql_duck",
     "ann_topk_ivf",
     "ann_topk_ivf_sql_duck",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_kmeans_sql_duck",
+    "train_ivf_kmeans",
+    "ivf_kmeans_cents_ctes_duck",
     "ivf_assign",
     "emb_neardup_pairs",
     "emb_neardup_pairs_sql_duck",
@@ -275,16 +279,18 @@ def ivf_assign(
     stride: int | None = None,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: returns ``(centroids, assigned)`` where
     ``centroids`` is (cid, c_emb) and ``assigned`` adds a ``list_id``
     column — each vector's nearest centroid by exact cosine (ties →
     lowest cid, so assignment is deterministic and oracle-checkable).
 
-    Centroid choice is the deterministic degenerate "training": every
-    ``stride``-th vector by id. Real k-means (sampled Lloyd's iterations,
-    trained offline and broadcast) drops into the same seam — the
-    assignment plan below is unchanged by how centroids were produced.
+    Centroid choice: pass ``centroids`` (cid, c_emb) from any trainer —
+    e.g. ``train_ivf_kmeans`` (sampled Lloyd's, round-3) — or leave it
+    None for the deterministic degenerate "training" of every
+    ``stride``-th vector by id. The assignment plan below is unchanged
+    by how centroids were produced.
 
     Scale shape: centroids are a tiny broadcast dimension; assignment is
     ONE broadcast-join map pass over the corpus (no shuffle of the big
@@ -300,11 +306,14 @@ def ivf_assign(
     ``stride=None`` sizes itself from a corpus count as ~sqrt(n)
     (nlist ≈ sqrt(n), the standard IVF balance point) — corpus-sized by
     default, never a fixed-width constant."""
-    if stride is None:
-        stride = _auto_stride(embs.count())
-    cents = embs.filter(F.expr(f"{id_col} % {stride} = 0")).select(
-        F.col(id_col).alias("cid"), F.col(emb_col).alias("c_emb")
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        if stride is None:
+            stride = _auto_stride(embs.count())
+        cents = embs.filter(F.expr(f"{id_col} % {stride} = 0")).select(
+            F.col(id_col).alias("cid"), F.col(emb_col).alias("c_emb")
+        )
     scored = embs.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", cosine_col("c_emb", emb_col)
     )
@@ -327,6 +336,7 @@ def ann_topk_ivf(
     stride: int | None = IVF_STRIDE,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, vec_id, rn, cos_ppm): IVF approximate top-k — candidates are
     vectors whose inverted list is among the query's ``nprobe`` nearest
@@ -346,7 +356,7 @@ def ann_topk_ivf(
     filtered scan) would otherwise be recomputed per pass. Release with
     ``cache.release_caches()`` / ``cache_scope`` as usual."""
     embs = track(embs)
-    cents, assigned = ivf_assign(embs, stride, emb_col, id_col)
+    cents, assigned = ivf_assign(embs, stride, emb_col, id_col, centroids=centroids)
     ids = ", ".join(str(int(q)) for q in query_ids)
     qv = embs.filter(F.expr(f"{id_col} IN ({ids})")).select(
         F.col(id_col).alias("qid"), F.col(emb_col).alias("q_emb")
@@ -408,6 +418,222 @@ probed AS (
            ROW_NUMBER() OVER (PARTITION BY q.{id_col}
                               ORDER BY ({qcos}) DESC, c.cid) AS qrn
     FROM {src} q CROSS JOIN cents c WHERE q.{id_col} IN ({ids})) t
+  WHERE qrn <= {nprobe}),
+cd AS (
+  SELECT p.qid, p.q_emb, a.{id_col}, a.{emb_col}
+  FROM asg a JOIN probed p ON a.list_id = p.list_id
+  WHERE a.{id_col} <> p.qid),
+r AS (
+  SELECT qid, {id_col}, ({rcos}) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ({rcos}) DESC, {id_col}) AS rn
+  FROM cd)
+SELECT qid, {id_col}, CAST(rn AS BIGINT) AS rn,
+       CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm
+FROM r WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------- sampled-k-means IVF
+IVF_KMEANS_ITERS = 2
+#: 2^20 fixed-point quantum for the cross-engine centroid mean: member
+#: vectors are floor-quantized to integers, summed EXACTLY (int64, so the
+#: reduction is order-independent in any engine), and divided once — the
+#: only way a mean over a distributed/DuckDB/numpy reduction can be
+#: bit-identical everywhere. The 1e-6 per-component quantization is far
+#: below any effect on Voronoi geometry.
+_QUANT = 1 << 20
+
+
+def _fold_dot_np(a, b):
+    """(n,d)×(m,d) → (n,m) dot products accumulated SEQUENTIALLY over the
+    dimension axis — the exact operation order of ``textexpr.dot_expr``'s
+    left fold, so every value is bit-identical to both engines' SQL."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for i in range(a.shape[1]):
+        acc = acc + np.multiply.outer(a[:, i], b[:, i])
+    return acc
+
+
+def _fold_cos_np(a, b):
+    """Cosine matrix with dot/norm/divide in ``cosine_col``'s exact
+    operation order (norms multiplied first, one division)."""
+    import numpy as np
+
+    na = np.zeros(a.shape[0])
+    nb = np.zeros(b.shape[0])
+    for i in range(a.shape[1]):
+        na = na + a[:, i] * a[:, i]
+        nb = nb + b[:, i] * b[:, i]
+    return _fold_dot_np(a, b) / np.multiply.outer(np.sqrt(na), np.sqrt(nb))
+
+
+def train_ivf_kmeans(
+    embs: DataFrame,
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sampled Lloyd's k-means coarse quantizer: (cid, c_emb) centroids.
+
+    A deterministic id-hash sample (``id % sample_mod = 0``; size the
+    caller bounds ≤ ~10^5) is collected to the driver, trained with
+    ``iters`` Lloyd iterations in numpy, and the resulting tiny centroid
+    dimension handed back as a DataFrame for the unchanged ``ivf_assign``
+    broadcast seam — the standard offline-train/broadcast-index split a
+    10^12-vector IVF uses (the full corpus is never collected; only the
+    bounded sample is).
+
+    Cross-engine determinism (what makes the result oracle-checkable):
+    assignment uses the sequential-fold cosine (ties → lowest cid), and
+    the centroid update is a FIXED-POINT mean — floor(v·2^20) summed in
+    int64 (exact, order-independent) and divided once — so numpy here and
+    the unrolled SQL in ``ivf_kmeans_cents_ctes_duck`` produce
+    bit-identical centroids. Init: every ⌊m/nlist⌋-th sample vector in id
+    order; empty clusters drop (both sides); ``nlist=None`` →
+    ⌊√m⌋ (the IVF balance point)."""
+    import math
+
+    import numpy as np
+
+    rows = (
+        embs.filter(F.expr(f"{id_col} % {sample_mod} = 0"))
+        .select(id_col, emb_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    m = len(rows)
+    if m == 0:
+        raise ValueError("empty k-means training sample")
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    if nlist is None:
+        nlist = max(1, int(math.floor(math.sqrt(m))))
+    j = max(1, m // nlist)
+    C = X[::j][:nlist].copy()
+    cids = np.arange(C.shape[0], dtype=np.int64)
+    q = np.floor(X * float(_QUANT)).astype(np.int64)
+    for _ in range(iters):
+        assign = np.argmax(_fold_cos_np(X, C), axis=1)  # first max → lowest cid
+        surviving = np.unique(assign)
+        sums = np.zeros((len(surviving), X.shape[1]), dtype=np.int64)
+        cnts = np.zeros(len(surviving), dtype=np.int64)
+        for si, s in enumerate(surviving):
+            mask = assign == s
+            sums[si] = q[mask].sum(axis=0)
+            cnts[si] = mask.sum()
+        C = sums.astype(np.float64) / (cnts * _QUANT).astype(np.float64)[:, None]
+        cids = cids[surviving]
+    spark = embs.sparkSession
+    return spark.createDataFrame(
+        [(int(c), [float(v) for v in row]) for c, row in zip(cids, C)],
+        "cid bigint, c_emb array<double>",
+    )
+
+
+def ann_topk_ivf_kmeans(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``ann_topk_ivf`` with the sampled-k-means quantizer: data-adaptive
+    Voronoi cells instead of stride picks, same assignment / probe /
+    exact-rerank plan — measurably better recall at equal nprobe (see
+    tests/test_similarity.py)."""
+    embs = track(embs)
+    cents = train_ivf_kmeans(embs, nlist, iters, sample_mod, emb_col, id_col)
+    return ann_topk_ivf(
+        embs, query_ids, k, nprobe, stride=None, emb_col=emb_col,
+        id_col=id_col, centroids=cents,
+    )
+
+
+def ivf_kmeans_cents_ctes_duck(
+    src: str = "emb_corpus",
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> str:
+    """CTE chain ending in ``kmcents(cid, c_emb)`` — the unrolled SQL twin
+    of ``train_ivf_kmeans`` (same sample, init, fold cosine, tie rule,
+    and fixed-point mean → bit-identical centroids)."""
+    cos = _cos_duck("c.c_emb", "s.emb", dim)
+    nlist_sql = (
+        str(int(nlist))
+        if nlist is not None
+        else "GREATEST(1, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+    )
+    parts = [
+        f"""samp AS (SELECT {id_col} AS vid, {emb_col} AS emb FROM {src}
+         WHERE {id_col} % {sample_mod} = 0),
+sr AS (SELECT vid, emb, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM samp),
+prm AS (SELECT {nlist_sql} AS nlist,
+               GREATEST(1, COUNT(*) // {nlist_sql}) AS j
+        FROM samp),
+cents0 AS (SELECT (sr.rn - 1) // prm.j AS cid, sr.emb AS c_emb
+           FROM sr, prm
+           WHERE (sr.rn - 1) % prm.j = 0 AND (sr.rn - 1) // prm.j < prm.nlist)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""asg{t} AS (SELECT s.vid, s.emb, c.cid,
+       ROW_NUMBER() OVER (PARTITION BY s.vid ORDER BY ({cos}) DESC, c.cid) AS crn
+  FROM samp s CROSS JOIN cents{t - 1} c),
+qz{t} AS (SELECT a.cid, g.i AS pos,
+                 CAST(FLOOR(a.emb[g.i] * {float(_QUANT)!r}) AS BIGINT) AS qv
+  FROM asg{t} a CROSS JOIN UNNEST(generate_series(1, {dim})) AS g(i)
+  WHERE a.crn = 1),
+cents{t} AS (SELECT cid, list(comp ORDER BY pos) AS c_emb FROM (
+  SELECT cid, pos,
+         CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) * {_QUANT} AS DOUBLE) AS comp
+  FROM qz{t} GROUP BY 1, 2) GROUP BY 1)"""
+        )
+    parts.append(f"kmcents AS (SELECT cid, c_emb FROM cents{iters})")
+    return ",\n".join(parts)
+
+
+def ann_topk_ivf_kmeans_sql_duck(
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    src: str = "emb_corpus",
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ann_topk_ivf_kmeans (trained centroids in SQL, then
+    the identical assignment / probe / exact-rerank chain)."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    ccos = _cos_duck("c.c_emb", f"s.{emb_col}")
+    qcos = _cos_duck("c.c_emb", f"q.{emb_col}")
+    rcos = _cos_duck("cd.q_emb", f"cd.{emb_col}")
+    return f"""
+WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col)},
+asg AS (
+  SELECT {id_col}, {emb_col}, list_id FROM (
+    SELECT s.{id_col}, s.{emb_col}, c.cid AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                              ORDER BY ({ccos}) DESC, c.cid) AS crn
+    FROM {src} s CROSS JOIN kmcents c) t WHERE crn = 1),
+probed AS (
+  SELECT qid, q_emb, list_id FROM (
+    SELECT q.{id_col} AS qid, q.{emb_col} AS q_emb, c.cid AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_col}
+                              ORDER BY ({qcos}) DESC, c.cid) AS qrn
+    FROM {src} q CROSS JOIN kmcents c WHERE q.{id_col} IN ({ids})) t
   WHERE qrn <= {nprobe}),
 cd AS (
   SELECT p.qid, p.q_emb, a.{id_col}, a.{emb_col}

@@ -130,6 +130,48 @@ def test_ann_topk_ivf_lockstep_and_recall(spark, sf_dir, duck):
     assert hits / tot >= 0.5, f"IVF recall {hits}/{tot} too low"
 
 
+def test_ann_topk_ivf_kmeans_lockstep_and_recall(spark, sf_dir, duck):
+    """Sampled-k-means IVF (round-3): Spark == DuckDB by value (the numpy
+    Lloyd trainer and the unrolled SQL twin produce bit-identical
+    centroids via the fixed-point mean), and recall vs exact brute force
+    is at least the stride quantizer's at equal nprobe — the entire point
+    of a data-adaptive quantizer."""
+    embs = corpus_embs(spark, sf_dir)
+    got = _norm(S.ann_topk_ivf_kmeans(embs, QIDS, k=10).toPandas())
+    exp = _norm(
+        duck.execute(
+            _with_corpus(S.ann_topk_ivf_kmeans_sql_duck(QIDS, k=10))
+        ).fetch_df()
+    )
+    assert got.shape == exp.shape
+    assert (got.values == exp.values).all()
+
+    exact = S.ann_topk_bruteforce(embs, QIDS, k=10).toPandas()
+    # equal-footing stride quantizer: same nlist as the k-means run (the
+    # default stride=64 would give ~2 lists on this corpus — a trivially
+    # high-recall, high-scan index, not a comparison)
+    import math
+
+    n = embs.count()
+    nlist = max(1, int(math.floor(math.sqrt(n))))
+    stride = S.ann_topk_ivf(embs, QIDS, k=10, stride=max(1, n // nlist)).toPandas()
+
+    def recall(approx):
+        hits = tot = 0
+        for q in QIDS:
+            e = set(exact[exact["qid"] == q]["vec_id"])
+            g = set(approx[approx["qid"] == q]["vec_id"])
+            hits += len(e & g)
+            tot += len(e)
+        return hits / tot
+
+    r_km, r_stride = recall(got), recall(stride)
+    assert r_km >= r_stride, f"k-means recall {r_km} < stride recall {r_stride}"
+    # exact rerank: cosines of reported neighbors are true cosines
+    merged = got.merge(exact, on=["qid", "vec_id"], suffixes=("_l", "_e"))
+    assert (merged["cos_ppm_l"] == merged["cos_ppm_e"]).all()
+
+
 def test_ivf_auto_stride(spark, sf_dir):
     """stride=None sizes the quantizer from the corpus (~sqrt(n) lists)."""
     embs = corpus_embs(spark, sf_dir)
