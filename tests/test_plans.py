@@ -72,6 +72,68 @@ def test_bbox_prunes_scan_with_pushed_filters(spark, tbl):
     assert "zs#" in plan and "Filter" in plan
 
 
+def test_saved_table_bbox_scan_prunes_row_groups(spark, tmp_path):
+    """The Iceberg catalog can't run in this sandbox (SURVEY §7 fallback);
+    this proves the parquet path delivers the equivalent file/row-group
+    pruning ON REAL FOOTERS: save a built table, plan a small bbox query,
+    and (1) the zs range predicates reach the parquet scan as
+    PushedFilters, (2) the cover intersects only a small fraction of the
+    stored rows by row-group min/max stats — the exact mechanism (sorted
+    layout + footer stats) Iceberg file pruning uses, one level down."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from linear_quadtree_spark.operators.spatial import bbox_query
+
+    pts = spark.range(60_000).select(
+        F.col("id").alias("pid"),
+        geotag_x("pid").alias("x"),
+        geotag_y("pid").alias("y"),
+    )
+    t = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
+    path = str(tmp_path / "lqt")
+    t.save(path)
+    loaded = LQTTable.load(spark, path, DEFAULT_BOUNDS, tiebreaker="pid")
+    rect = (1020.0, 1025.0, 1030.0, 1035.0)  # 0.25% of the domain area
+    out = bbox_query(loaded, *rect)
+
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    assert "zs" in plan.split("PushedFilters", 1)[1][:4000]
+
+    ranges = loaded.cover(*rect)
+    tot_groups = hit_groups = tot_rows = hit_rows = 0
+    for f in glob.glob(f"{path}/main/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("zs")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows = md.row_group(g).num_rows
+            tot_groups += 1
+            tot_rows += rows
+            if any(st.max >= r.lo and st.min <= r.hi for r in ranges):
+                hit_groups += 1
+                hit_rows += rows
+    assert tot_groups >= 8, "fixture must produce a multi-row-group table"
+    assert hit_rows <= 0.25 * tot_rows, (
+        f"cover hit {hit_rows}/{tot_rows} rows in "
+        f"{hit_groups}/{tot_groups} row groups — layout is not pruning"
+    )
+
+    # and the pruned scan still answers exactly
+    exp = (
+        spark.read.parquet(f"{path}/main")
+        .unionByName(spark.read.parquet(f"{path}/side"))
+        .filter(
+            (F.col("x") >= rect[0]) & (F.col("x") <= rect[1])
+            & (F.col("y") >= rect[2]) & (F.col("y") <= rect[3])
+        )
+        .count()
+    )
+    assert out.count() == exp
+
+
 def test_text_ops_no_shuffle_no_python(spark, sf_dir):
     from linear_quadtree_spark.operators.text import quality_score, token_stats
 
