@@ -42,6 +42,7 @@ from linear_quadtree_spark.operators.spatial import (  # noqa: E402
     tile_stats,
 )
 from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck  # noqa: E402
+from linear_quadtree_spark.functions.hexcell import hex_stats_sql_duck  # noqa: E402
 from linear_quadtree_spark.operators import clean as _clean  # noqa: E402
 from linear_quadtree_spark.operators import dedup as _dedup  # noqa: E402
 from linear_quadtree_spark.operators.crawl import captures_cte_duck  # noqa: E402
@@ -643,6 +644,90 @@ def _q_geocell_stats(spark, sf_dir):
     )
 
 
+def _q_surt_canonical(spark, sf_dir):
+    """SURT url canonicalization (round-3): four deterministic spellings
+    of each page url (case / www / default ports) collapse to one
+    Common-Crawl-style CDX key (operators/crawl.py surt_key_expr) —
+    pure string/regexp expressions, per-row value-hash checked."""
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+    from linear_quadtree_spark.operators.crawl import surt_keys, url_variants_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = url_variants_expr(_S, "doc_id", "source")
+    return surt_keys(docs.select("doc_id", F.expr(u).alias("url"))).select(
+        "doc_id", "url", "surt_key"
+    )
+
+
+HEX_RES = 6
+SLIPPY_ZOOM = 4
+
+
+def _q_slippy_tile_stats(spark, sf_dir):
+    """Geodetic tiling (round-3): synthetic WGS84 lon/lat from doc ids →
+    Web-Mercator slippy tiles (z/x/y) + Bing quadkey at zoom 4, per-tile
+    rollup (functions/mercator.py). One narrow map + one hash aggregate.
+    The transcendental transform (ln/tan) is verified to assign every
+    fixture row identically in both engines (tests/test_mercator.py)."""
+    from linear_quadtree_spark.functions.mercator import (
+        lonlat_from_id_exprs,
+        quadkey_expr,
+        slippy_tile_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = lonlat_from_id_exprs(_S, "doc_id")
+    tx, ty = slippy_tile_exprs(_S, lon, lat, SLIPPY_ZOOM)
+    qk = quadkey_expr(_S, "tx", "ty", SLIPPY_ZOOM)
+    return (
+        docs.select("doc_id", F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+        .withColumn("quadkey", F.expr(qk))
+        .groupBy("quadkey", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("doc_id").alias("sum_id"))
+    )
+
+
+def _crawl_surt_oracle() -> str:
+    from linear_quadtree_spark.operators.crawl import surt_canonical_sql_duck
+
+    return surt_canonical_sql_duck("documents", "doc_id")
+
+
+def _slippy_oracle() -> str:
+    from linear_quadtree_spark.functions.mercator import (
+        lonlat_from_id_exprs,
+        quadkey_expr,
+        slippy_tile_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    tx, ty = slippy_tile_exprs(_D, lon, lat, SLIPPY_ZOOM)
+    qk = quadkey_expr(_D, "tx", "ty", SLIPPY_ZOOM)
+    return f"""
+WITH t AS (SELECT doc_id, {tx} AS tx, {ty} AS ty FROM documents)
+SELECT {qk} AS quadkey, tx, ty,
+       COUNT(*) AS n_pages, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+def _q_hexcell_stats(spark, sf_dir):
+    """Hexagonal alternate index (round-3): per-hex rollup on the axial
+    pointy-top lattice (functions/hexcell.py — the honest H3-style index:
+    6-neighbor topology, k-ring algebra). One narrow map + one hash
+    aggregate; bit-identical cell assignment in both engines."""
+    from linear_quadtree_spark.functions.hexcell import with_hexcell
+
+    pts = geotagged_docs(spark, sf_dir)
+    return (
+        with_hexcell(pts, res=HEX_RES)
+        .groupBy("hexcell")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("doc_id").alias("sum_id"))
+    )
+
+
 # ------------------------------------------------- z-order clustering
 #: assumed column ranges for the z-order key (clamped, sf-independent;
 #: at cluster scale these come from table stats)
@@ -819,6 +904,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "domain_stats": _q_domain_stats,
         # alternate index
         "geocell_stats": _q_geocell_stats,
+        "hexcell_stats": _q_hexcell_stats,
+        "slippy_tile_stats": _q_slippy_tile_stats,
+        "surt_canonical": _q_surt_canonical,
         # z-order clustering
         "zorder_key_stats": _q_zorder_key_stats,
         # relational joins
@@ -1168,6 +1256,12 @@ SELECT {geocell_sql_duck('px', 'py', DEFAULT_BOUNDS, GEOCELL_LEVEL)} AS geocell,
        COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM pts GROUP BY 1
 """,
+        "hexcell_stats": (
+            f"WITH {_PTS_CTE}\n"
+            + hex_stats_sql_duck("pts", "px", "py", "doc_id", DEFAULT_BOUNDS, HEX_RES)
+        ),
+        "slippy_tile_stats": _slippy_oracle(),
+        "surt_canonical": _crawl_surt_oracle(),
         # ---- z-order clustering
         "zorder_key_stats": _zorder_oracle(),
         # ---- relational joins

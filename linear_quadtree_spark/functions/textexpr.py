@@ -166,6 +166,16 @@ class Eng:
 SPARK = Eng("spark")
 DUCK = Eng("duck")
 
+
+def dlit(v: float) -> str:
+    """Engine-portable DOUBLE literal. A bare 16-17-digit decimal literal
+    parses as DECIMAL in both engines, and DuckDB's DECIMAL→DOUBLE
+    conversion double-rounds through the scaled int128 — measured 1-ulp
+    drift vs the direct string→double parse (enough to flip a floor/
+    round). Exponent notation parses natively as DOUBLE in both."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "e0"
+
 _BIG0 = "CAST(0 AS BIGINT)"
 
 

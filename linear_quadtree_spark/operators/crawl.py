@@ -115,6 +115,81 @@ def domain_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+# -------------------------------------------------- SURT canonicalization
+def url_variants_expr(e, id_col: str, source_col: str) -> str:
+    """Deterministic MESSY url synth (round-3): the same logical page in
+    four spellings keyed by ``id % 4`` — clean https, uppercase scheme +
+    WWW + uppercase host, explicit default :443, and a www2/mixed-case/
+    :80 variant. All four canonicalize to one SURT key; this is the
+    adversarial input the canonicalizer is tested and oracle-checked
+    against (engine-portable string expressions)."""
+    path = f"CONCAT('/', {source_col}, '/page-', CAST({id_col} AS VARCHAR))" \
+        if e.name == "duck" else \
+        f"CONCAT('/', {source_col}, '/page-', CAST({id_col} AS STRING))"
+    return (
+        f"CASE CAST(({id_col}) % 4 AS INT) "
+        f"WHEN 0 THEN CONCAT('https://example.org', {path}) "
+        f"WHEN 1 THEN CONCAT('HTTP://WWW.EXAMPLE.ORG', {path}) "
+        f"WHEN 2 THEN CONCAT('https://example.org:443', {path}) "
+        f"ELSE CONCAT('http://www2.Example.Org:80', {path}) END"
+    )
+
+
+def surt_key_expr(e, url_col: str) -> str:
+    """SURT key (Sort-friendly URI Reordering Transform — the Common
+    Crawl / Internet Archive CDX index key; public spec at
+    github.com/internetarchive/surt) of a url expression:
+
+    scheme stripped → host lowercased → leading www\\d*. dropped →
+    default :80/:443 port dropped → host labels REVERSED and
+    comma-joined → ``)`` → path (case-preserved, '/' if empty).
+
+    Reversed-host ordering is what makes the key an index: all pages of
+    a registrable domain share a key prefix, so CDX range scans and the
+    zkey's prefix algebra are the same trick in string space. Pure
+    engine-portable string/regexp expressions — no UDF."""
+    nos = e.re_replace_all(f"CAST({url_col} AS {'STRING' if e.name == 'spark' else 'VARCHAR'})",
+                           r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = f"LOWER(regexp_extract({nos}, '^([^/]*)', 1))"
+    authority = e.re_replace_all(authority, r":(80|443)$", "")
+    authority = e.re_replace_all(authority, r"^www[0-9]*\.", "")
+    # non-default port: strip before the label reversal, re-append after
+    # (SURT format: "tld,domain,sub:8080)/path")
+    host = e.re_replace_all(authority, r":[0-9]+$", "")
+    port = f"regexp_extract({authority}, ':([0-9]+)$', 1)"
+    port_sfx = f"CASE WHEN LENGTH({port}) = 0 THEN '' ELSE CONCAT(':', {port}) END"
+    raw_path = f"SUBSTRING({nos}, LENGTH(regexp_extract({nos}, '^([^/]*)', 1)) + 1)"
+    path = f"CASE WHEN LENGTH({raw_path}) = 0 THEN '/' ELSE {raw_path} END"
+    if e.name == "spark":
+        rev = f"array_join(reverse(split({host}, '\\\\.')), ',')"
+    else:
+        rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    return f"CONCAT({rev}, {port_sfx}, ')', {path})"
+
+
+def surt_keys(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``surt_key`` — a narrow map; downstream `latest_capture` /
+    dedup / domain rollups group on the canonical key instead of the raw
+    url, which is how a 10^12-page CDX index actually keys (multi-spelled
+    urls of one page collapse BEFORE the shuffle, not after)."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    return pages.withColumn("surt_key", F.expr(surt_key_expr(SPARK, url_col)))
+
+
+def surt_canonical_sql_duck(src: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of the registry's surt_canonical query (same variant
+    synth, same SURT expressions)."""
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    u = url_variants_expr(DUCK, id_col, "source")
+    surt = surt_key_expr(DUCK, "u")
+    return f"""
+WITH v AS (SELECT {id_col}, {u} AS u FROM {src})
+SELECT {id_col}, u AS url, {surt} AS surt_key FROM v
+"""
+
+
 # -------------------------------------------------------- text extraction
 #: entity decode order matters: named/numeric entities first, &amp; LAST
 #: (single-pass decode; '&amp;lt;' correctly yields '&lt;', not '<').

@@ -132,3 +132,67 @@ def test_distance_join_boundary_cases(spark):
     assert (7, 8) in got        # side-relation (midline) rows participate
     assert not any(9 in p for p in got)
     tbl.unpersist()
+
+
+def test_surt_key_collapses_url_variants(spark):
+    """All four messy spellings of one page (case, www/www2, default
+    ports) canonicalize to the identical SURT key, with the
+    reversed-host prefix + ')' + case-preserved path."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+    from linear_quadtree_spark.operators.crawl import surt_key_expr, surt_keys
+
+    urls = [
+        (0, "https://example.org/news/page-7"),
+        (1, "HTTP://WWW.EXAMPLE.ORG/news/page-7"),
+        (2, "https://example.org:443/news/page-7"),
+        (3, "http://www2.Example.Org:80/news/page-7"),
+    ]
+    df = surt_keys(spark.createDataFrame(urls, ["i", "url"]))
+    keys = {r.surt_key for r in df.collect()}
+    assert keys == {"org,example)/news/page-7"}
+    # non-default port survives; empty path becomes '/'; path case kept
+    extra = [
+        (0, "https://a.b.example.net:8080/X/Y"),
+        (1, "https://example.net"),
+    ]
+    got = {
+        r.i: r.surt_key
+        for r in surt_keys(spark.createDataFrame(extra, ["i", "url"])).collect()
+    }
+    assert got[0] == "net,example,b,a:8080)/X/Y"
+    assert got[1] == "net,example)/"
+
+
+def test_surt_lockstep_with_duckdb(spark):
+    """Spark and DuckDB produce identical SURT keys for the registry's
+    variant synth over a sampled id/source grid."""
+    import duckdb
+
+    from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+    from linear_quadtree_spark.operators.crawl import (
+        surt_key_expr,
+        url_variants_expr,
+    )
+
+    rows = [(i, s) for i in range(40) for s in ("web", "news", "blog")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    u = url_variants_expr(SPARK, "doc_id", "source")
+    got = {
+        (r.doc_id, r.source): (r.url, r.surt)
+        for r in df.select(
+            "doc_id", "source", F.expr(u).alias("url"),
+            F.expr(surt_key_expr(SPARK, url_variants_expr(SPARK, "doc_id", "source"))).alias("surt"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    du = url_variants_expr(DUCK, "doc_id", "source")
+    dsurt = surt_key_expr(DUCK, du)
+    vals = ", ".join(f"({i}, '{s}')" for i, s in rows)
+    exp = {
+        (i, s): (url, surt)
+        for i, s, url, surt in con.execute(
+            f"SELECT doc_id, source, {du} AS url, {dsurt} AS surt "
+            f"FROM (VALUES {vals}) AS t(doc_id, source)"
+        ).fetchall()
+    }
+    assert got == exp
