@@ -76,6 +76,24 @@ def wait_host_quiet(max_wait_s: float = 120.0) -> list[float]:
         time.sleep(15)
 
 
+#: probe triple taken immediately before each timed section — per-query
+#: disclosure of the host conditions every number was measured under
+#: (VERDICT r2: the r2 bench was taken in a contaminated window and the
+#: contamination was only visible on the one pre-build probe)
+PROBES: dict[str, list] = {}
+
+
+def _probe_mark(name: str) -> float:
+    """Record the pre-section host probe triple and start the clock."""
+    try:
+        from jobs.scaling_bench import probe
+
+        PROBES[name] = [round(x, 2) for x in probe()]
+    except Exception:
+        PROBES[name] = []
+    return time.time()
+
+
 def main() -> None:
     spark = get_spark(
         app_name="lqt-bench",
@@ -98,22 +116,80 @@ def main() -> None:
 
     # --- build (headline): encode + repartitionByRange + sortWithinPartitions
     # fixed-cost-minimal shape (see jobs/scaling_bench.py): sampling pass
-    # materializes the encode cache; one union action covers main + side
-    probe_at_build = wait_host_quiet()
+    # materializes the encode cache; one union action covers main + side.
+    # The headline runs under the FULL scaling-bench certification
+    # protocol (VERDICT r2 #1): three-way probe gate before the clock,
+    # in-flight bandwidth + 8-thread monitors during the measured region,
+    # endpoint re-probe after — `build_clean` in the JSON is true only
+    # when all of them were nominal.
+    probe_at_build = wait_host_quiet(
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "300"))
+    )
+    import threading
+
+    import numpy as np
+
+    mid_bw = [0.0]
+    mid_par8 = [0.0]
+    stop_flag = [False]
+
+    def _monitor() -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        big = np.zeros(32_000_000)
+        big *= 1.000001  # fault the pages in — the first touch of a fresh
+        # 256MB allocation costs ~2s of page faults and would read as a
+        # bandwidth collapse inside the measured region
+        small = np.random.default_rng(0).random(2_000_000)
+        tick = 0
+        while not stop_flag[0]:
+            t = time.time()
+            big *= 1.000001
+            mid_bw[0] = max(mid_bw[0], time.time() - t)
+            if tick % 3 == 2:
+                t = time.time()
+                with ThreadPoolExecutor(8) as ex:
+                    list(ex.map(lambda _: np.sort(small), range(8)))
+                mid_par8[0] = max(mid_par8[0], time.time() - t)
+            tick += 1
+            time.sleep(5)
+
+    t0 = _probe_mark("build")  # before the monitor starts streaming
+    mon = threading.Thread(target=_monitor, daemon=True)
+    mon.start()
     t0 = time.time()
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid",
                          persist=False, eager_count=False)
     materialize(tbl.main.unionByName(tbl.side))
     timings["build"] = time.time() - t0
+    stop_flag[0] = True
+    mon.join(timeout=30)
     tbl.unpersist()
     build_rows_per_sec = n_rows / timings["build"]
+    try:
+        from jobs.scaling_bench import (
+            MID_BW_LIMIT_S,
+            MID_PAR8_LIMIT_S,
+            _quiet,
+            probe,
+        )
+
+        probe_post_build = [round(x, 2) for x in probe()]
+        build_clean = (
+            _quiet(tuple(probe_at_build))
+            and _quiet(tuple(probe_post_build))
+            and mid_bw[0] <= MID_BW_LIMIT_S
+            and mid_par8[0] <= MID_PAR8_LIMIT_S
+        )
+    except Exception:
+        probe_post_build, build_clean = [], False
 
     # cached table for the query benches (queries assume a built tree)
     tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=True)
     tbl.main.count()
     tbl.side.count()
 
-    t0 = time.time()
+    t0 = _probe_mark("bbox_x3")
     c = 0
     for rect in [
         (1020.0, 1045.0, 1030.0, 1070.0),
@@ -123,7 +199,7 @@ def main() -> None:
         c += bbox_query(tbl, *rect).count()
     timings["bbox_x3"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("pip_join")
     polys = polygons_df(spark, 16)
     pip_rows = point_in_polygon_join(tbl, polys).count()
     timings["pip_join"] = time.time() - t0
@@ -133,20 +209,20 @@ def main() -> None:
     # bbox cover, broadcast cell join, JVM edge-fold refine. Radii are
     # scaled down so the OUTPUT pair count (a workload property) stays
     # comparable to the 16-polygon entry.
-    t0 = time.time()
+    t0 = _probe_mark("pip_join_10kpoly")
     from linear_quadtree_spark.sources.synth import polygons_df_distributed
     pip10k_rows = point_in_polygon_join(
         tbl, polygons_df_distributed(spark, 10_000, r_scale=0.05)
     ).count()
     timings["pip_join_10kpoly"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("knn16_k10")
     q = knn_queries_df(spark, 16)
     knn_rows = knn_join(tbl, q, k=10).count()
     timings["knn16_k10"] = time.time() - t0
 
     # bulk kNN: 10k queries as a distributed DataFrame (never collected)
-    t0 = time.time()
+    t0 = _probe_mark("knn_bulk_10k")
     qbulk = spark.range(10_000).select(
         F.col("id").cast("int").alias("qid"),
         (1000.0 + 100.0 * (((F.col("id") * 48271 + 11) % 1000) / 1000.0)).alias("qx"),
@@ -155,33 +231,33 @@ def main() -> None:
     knn_bulk_rows = knn_join(tbl, qbulk, k=10).count()
     timings["knn_bulk_10k"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tile_stats_z8")
     tile_rows = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tile_polygons_z8")
     from linear_quadtree_spark.operators.spatial import tile_polygons
     tpoly_rows = tile_polygons(tbl, zoom=8).count()
     timings["tile_polygons_z8"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tile_pyramid_z2468")
     from linear_quadtree_spark.operators.spatial import tile_pyramid
     tpyr_rows = tile_pyramid(tbl, [2, 4, 6, 8]).count()
     timings["tile_pyramid_z2468"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("distance_join_r01")
     from linear_quadtree_spark.operators.spatial import distance_join
     dj_rows = distance_join(tbl, r=0.1).count()
     timings["distance_join_r01"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("latest_capture")
     from linear_quadtree_spark.operators.crawl import captures_table, latest_capture
     lc_rows = latest_capture(captures_table(spark, SF_DIR)).count()
     timings["latest_capture"] = time.time() - t0
 
     # incremental maintenance: ingest a 1/32 delta as a sorted run and
     # query the merged view — cost must track the DELTA, not the base
-    t0 = time.time()
+    t0 = _probe_mark("incremental_append")
     from linear_quadtree_spark.operators.maintain import merge_runs
     delta = pts.filter(F.col("pid") % 32 == 0)
     # the run is PERSISTED like a written delta file would be: querying
@@ -194,24 +270,24 @@ def main() -> None:
     timings["incremental_append"] = time.time() - t0
     run.unpersist()
 
-    t0 = time.time()
+    t0 = _probe_mark("rasterize_z8")
     from linear_quadtree_spark.operators.spatial import rasterize_polygons
     rast_rows = rasterize_polygons(polygons_df(spark, 16), zoom=8).count()
     timings["rasterize_z8"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tile_activity")
     from linear_quadtree_spark.operators.spacetime import tile_activity
     ta_rows = tile_activity(
         spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=4
     ).count()
     timings["tile_activity"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("focal_smooth_z8")
     from linear_quadtree_spark.operators.spatial import focal_smooth
     focal_rows = focal_smooth(tbl, zoom=8).count()
     timings["focal_smooth_z8"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("asof_join")
     from linear_quadtree_spark.operators.asof import asof_join
     from linear_quadtree_spark.operators.crawl import captures_table
     caps = captures_table(spark, SF_DIR)
@@ -224,7 +300,7 @@ def main() -> None:
     ).count()
     timings["asof_join"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("zorder_cluster")
     from linear_quadtree_spark.functions.zorder import cluster_by_zorder
     zli = cluster_by_zorder(
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
@@ -246,16 +322,16 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     corp = corpus_docs(spark, SF_DIR)
 
-    t0 = time.time()
+    t0 = _probe_mark("text_stats")
     ts_rows = token_stats(docs).count()
     qs_rows = quality_score(docs).count()
     timings["text_stats"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("exact_dedup")
     ded_rows = exact_dedup(corp).count()
     timings["exact_dedup"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("incremental_dedup")
     from linear_quadtree_spark.operators.text import dedup_against, fingerprint
     incr_ded_rows = dedup_against(
         corp.filter(F.col("doc_id") % 2 == 1),
@@ -263,27 +339,27 @@ def main() -> None:
     ).count()
     timings["incremental_dedup"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("vocab_stats")
     from linear_quadtree_spark.operators.text import vocab_stats
     vocab_rows = vocab_stats(docs, top_k=1000).count()
     timings["vocab_stats"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tfidf_keywords")
     from linear_quadtree_spark.operators.text import tfidf_keywords
     tfidf_rows = tfidf_keywords(docs, top_k=5).count()
     timings["tfidf_keywords"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("curate_corpus")
     from linear_quadtree_spark.operators.text import curate_corpus
     curated_rows = curate_corpus(corp).count()
     timings["curate_corpus"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("tile_quality_rollup")
     import __spark_entry__ as _entry
     rollup_rows = _entry.queries()["tile_quality_rollup"](spark, SF_DIR).count()
     timings["tile_quality_rollup"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
         decontaminate,
@@ -295,21 +371,21 @@ def main() -> None:
     rep_rows = repetition_stats(docs).count()
     timings["repetition_stats"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("pii_scrub")
     pii_rows = pii_scrub(
         docs.withColumn("text", F.expr(pii_demo_text_expr(_SPARK_ENG)))
     ).count()
     timings["pii_scrub"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("boilerplate_ngrams")
     boiler_rows = boilerplate_ngrams(docs).count()
     timings["boilerplate_ngrams"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("decontaminate")
     decon_rows = decontaminate(docs).count()
     timings["decontaminate"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("extract_text")
     from linear_quadtree_spark.operators.crawl import extract_text
     from linear_quadtree_spark.sources.pages import pages_table
     extract_rows = extract_text(pages_table(spark, SF_DIR)).filter(
@@ -317,43 +393,43 @@ def main() -> None:
     ).count()
     timings["extract_text"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("minhash_lsh")
     mh_rows = minhash_lsh_pairs(corp).count()
     timings["minhash_lsh"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("dedup_groups")
     from linear_quadtree_spark.operators.components import dedup_groups
     grp_rows = dedup_groups(corp, minhash_lsh_pairs(corp)).count()
     timings["dedup_groups"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("simhash_pairs")
     sh_rows = simhash_pairs(corp).count()
     timings["simhash_pairs"] = time.time() - t0
 
     embs = corpus_embs(spark, SF_DIR)
-    t0 = time.time()
+    t0 = _probe_mark("ann_topk")
     ann_rows = ann_topk_bruteforce(embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10).count()
     timings["ann_topk"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("ann_topk_lsh")
     ann_lsh_rows = ann_topk_lsh(embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10).count()
     timings["ann_topk_lsh"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("ann_topk_ivf")
     from linear_quadtree_spark.operators.similarity import ann_topk_ivf
     ann_ivf_rows = ann_topk_ivf(
         embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10, stride=None
     ).count()
     timings["ann_topk_ivf"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("ann_topk_ivf_km")
     from linear_quadtree_spark.operators.similarity import ann_topk_ivf_kmeans
     ann_km_rows = ann_topk_ivf_kmeans(
         embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10
     ).count()
     timings["ann_topk_ivf_km"] = time.time() - t0
 
-    t0 = time.time()
+    t0 = _probe_mark("emb_neardup")
     from linear_quadtree_spark.operators.similarity import _make_planes
     nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
     timings["emb_neardup"] = time.time() - t0
@@ -367,6 +443,11 @@ def main() -> None:
         "rows": n_rows,
         "cpus": CPUS,
         "host_probe_at_build": probe_at_build,
+        "host_probe_post_build": probe_post_build,
+        "build_mid_max_bw": round(mid_bw[0], 2),
+        "build_mid_max_par8": round(mid_par8[0], 2),
+        "build_clean": build_clean,
+        "host_probe_per_query": PROBES,
         "aux": {
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -132,6 +132,9 @@ def child(cores: int, rows: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         big = np.zeros(32_000_000)
+        big *= 1.000001  # fault pages in: the first touch of a fresh 256MB
+        # allocation costs ~2s of page faults and would read as an
+        # in-region bandwidth collapse on a perfectly quiet host
         small = np.random.default_rng(0).random(2_000_000)
         tick = 0
         while not stop_flag[0]:
