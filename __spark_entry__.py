@@ -713,6 +713,112 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+#: SURT prefix for the CDX range-scan query: no trailing slash, so the
+#: closed-open range [prefix, prefix+1) covers src1 AND src10..src19 —
+#: exactly the "prefix = string range" algebra under test.
+CDX_PREFIX = "org,example)/src1"
+
+#: (site, lon, lat) dimension for the geodesic join; radius in km.
+HAV_SITES = [
+    ("tokyo", 139.69, 35.69),
+    ("london", -0.13, 51.51),
+    ("nyc", -74.01, 40.71),
+    ("sydney", 151.21, -33.87),
+    ("saopaulo", -46.63, -23.55),
+    ("nairobi", 36.82, -1.29),
+]
+HAV_RADIUS_KM = 2500.0
+
+
+def _q_cdx_range_scan(spark, sf_dir):
+    """CDX index lookup (round-3): multi-spelled recrawl captures →
+    SURT canonicalization → sargable string-range scan of a key prefix
+    → latest capture per canonical key (operators/crawl.py
+    cdx_range_scan) — the string-space twin of bbox_query's zkey range
+    scan."""
+    from linear_quadtree_spark.operators.crawl import cdx_captures, cdx_range_scan
+
+    return cdx_range_scan(cdx_captures(spark, sf_dir), CDX_PREFIX)
+
+
+def _q_haversine_sites(spark, sf_dir):
+    """Geodesic distance join (round-3): pages (synthetic WGS84 lon/lat)
+    within HAV_RADIUS_KM great-circle km of each of 6 city sites —
+    broadcast the site dimension, haversine as a pure double expression
+    (functions/mercator.py), one hash aggregate. No UDF, no shuffle of
+    the page side beyond the final rollup."""
+    from linear_quadtree_spark.functions.mercator import (
+        haversine_km_expr,
+        lonlat_from_id_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = lonlat_from_id_exprs(_S, "doc_id")
+    pts = docs.select(
+        "doc_id", F.expr(lon).alias("lon"), F.expr(lat).alias(("lat"))
+    )
+    sites = spark.createDataFrame(
+        HAV_SITES, "site string, slon double, slat double"
+    )
+    d = haversine_km_expr(_S, "lon", "lat", "slon", "slat")
+    return (
+        pts.crossJoin(F.broadcast(sites))
+        .filter(F.expr(d) <= F.lit(HAV_RADIUS_KM))
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+    )
+
+
+def _cdx_oracle() -> str:
+    from linear_quadtree_spark.operators.crawl import cdx_range_scan_sql_duck
+
+    return cdx_range_scan_sql_duck(CDX_PREFIX)
+
+
+def _haversine_oracle() -> str:
+    from linear_quadtree_spark.functions.mercator import (
+        haversine_km_expr,
+        lonlat_from_id_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D, dlit
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    vals = ", ".join(
+        f"('{s}', {dlit(lo)}, {dlit(la)})" for s, lo, la in HAV_SITES
+    )
+    d = haversine_km_expr(_D, "lon", "lat", "slon", "slat")
+    return f"""
+WITH pts AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents)
+SELECT site, COUNT(*) AS n_pages, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM pts, (VALUES {vals}) AS s(site, slon, slat)
+WHERE {d} <= {dlit(HAV_RADIUS_KM)}
+GROUP BY 1
+"""
+
+
+def _q_hex_focal(spark, sf_dir):
+    """Hex focal smoothing (round-3): per-hex density averaged over the
+    k=1 7-cell ring via packed-id scatter-gather (functions/hexcell.py
+    hex_focal_smooth) — the hexagonal twin of focal_smooth."""
+    from linear_quadtree_spark.functions.hexcell import hex_focal_smooth
+
+    pts = geotagged_docs(spark, sf_dir)
+    return hex_focal_smooth(pts, "x", "y", res=HEX_RES)
+
+
+def _hex_focal_oracle() -> str:
+    from linear_quadtree_spark.functions.hexcell import hex_focal_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        + hex_focal_sql_duck("pts", "px", "py", res=HEX_RES)
+    )
+
+
 def _q_hexcell_stats(spark, sf_dir):
     """Hexagonal alternate index (round-3): per-hex rollup on the axial
     pointy-top lattice (functions/hexcell.py — the honest H3-style index:
@@ -905,8 +1011,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
+        "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
         "surt_canonical": _q_surt_canonical,
+        "cdx_range_scan": _q_cdx_range_scan,
+        "haversine_sites": _q_haversine_sites,
         # z-order clustering
         "zorder_key_stats": _q_zorder_key_stats,
         # relational joins
@@ -1260,8 +1369,11 @@ FROM pts GROUP BY 1
             f"WITH {_PTS_CTE}\n"
             + hex_stats_sql_duck("pts", "px", "py", "doc_id", DEFAULT_BOUNDS, HEX_RES)
         ),
+        "hex_focal_smooth": _hex_focal_oracle(),
         "slippy_tile_stats": _slippy_oracle(),
         "surt_canonical": _crawl_surt_oracle(),
+        "cdx_range_scan": _cdx_oracle(),
+        "haversine_sites": _haversine_oracle(),
         # ---- z-order clustering
         "zorder_key_stats": _zorder_oracle(),
         # ---- relational joins

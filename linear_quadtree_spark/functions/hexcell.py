@@ -52,6 +52,8 @@ __all__ = [
     "hex_parent_expr",
     "hex_kring_offsets",
     "hex_kring_col",
+    "hex_focal_smooth",
+    "hex_focal_sql_duck",
     "hex_stats_sql_duck",
 ]
 
@@ -202,6 +204,86 @@ def hex_kring_col(cell_col: str, k: int) -> Column:
             for dq, dr in offs
         ]
     )
+
+
+def hex_focal_smooth(
+    pts: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    bounds: Bounds = DEFAULT_BOUNDS,
+    res: int = 6,
+) -> DataFrame:
+    """Hex focal (neighborhood) smoothing: per-hex point density
+    averaged over the 7-cell k=1 ring (self + 6 neighbors) — the
+    hexagonal twin of `operators/spatial.focal_smooth`, and the op the
+    6-neighbor topology exists FOR (no corner-touching ambiguity: every
+    neighbor shares a full edge, so one ring is one convolution).
+
+    Scale shape: scatter-gather on the TILE relation, same as the
+    square focal — per-hex aggregate (map-side combine, one shuffle of
+    raw rows), occupied hexes scatter their count to their 7 ring cells
+    via pure packed-id arithmetic (dq·2^32 + dr), then ONE groupBy on
+    the target cell gathers. The 7x fanout applies to occupied hexes
+    only, never the data; no inequality join anywhere.
+
+    Output per OCCUPIED hex: (hexcell, n_points, focal_sum,
+    n_occupied_nbrs, focal_mean) with focal_mean = focal_sum / 7
+    (the hex lattice is unbounded — the window is always 7 cells)."""
+    per = (
+        with_hexcell(pts, x_col, y_col, bounds, res)
+        .groupBy("hexcell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    deltas = [dq * HEX_PACK + dr for dq, dr in hex_kring_offsets(1)]
+    contrib = per.select(
+        F.explode(
+            F.array(*[(F.col("hexcell") + F.lit(d).cast("long")) for d in deltas])
+        ).alias("target"),
+        "n_points",
+    )
+    focal = contrib.groupBy("target").agg(
+        F.sum("n_points").alias("focal_sum"),
+        F.count(F.lit(1)).alias("n_occupied_nbrs"),
+    )
+    return (
+        per.join(focal, per["hexcell"] == focal["target"])
+        .withColumn(
+            "focal_mean", F.col("focal_sum").cast("double") / F.lit(7.0)
+        )
+        .select(
+            "hexcell", "n_points", "focal_sum", "n_occupied_nbrs", "focal_mean"
+        )
+    )
+
+
+def hex_focal_sql_duck(
+    src: str,
+    x_col: str,
+    y_col: str,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    res: int = 6,
+) -> str:
+    """DuckDB twin by the DEFINITION: occupied-hex relation, then a
+    delta-offset SELF-JOIN (``a.hexcell - b.hexcell IN ring``) —
+    deliberately a different plan family than the Spark scatter-gather
+    (gather-by-probe vs scatter-by-explode)."""
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    cell = hexcell_expr(DUCK, x_col, y_col, bounds, res)
+    deltas = ", ".join(
+        str(dq * HEX_PACK + dr) for dq, dr in hex_kring_offsets(1)
+    )
+    return f"""
+g AS (SELECT {cell} AS hexcell, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM {src} GROUP BY 1),
+nb AS (SELECT a.hexcell, a.n_points,
+              CAST(SUM(b.n_points) AS BIGINT) AS focal_sum,
+              CAST(COUNT(*) AS BIGINT) AS n_occupied_nbrs
+       FROM g a JOIN g b ON a.hexcell - b.hexcell IN ({deltas})
+       GROUP BY 1, 2)
+SELECT hexcell, n_points, focal_sum, n_occupied_nbrs,
+       CAST(focal_sum AS DOUBLE) / 7.0e0 AS focal_mean
+FROM nb"""
 
 
 def hex_stats_sql_duck(

@@ -47,6 +47,8 @@ __all__ = [
     "slippy_tile_exprs",
     "quadkey_expr",
     "lonlat_from_id_exprs",
+    "EARTH_RADIUS_KM",
+    "haversine_km_expr",
 ]
 
 #: Web-Mercator latitude clamp: atan(sinh(π)) in degrees.
@@ -149,6 +151,40 @@ def quadkey_expr(e: Eng, tx: str, ty: str, zoom: int) -> str:
         return "''"
     concat_args = ", ".join(f"CAST({d} AS STRING)" if e.name == "spark" else f"CAST({d} AS VARCHAR)" for d in digits)
     return f"CONCAT({concat_args})"
+
+
+#: IUGG mean Earth radius, km — the constant every public haversine uses.
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km_expr(
+    e: Eng, lon1: str, lat1: str, lon2: str, lat2: str
+) -> str:
+    """Great-circle distance in km between two (lon, lat) degree pairs —
+    the standard haversine (public formula), engine-portable double
+    arithmetic with every literal through ``dlit``.
+
+    ``LEAST(1.0, ...)`` pins the asin argument into domain (antipodal
+    pairs can land an ulp above 1 and would return NaN). Same
+    cross-engine caveat as the Mercator Y: sin/cos/asin are correctly
+    rounded to ≤1 ulp, not bit-specified, so a DISTANCE value may differ
+    in the last ulp between engines — predicates derived from it
+    (dist <= R) are deterministic for any fixture whose points do not
+    sit within ~1e-9 km of the threshold, which the tests verify for
+    the synthetic corpus."""
+    d2r = dlit(_D2R)
+    p1 = f"(CAST({lat1} AS DOUBLE) * {d2r})"
+    p2 = f"(CAST({lat2} AS DOUBLE) * {d2r})"
+    sdp = f"SIN(({p2} - {p1}) / CAST(2.0 AS DOUBLE))"
+    sdl = (
+        f"SIN((CAST({lon2} AS DOUBLE) - CAST({lon1} AS DOUBLE))"
+        f" * {d2r} / CAST(2.0 AS DOUBLE))"
+    )
+    h = f"({sdp} * {sdp} + COS({p1}) * COS({p2}) * {sdl} * {sdl})"
+    return (
+        f"(CAST({dlit(2.0 * EARTH_RADIUS_KM)} AS DOUBLE)"
+        f" * ASIN(SQRT(LEAST(CAST(1.0 AS DOUBLE), {h}))))"
+    )
 
 
 def lonlat_from_id_exprs(e: Eng, id_col: str) -> tuple[str, str]:

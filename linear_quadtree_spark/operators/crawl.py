@@ -21,6 +21,14 @@ __all__ = [
     "domain_stats",
     "extract_text",
     "extract_text_expr",
+    "url_variants_expr",
+    "surt_key_expr",
+    "surt_keys",
+    "surt_canonical_sql_duck",
+    "cdx_captures",
+    "cdx_prefix_bounds",
+    "cdx_range_scan",
+    "cdx_range_scan_sql_duck",
 ]
 
 # deterministic multi-capture synth: each url has 1 + (doc_id % 3)
@@ -116,18 +124,23 @@ def domain_stats(pages: DataFrame) -> DataFrame:
 
 
 # -------------------------------------------------- SURT canonicalization
-def url_variants_expr(e, id_col: str, source_col: str) -> str:
+def url_variants_expr(e, id_col: str, source_col: str,
+                      variant_col: str | None = None) -> str:
     """Deterministic MESSY url synth (round-3): the same logical page in
-    four spellings keyed by ``id % 4`` — clean https, uppercase scheme +
-    WWW + uppercase host, explicit default :443, and a www2/mixed-case/
-    :80 variant. All four canonicalize to one SURT key; this is the
-    adversarial input the canonicalizer is tested and oracle-checked
-    against (engine-portable string expressions)."""
+    four spellings keyed by ``variant_col % 4`` (default: the id) —
+    clean https, uppercase scheme + WWW + uppercase host, explicit
+    default :443, and a www2/mixed-case/:80 variant. All four
+    canonicalize to one SURT key; this is the adversarial input the
+    canonicalizer is tested and oracle-checked against (engine-portable
+    string expressions). Pass ``variant_col`` to vary the SPELLING
+    independently of the page identity (e.g. per capture, so one page's
+    recrawls arrive multi-spelled — the real CDX input shape)."""
+    variant = variant_col if variant_col is not None else id_col
     path = f"CONCAT('/', {source_col}, '/page-', CAST({id_col} AS VARCHAR))" \
         if e.name == "duck" else \
         f"CONCAT('/', {source_col}, '/page-', CAST({id_col} AS STRING))"
     return (
-        f"CASE CAST(({id_col}) % 4 AS INT) "
+        f"CASE CAST(({variant}) % 4 AS INT) "
         f"WHEN 0 THEN CONCAT('https://example.org', {path}) "
         f"WHEN 1 THEN CONCAT('HTTP://WWW.EXAMPLE.ORG', {path}) "
         f"WHEN 2 THEN CONCAT('https://example.org:443', {path}) "
@@ -187,6 +200,102 @@ def surt_canonical_sql_duck(src: str = "documents", id_col: str = "doc_id") -> s
     return f"""
 WITH v AS (SELECT {id_col}, {u} AS u FROM {src})
 SELECT {id_col}, u AS url, {surt} AS surt_key FROM v
+"""
+
+
+# ----------------------------------------------------- CDX range scan
+def cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-capture, MULTI-SPELLED crawl index: like `captures_table`
+    but each capture of a page arrives under a different url spelling
+    (variant keyed by ``doc_id + capture``) — the real CDX input shape,
+    where recrawls of one page disagree on scheme/www/port and only the
+    SURT key reunites them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    caps = docs.select("doc_id", "source").withColumn(
+        "capture", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3))
+    ).withColumn(
+        "capture_ts",
+        F.lit(_TS_BASE)
+        + (F.col("doc_id") * 17) % _TS_JITTER_MOD
+        + F.col("capture") * _DAY,
+    )
+    u = url_variants_expr(SPARK, "doc_id", "source",
+                          variant_col="(doc_id + capture)")
+    return caps.withColumn("url", F.expr(u))
+
+
+def cdx_prefix_bounds(prefix: str) -> tuple[str, str]:
+    """[lo, hi) string bounds of a SURT prefix scan: the standard CDX
+    range idiom — ``hi`` is the prefix with its last byte incremented,
+    so ``key >= lo AND key < hi`` is exactly "key starts with prefix"
+    for ASCII keys, expressed as a SARGABLE closed-open range (reaches
+    parquet min/max stats and a sorted index's seek, where a LIKE
+    cannot)."""
+    return prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def cdx_range_scan(captures: DataFrame, prefix: str,
+                   url_col: str = "url") -> DataFrame:
+    """CDX index lookup: canonicalize → range-scan a SURT prefix →
+    latest capture per canonical key. This is the query a 10^12-page
+    crawl index answers all day ("give me the current copy of every
+    page under example.org/arxiv/"), and it is the string-space twin of
+    `bbox_query`'s zkey range scan: prefix algebra on a sort key, a
+    closed-open range per prefix, exact refine by window rank.
+
+    Plan: narrow map (SURT expressions), sargable string-range filter
+    (pushes to the scan on a surt-sorted table), then ONE shuffle on
+    surt_key for the rank+count window — the `latest_capture` shape on
+    the canonical key instead of the raw url."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    lo, hi = cdx_prefix_bounds(prefix)
+    keyed = captures.withColumn(
+        "surt_key", F.expr(surt_key_expr(SPARK, url_col))
+    ).filter((F.col("surt_key") >= lo) & (F.col("surt_key") < hi))
+    w = Window.partitionBy("surt_key")
+    ranked = keyed.withColumn(
+        "_rk",
+        F.row_number().over(
+            w.orderBy(F.col("capture_ts").desc(), F.col("capture").desc())
+        ),
+    ).withColumn("n_captures", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("_rk") == 1).select(
+        "surt_key", "doc_id", url_col, "capture_ts", "n_captures"
+    )
+
+
+def cdx_range_scan_sql_duck(prefix: str, src: str = "documents") -> str:
+    """DuckDB twin of cdx_captures + cdx_range_scan (same variant synth,
+    same SURT expressions, same closed-open bounds)."""
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    lo, hi = cdx_prefix_bounds(prefix)
+    u = url_variants_expr(DUCK, "doc_id", "source",
+                          variant_col="(doc_id + c)")
+    surt = surt_key_expr(DUCK, "url")
+    return f"""
+WITH caps AS (
+  SELECT doc_id, c AS capture,
+         {_TS_BASE} + (doc_id * 17) % {_TS_JITTER_MOD} + c * {_DAY}
+           AS capture_ts,
+         {u} AS url
+  FROM {src}, (VALUES (0), (1), (2)) AS v(c)
+  WHERE c <= doc_id % 3),
+keyed AS (
+  SELECT *, {surt} AS surt_key FROM caps
+  WHERE {surt} >= '{lo}' AND {surt} < '{hi}'),
+r AS (
+  SELECT surt_key, doc_id, url, capture_ts,
+         ROW_NUMBER() OVER (PARTITION BY surt_key
+                            ORDER BY capture_ts DESC, capture DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY surt_key) AS n_captures
+  FROM keyed)
+SELECT surt_key, doc_id, url, capture_ts,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM r WHERE rk = 1
 """
 
 

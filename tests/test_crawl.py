@@ -196,3 +196,53 @@ def test_surt_lockstep_with_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_cdx_range_scan_semantics(spark, sf_dir):
+    """cdx_range_scan == brute force: keys in [prefix, prefix+1) only,
+    latest capture per canonical key wins, n_captures counts the whole
+    key group — and the prefix WITHOUT a trailing slash picks up src1
+    AND src10..src19 (prefix algebra, not path equality)."""
+    from collections import defaultdict
+
+    from linear_quadtree_spark.operators.crawl import (
+        cdx_captures,
+        cdx_prefix_bounds,
+        cdx_range_scan,
+        surt_keys,
+    )
+
+    prefix = "org,example)/src1"
+    caps = cdx_captures(spark, sf_dir)
+    rows = surt_keys(caps).collect()
+    lo, hi = cdx_prefix_bounds(prefix)
+    groups = defaultdict(list)
+    for r in rows:
+        if lo <= r.surt_key < hi:
+            groups[r.surt_key].append(r)
+    want = {}
+    for k, g in groups.items():
+        best = max(g, key=lambda r: (r.capture_ts, r.capture))
+        want[k] = (best.doc_id, best.url, best.capture_ts, len(g))
+    got = {
+        r.surt_key: (r.doc_id, r.url, r.capture_ts, r.n_captures)
+        for r in cdx_range_scan(caps, prefix).collect()
+    }
+    assert got == want and len(got) > 0
+    # the range covers more than the slash-terminated path (src10..)
+    assert any(k.startswith("org,example)/src10/") for k in got)
+    # multi-spelled recrawls really collapsed: some key's group holds
+    # >1 distinct raw spellings
+    assert any(
+        len({r.url for r in g}) > 1 for g in groups.values() if len(g) > 1
+    )
+
+
+def test_cdx_bounds_are_exact_prefix():
+    from linear_quadtree_spark.operators.crawl import cdx_prefix_bounds
+
+    lo, hi = cdx_prefix_bounds("org,example)/a")
+    assert lo == "org,example)/a" and hi == "org,example)/b"
+    # closed-open: the prefix itself is in, the incremented bound is out
+    assert lo <= "org,example)/a/x" < hi
+    assert not (lo <= "org,example)/b" < hi)

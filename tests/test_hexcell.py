@@ -116,3 +116,32 @@ def test_pack_unpack_consistent():
         cell = (q + HEX_OFF) * HEX_PACK + (r + HEX_OFF)
         assert cell // HEX_PACK - HEX_OFF == q
         assert cell % HEX_PACK - HEX_OFF == r
+
+
+def test_focal_smooth_matches_bruteforce(spark, pts):
+    """hex_focal_smooth == a Python brute force over the per-hex counts:
+    every occupied hex's focal_sum is the sum of occupied 1-ring
+    neighbors' counts (self included), n_occupied_nbrs counts them, and
+    focal_mean divides by the constant 7-cell window."""
+    from linear_quadtree_spark.functions.hexcell import hex_focal_smooth
+
+    counts = {
+        r.hexcell: r.n
+        for r in with_hexcell(pts, "x", "y", res=RES)
+        .groupBy("hexcell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    deltas = [dq * HEX_PACK + dr for dq, dr in hex_kring_offsets(1)]
+    want = {}
+    for cell, n in counts.items():
+        nbrs = [counts[cell + d] for d in deltas if cell + d in counts]
+        want[cell] = (n, sum(nbrs), len(nbrs), sum(nbrs) / 7.0)
+    got = {
+        r.hexcell: (r.n_points, r.focal_sum, r.n_occupied_nbrs, r.focal_mean)
+        for r in hex_focal_smooth(pts, "x", "y", res=RES).collect()
+    }
+    assert got == want
+    # occupied hexes all present, and at least one interior hex saw all 7
+    assert set(got) == set(counts)
+    assert any(v[2] == 7 for v in got.values())

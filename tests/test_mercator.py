@@ -3,6 +3,8 @@ quadkey prefix algebra, cross-engine assignment lockstep on the full
 fixture (the transcendental transform's determinism proof), and the
 pre-transform integration — the whole LQT engine running on lon/lat."""
 
+import math
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -126,3 +128,50 @@ def test_mercator_y_monotone_south(spark):
     assert all(0.0 <= v <= 1.0 for v in ys)
     assert all(a > b for a, b in zip(ys, ys[1:]))  # lat up → Y down
     assert abs(MAX_MERC_LAT - 85.05112877980659) < 1e-9
+
+
+def test_haversine_known_distances(spark):
+    """Anchor values from public great-circle references (±0.3%):
+    London-NYC ~5570 km, same-point 0, antipodal ~ half circumference."""
+    from linear_quadtree_spark.functions.mercator import (
+        EARTH_RADIUS_KM,
+        haversine_km_expr,
+    )
+
+    cases = spark.createDataFrame(
+        [
+            ("ldn_nyc", -0.1278, 51.5074, -74.0060, 40.7128, 5570.0),
+            ("zero", 10.0, 10.0, 10.0, 10.0, 0.0),
+            ("antipode", 0.0, 0.0, 180.0, 0.0, math.pi * EARTH_RADIUS_KM),
+        ],
+        "name string, lon1 double, lat1 double, lon2 double, lat2 double, want double",
+    )
+    d = haversine_km_expr(SPARK, "lon1", "lat1", "lon2", "lat2")
+    for r in cases.withColumn("got", F.expr(d)).collect():
+        assert abs(r.got - r.want) <= max(0.003 * r.want, 1e-9), r.name
+
+
+def test_haversine_cross_engine_membership(spark, geo_pts):
+    """The radius predicate (dist <= R) assigns every fixture point
+    identically in Spark and DuckDB — the determinism contract the
+    haversine_sites oracle rests on (distances may drift an ulp;
+    membership must not, for inputs away from the threshold)."""
+    from linear_quadtree_spark.functions.mercator import haversine_km_expr
+
+    site = ("139.69e0", "35.69e0")  # tokyo
+    ds = haversine_km_expr(SPARK, "lon", "lat", site[0], site[1])
+    got = sorted(
+        r.id
+        for r in geo_pts.filter(F.expr(ds) <= 2500.0).select("id").collect()
+    )
+    lon, lat = lonlat_from_id_exprs(DUCK, "id")
+    dd = haversine_km_expr(DUCK, "lon", "lat", site[0], site[1])
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "WITH g AS (SELECT UNNEST(RANGE(5000)) AS id), "
+            f"p AS (SELECT id, {lon} AS lon, {lat} AS lat FROM g) "
+            f"SELECT id FROM p WHERE {dd} <= 2500.0e0"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
