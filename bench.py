@@ -309,6 +309,72 @@ def main() -> None:
     materialize(zli)
     timings["zorder_cluster"] = time.time() - t0
 
+    # --- geodetic / hex / web-index layer (round 3)
+    from linear_quadtree_spark.functions.hexcell import (
+        hex_focal_smooth,
+        with_hexcell,
+    )
+    from linear_quadtree_spark.functions.mercator import (
+        haversine_km_expr,
+        lonlat_from_id_exprs,
+        quadkey_expr,
+        slippy_tile_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SENG
+    from linear_quadtree_spark.operators.crawl import cdx_captures, cdx_range_scan
+
+    t0 = _probe_mark("hexcell_stats_r8")
+    hex_rows = (
+        with_hexcell(pts, "x", "y", res=8).groupBy("hexcell").count().count()
+    )
+    timings["hexcell_stats_r8"] = time.time() - t0
+
+    t0 = _probe_mark("hex_focal_r8")
+    hexf_rows = hex_focal_smooth(pts, "x", "y", res=8).count()
+    timings["hex_focal_r8"] = time.time() - t0
+
+    t0 = _probe_mark("slippy_quadkey_z8")
+    _lon, _lat = lonlat_from_id_exprs(_SENG, "pid")
+    _tx, _ty = slippy_tile_exprs(_SENG, _lon, _lat, 8)
+    _qk = quadkey_expr(_SENG, "tx", "ty", 8)
+    slippy_rows = (
+        pts.select("pid", F.expr(_tx).alias("tx"), F.expr(_ty).alias("ty"))
+        .withColumn("qk", F.expr(_qk))
+        .groupBy("qk")
+        .count()
+        .count()
+    )
+    timings["slippy_quadkey_z8"] = time.time() - t0
+
+    t0 = _probe_mark("haversine_sites")
+    _sites = spark.createDataFrame(
+        [
+            ("tokyo", 139.69, 35.69),
+            ("london", -0.13, 51.51),
+            ("nyc", -74.01, 40.71),
+            ("sydney", 151.21, -33.87),
+            ("saopaulo", -46.63, -23.55),
+            ("nairobi", 36.82, -1.29),
+        ],
+        "site string, slon double, slat double",
+    )
+    _geo = pts.select("pid", F.expr(_lon).alias("lon"), F.expr(_lat).alias("lat"))
+    _d = haversine_km_expr(_SENG, "lon", "lat", "slon", "slat")
+    hav_rows = (
+        _geo.crossJoin(F.broadcast(_sites))
+        .filter(F.expr(_d) <= 2500.0)
+        .groupBy("site")
+        .count()
+        .count()
+    )
+    timings["haversine_sites"] = time.time() - t0
+
+    t0 = _probe_mark("cdx_range_scan")
+    cdx_rows = cdx_range_scan(
+        cdx_captures(spark, SF_DIR), "org,example)/src1"
+    ).count()
+    timings["cdx_range_scan"] = time.time() - t0
+
     # --- training-data pipeline layer (documents / embeddings tables)
     from linear_quadtree_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from linear_quadtree_spark.operators.similarity import (
@@ -449,6 +515,11 @@ def main() -> None:
         "build_clean": build_clean,
         "host_probe_per_query": PROBES,
         "aux": {
+            "hexcell_rows": hex_rows,
+            "hex_focal_rows": hexf_rows,
+            "slippy_quadkey_rows": slippy_rows,
+            "haversine_site_groups": hav_rows,
+            "cdx_rows": cdx_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,
