@@ -730,6 +730,66 @@ HAV_SITES = [
 HAV_RADIUS_KM = 2500.0
 
 
+#: Mercator-space rect for the geodetic bbox query (DEFAULT_BOUNDS
+#: coordinates — the rect a slippy-map viewport hands the engine).
+GEO_BBOX = (1020.0, 1060.0, 1030.0, 1070.0)
+
+
+def _build_geo_table(spark, sf_dir):
+    """LQT built over REAL geodetic coordinates: synthetic WGS84 lon/lat
+    → Web-Mercator pre-transform → the unchanged build pipeline. Cached
+    per (app, sf_dir) like the planar tree."""
+    from linear_quadtree_spark.functions.mercator import (
+        lonlat_from_id_exprs,
+        with_mercator_bounds_xy,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    key = (spark.sparkContext.applicationId, sf_dir, "geo")
+    if key not in _TBL_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lon, lat = lonlat_from_id_exprs(_S, "doc_id")
+        geo = docs.select(
+            "doc_id", F.expr(lon).alias("lon"), F.expr(lat).alias("lat")
+        )
+        pts = with_mercator_bounds_xy(geo).select("doc_id", "x", "y")
+        _TBL_CACHE[key] = LQTTable.build(
+            pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True
+        )
+    return _TBL_CACHE[key]
+
+
+def _q_geo_bbox(spark, sf_dir):
+    """Geodetic end-to-end (round-3): the WHOLE engine on lon/lat — the
+    Mercator pre-transform feeds the unchanged build, and bbox_query
+    answers a viewport rect through the zs-pruned fast path. Output is
+    doc_id-only: the transform's ln/tan chain is ≤1-ulp across engines
+    (functions/mercator.py caveat), so MEMBERSHIP is deterministic for
+    this fixture but the y VALUES could differ in the last ulp — ids
+    hash identically, transcendental doubles might not."""
+    tbl = _build_geo_table(spark, sf_dir)
+    return bbox_query(tbl, *GEO_BBOX).select("doc_id")
+
+
+def _geo_bbox_oracle() -> str:
+    from linear_quadtree_spark.functions.mercator import (
+        lonlat_from_id_exprs,
+        mercator_bounds_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D, dlit
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    x, y = mercator_bounds_exprs(_D, "lon", "lat")
+    x0, x1, y0, y1 = GEO_BBOX
+    return f"""
+WITH g AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents),
+m AS (SELECT doc_id, {x} AS x, {y} AS y FROM g)
+SELECT doc_id FROM m
+WHERE x >= {dlit(x0)} AND x <= {dlit(x1)}
+  AND y >= {dlit(y0)} AND y <= {dlit(y1)}
+"""
+
+
 def _q_cdx_range_scan(spark, sf_dir):
     """CDX index lookup (round-3): multi-spelled recrawl captures →
     SURT canonicalization → sargable string-range scan of a key prefix
@@ -1016,6 +1076,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "surt_canonical": _q_surt_canonical,
         "cdx_range_scan": _q_cdx_range_scan,
         "haversine_sites": _q_haversine_sites,
+        "geo_bbox": _q_geo_bbox,
         # z-order clustering
         "zorder_key_stats": _q_zorder_key_stats,
         # relational joins
@@ -1374,6 +1435,7 @@ FROM pts GROUP BY 1
         "surt_canonical": _crawl_surt_oracle(),
         "cdx_range_scan": _cdx_oracle(),
         "haversine_sites": _haversine_oracle(),
+        "geo_bbox": _geo_bbox_oracle(),
         # ---- z-order clustering
         "zorder_key_stats": _zorder_oracle(),
         # ---- relational joins

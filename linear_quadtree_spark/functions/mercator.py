@@ -44,6 +44,7 @@ __all__ = [
     "MAX_MERC_LAT",
     "mercator_xy_exprs",
     "with_mercator_bounds_xy",
+    "mercator_bounds_exprs",
     "slippy_tile_exprs",
     "quadkey_expr",
     "lonlat_from_id_exprs",
@@ -88,6 +89,25 @@ def mercator_xy_exprs(e: Eng, lon_col: str, lat_col: str) -> tuple[str, str]:
     return x, y
 
 
+def mercator_bounds_exprs(
+    e: Eng,
+    lon_col: str,
+    lat_col: str,
+    bounds: Bounds = DEFAULT_BOUNDS,
+) -> tuple[str, str]:
+    """(x, y) double expressions: the Mercator unit square affinely
+    rescaled into ``bounds`` — the engine-portable core of
+    `with_mercator_bounds_xy`, shared verbatim by the DuckDB oracle
+    twins so both engines compute the identical arithmetic chain."""
+    mx, my = mercator_xy_exprs(e, lon_col, lat_col)
+    w = bounds.xend - bounds.xstart
+    h = bounds.yend - bounds.ystart
+    return (
+        f"({dlit(bounds.xstart)} + {dlit(w)} * {mx})",
+        f"({dlit(bounds.ystart)} + {dlit(h)} * {my})",
+    )
+
+
 def with_mercator_bounds_xy(
     df: DataFrame,
     lon_col: str = "lon",
@@ -103,20 +123,8 @@ def with_mercator_bounds_xy(
     the zkey's top 2z bits ARE the z/x/y Morton code of this square)."""
     from linear_quadtree_spark.functions.textexpr import SPARK
 
-    mx, my = mercator_xy_exprs(SPARK, lon_col, lat_col)
-    w = bounds.xend - bounds.xstart
-    h = bounds.yend - bounds.ystart
-    return df.withColumn(
-        x_col,
-        F.expr(
-            f"({dlit(bounds.xstart)} + {dlit(w)} * {mx})"
-        ),
-    ).withColumn(
-        y_col,
-        F.expr(
-            f"({dlit(bounds.ystart)} + {dlit(h)} * {my})"
-        ),
-    )
+    mx, my = mercator_bounds_exprs(SPARK, lon_col, lat_col, bounds)
+    return df.withColumn(x_col, F.expr(mx)).withColumn(y_col, F.expr(my))
 
 
 def slippy_tile_exprs(

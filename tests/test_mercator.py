@@ -175,3 +175,28 @@ def test_haversine_cross_engine_membership(spark, geo_pts):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_geo_bbox_matches_bruteforce(spark, geo_pts):
+    """The full geodetic path (Mercator pre-transform -> LQT build ->
+    zs-pruned bbox_query) returns exactly the brute-force rect filter
+    on the projected coordinates."""
+    from linear_quadtree_spark import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.build import LQTTable
+    from linear_quadtree_spark.operators.spatial import bbox_query
+
+    pts = with_mercator_bounds_xy(geo_pts).select(
+        F.col("id").alias("doc_id"), "x", "y"
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    rect = (1020.0, 1060.0, 1030.0, 1070.0)
+    got = sorted(r.doc_id for r in bbox_query(tbl, *rect).select("doc_id").collect())
+    x0, x1, y0, y1 = rect
+    want = sorted(
+        r.doc_id
+        for r in pts.filter(
+            (F.col("x") >= x0) & (F.col("x") <= x1)
+            & (F.col("y") >= y0) & (F.col("y") <= y1)
+        ).collect()
+    )
+    assert got == want and len(got) > 50
