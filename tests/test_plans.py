@@ -218,3 +218,69 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(decontaminate(docs))
     assert "BroadcastExchange" in plan
+
+
+def test_surt_sorted_scan_prunes_row_groups(spark, tmp_path):
+    """SCALE.md's CDX claim, proven on real footers: a surt-sorted table
+    answers a prefix range scan with (1) the string-range predicates
+    pushed to the parquet scan and (2) only the row groups whose
+    surt_key min/max intersect [prefix, prefix+1) touched — the same
+    sorted-layout + footer-stats mechanism the zkey bbox test proves,
+    in string space."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from linear_quadtree_spark.functions.textexpr import SPARK as SENG
+    from linear_quadtree_spark.operators.crawl import (
+        cdx_prefix_bounds,
+        surt_key_expr,
+        url_variants_expr,
+    )
+
+    docs = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 100).cast("string")).alias("source"),
+    )
+    u = url_variants_expr(SENG, "doc_id", "source")
+    caps = docs.withColumn("url", F.expr(u)).withColumn(
+        "surt_key", F.expr(surt_key_expr(SENG, "url"))
+    )
+    path = str(tmp_path / "cdx")
+    (
+        caps.repartitionByRange(16, "surt_key")
+        .sortWithinPartitions("surt_key")
+        .write.parquet(path)
+    )
+
+    lo, hi = cdx_prefix_bounds("org,example)/src1")  # src1 + src10..19
+    scan = spark.read.parquet(path).filter(
+        (F.col("surt_key") >= lo) & (F.col("surt_key") < hi)
+    )
+    plan = _plan(scan)
+    assert "PushedFilters" in plan
+    assert "surt_key" in plan.split("PushedFilters", 1)[1][:2000]
+
+    tot_rows = hit_rows = tot_groups = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("surt_key")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows = md.row_group(g).num_rows
+            tot_groups += 1
+            tot_rows += rows
+            if st.max >= lo and st.min < hi:
+                hit_rows += rows
+    assert tot_groups >= 8, "fixture must produce a multi-row-group table"
+    # ~11% of sources match the prefix; sorted layout confines them to
+    # a sliver of row groups (boundary groups included)
+    assert hit_rows <= 0.35 * tot_rows, (
+        f"prefix hit {hit_rows}/{tot_rows} rows — surt layout not pruning"
+    )
+
+    # and the pruned scan still answers exactly
+    want = caps.filter(
+        (F.col("surt_key") >= lo) & (F.col("surt_key") < hi)
+    ).count()
+    assert scan.count() == want and want > 0
