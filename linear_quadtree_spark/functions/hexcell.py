@@ -229,7 +229,12 @@ def hex_focal_smooth(
     Output per OCCUPIED hex: (hexcell, n_points, focal_sum,
     n_occupied_nbrs, focal_mean) with focal_mean = focal_sum / 7
     (the hex lattice is unbounded — the window is always 7 cells)."""
-    per = (
+    from linear_quadtree_spark.cache import track
+
+    # tracked persist: `per` feeds BOTH the scatter branch and the final
+    # join — uncached, the whole upstream aggregate (and the hexcell
+    # expression over every raw row) would execute twice
+    per = track(
         with_hexcell(pts, x_col, y_col, bounds, res)
         .groupBy("hexcell")
         .agg(F.count(F.lit(1)).alias("n_points"))
