@@ -405,6 +405,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(corpus_docs(spark, sf_dir))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (round-3): maximal token runs
+    whose word-8-grams repeat across documents — the span-level cut the
+    public exact-substring dedup line applies where document-level
+    near-dup removal is too blunt (operators/dedup.py dup_spans)."""
+    return _dedup.dup_spans(corpus_docs(spark, sf_dir))
+
+
 # -------------------------------------------------------- similarity layer
 ANN_QIDS = [3, 17, 42, 99, 123, 256, 321, 444]
 
@@ -1047,6 +1055,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_spans": _q_dup_spans,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -1372,6 +1381,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "simhash": _dedup.simhash_sketch_sql_duck(),
         "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),
         "ngram_jaccard_pairs": _corpus(_dedup.ngram_jaccard_pairs_sql_duck("corpus")),
+        "dup_spans": _corpus(_dedup.dup_spans_sql_duck("corpus")),
         # ---- similarity
         "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_lsh": _emb_corpus(_sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10)),

@@ -48,6 +48,8 @@ __all__ = [
     "simhash_pairs_sql_duck",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_sql_duck",
+    "dup_spans",
+    "dup_spans_sql_duck",
 ]
 
 K_SHINGLE = 3
@@ -341,4 +343,96 @@ JOIN sizes sa ON sa.{id_col} = i.id_a
 JOIN sizes sb ON sb.{id_col} = i.id_b
 WHERE sa.nsh + sb.nsh - i.inter > 0
   AND i.inter * 100 >= {tau_pct} * (sa.nsh + sb.nsh - i.inter)
+"""
+
+
+# --------------------------------------------- exact duplicated substrings
+#: k-gram window for span detection: long enough that a shared window is
+#: near-certain real duplication (8 words ~ the public exact-substring
+#: dedup threshold of ~50 BPE tokens, scaled to whitespace words), short
+#: enough to catch boilerplate sentences.
+DUP_SPAN_K = 8
+
+
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS — the train-set dedup operator
+    from the public exact-substring line of work (find every maximal
+    token run that verbatim-repeats across documents and cut it, rather
+    than dropping whole near-dup documents): for each document, every
+    maximal run of token positions whose word-k-gram occurs in ≥ 2
+    distinct documents, as (start_tok, end_tok, n_grams).
+
+    Plan (all pure expressions, no UDF): per-row positional k-gram
+    hashes (`shingles_expr`, O(k) fold per position) → posexplode →
+    ONE hash aggregate for the global document-frequency of each gram →
+    semi-join the postings against the duplicated subset (usually a
+    sliver of the vocabulary) → gaps-and-islands (pos − row_number over
+    a per-doc window) merges consecutive duplicated positions into
+    maximal spans. Shuffles: the df aggregate, the semi join, the
+    per-doc window — each keyed and map-side combinable; the postings
+    relation is tokens-sized (linear), never quadratic, and the
+    duplicated-gram set is the only relation that crosses documents."""
+    toks = tokens_expr(SPARK, text_col)
+    wh = word_hashes_expr(SPARK, f"({toks})")
+    sh = shingles_expr(SPARK, f"({wh})", k)
+    grams = track(
+        docs.select(id_col, F.posexplode(F.expr(sh)).alias("pos", "g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "start_tok", "end_tok", "n_grams")
+    )
+
+
+def dup_spans_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+) -> str:
+    """DuckDB twin by the definition: lateral position enumeration +
+    window-function islands (a different decorrelation family than
+    Spark's posexplode scatter)."""
+    toks = tokens_expr(DUCK, text_col)
+    wh = word_hashes_expr(DUCK, "toksarr")
+    sh = shingles_expr(DUCK, "wharr", k)
+    return f"""
+WITH t0 AS (SELECT {id_col}, {toks} AS toksarr FROM {src}),
+t1 AS (SELECT {id_col}, {wh} AS wharr FROM t0),
+t AS (SELECT {id_col}, {sh} AS sh FROM t1),
+grams AS (
+  SELECT {id_col}, CAST(u.p - 1 AS BIGINT) AS pos, t.sh[u.p] AS g
+  FROM t, UNNEST(generate_series(1, len(t.sh))) AS u(p)),
+dup AS (SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT {id_col}) >= 2),
+hits AS (SELECT gr.* FROM grams gr SEMI JOIN dup d ON gr.g = d.g),
+isl AS (SELECT {id_col}, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY pos)
+                 AS i
+        FROM hits)
+SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {k - 1} AS BIGINT) AS end_tok,
+       COUNT(*) AS n_grams
+FROM isl GROUP BY {id_col}, i
 """

@@ -228,3 +228,43 @@ def test_dedup_against_library(spark):
     out = {r["kept_id"]: r["n_copies"]
            for r in dedup_against(new, fingerprint(base)).collect()}
     assert out == {11: 2}
+
+
+def test_dup_spans_known_fixture(spark):
+    """dup_spans on a hand-built corpus: a 12-word sentence shared by
+    docs 1 and 2 (at different offsets) yields exactly one span per doc
+    covering the shared run; the unique doc 3 yields none; span arithmetic
+    (start, end, n_grams with k=4) matches hand computation."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, "one two three " + shared + " tail1a tail1b"),
+        (2, shared + " other words here"),
+        (3, "completely unique text with twelve different words in it now yes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.start_tok, r.end_tok, r.n_grams)
+        for r in D.dup_spans(docs, k=4).collect()
+    }
+    # shared run = 12 tokens -> 9 k=4 windows; doc1 offset 3, doc2 offset 0
+    assert got[1] == (3, 14, 9)
+    assert got[2] == (0, 11, 9)
+    assert 3 not in got
+
+
+def test_dup_spans_lockstep(spark, sf_dir, duck):
+    """Spark and the DuckDB twin agree row-for-row on the dup corpus."""
+    corp = corpus_docs(spark, sf_dir)
+    got = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_grams)
+        for r in D.dup_spans(corp).collect()
+    )
+    want = sorted(
+        (a, b, c, d)
+        for a, b, c, d in duck.execute(
+            D.dup_spans_sql_duck("corpus").replace(
+                "WITH ", f"WITH {corpus_cte_duck()}, ", 1
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
