@@ -463,6 +463,11 @@ def main() -> None:
     mh_rows = minhash_lsh_pairs(corp).count()
     timings["minhash_lsh"] = time.time() - t0
 
+    t0 = _probe_mark("dup_spans")
+    from linear_quadtree_spark.operators.dedup import dup_spans
+    span_rows = dup_spans(corp).count()
+    timings["dup_spans"] = time.time() - t0
+
     t0 = _probe_mark("dedup_groups")
     from linear_quadtree_spark.operators.components import dedup_groups
     grp_rows = dedup_groups(corp, minhash_lsh_pairs(corp)).count()
@@ -530,6 +535,7 @@ def main() -> None:
             "quality_rows": qs_rows,
             "exact_dedup_rows": ded_rows,
             "minhash_pairs": mh_rows,
+            "dup_span_rows": span_rows,
             "simhash_pairs": sh_rows,
             "ann_rows": ann_rows,
             "ann_lsh_rows": ann_lsh_rows,

@@ -367,21 +367,26 @@ def dup_spans(
     maximal run of token positions whose word-k-gram occurs in ≥ 2
     distinct documents, as (start_tok, end_tok, n_grams).
 
-    Plan (all pure expressions, no UDF): per-row positional k-gram
-    hashes (`shingles_expr`, O(k) fold per position) → posexplode →
-    ONE hash aggregate for the global document-frequency of each gram →
-    semi-join the postings against the duplicated subset (usually a
-    sliver of the vocabulary) → gaps-and-islands (pos − row_number over
-    a per-doc window) merges consecutive duplicated positions into
-    maximal spans. Shuffles: the df aggregate, the semi join, the
-    per-doc window — each keyed and map-side combinable; the postings
-    relation is tokens-sized (linear), never quadratic, and the
-    duplicated-gram set is the only relation that crosses documents."""
-    toks = tokens_expr(SPARK, text_col)
-    wh = word_hashes_expr(SPARK, f"({toks})")
-    sh = shingles_expr(SPARK, f"({wh})", k)
+    Plan: per-row positional k-gram hashes in ONE Arrow pass
+    (`functions/sketch.positional_grams_udf` — the nested-HOF rendering
+    re-evaluates the char fold per gram under CollapseProject; the
+    kernel is the same measured fix `doc_sketch_udf` documents, and the
+    DuckDB twin renders the identical integer spec as SQL) →
+    posexplode → ONE hash aggregate for the global document-frequency
+    of each gram → semi-join the postings against the duplicated subset
+    (usually a sliver of the vocabulary) → gaps-and-islands (pos −
+    row_number over a per-doc window) merges consecutive duplicated
+    positions into maximal spans. Shuffles: the df aggregate, the semi
+    join, the per-doc window — each keyed and map-side combinable; the
+    postings relation is tokens-sized (linear), never quadratic, and
+    the duplicated-gram set is the only relation that crosses
+    documents."""
+    from linear_quadtree_spark.functions.sketch import positional_grams_udf
+
     grams = track(
-        docs.select(id_col, F.posexplode(F.expr(sh)).alias("pos", "g"))
+        docs.select(
+            id_col, F.posexplode(positional_grams_udf(k)(F.col(text_col))).alias("pos", "g")
+        )
     )
     dup = (
         grams.groupBy("g")
