@@ -323,6 +323,10 @@ VOCAB_TOP_K = 300
 SAMPLE_RATES_PM = {"en": 10000, "de": 5000, "es": 2500, "fr": 2500}
 SAMPLE_DEFAULT_PM = 1000
 
+#: sequence-packing context budget (tokens) and bucket fan-out
+PACK_BUDGET = 256
+PACK_BUCKETS = 8
+
 
 def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary via skew-safe two-level aggregate (hot tokens
@@ -340,6 +344,22 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.stratified_sample(
         _docs(spark, sf_dir), SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM
     ).select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token context windows
+    — ONE hash shuffle on the packing bucket + a bounded per-bucket
+    running sum (the build pipeline's shape; no global window)."""
+    return _text.pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_buckets=PACK_BUCKETS
+    )
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature language-mix rebalancing: rates derived from the
+    corpus's own counts (tiny broadcast rate table, map-only keep
+    filter, IEEE-exact sqrt so both engines floor the same rate)."""
+    return _text.mixture_sample(_docs(spark, sf_dir))
 
 
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1059,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tfidf_keywords": _q_tfidf_keywords,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_sample": _q_mixture_sample,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
         # corpus cleaning
@@ -1362,6 +1384,9 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "stratified_sample": _text.stratified_sample_sql_duck(
             "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,
             cols="doc_id, lang"),
+        "pack_sequences": _text.pack_sequences_sql_duck(
+            "documents", budget=PACK_BUDGET, n_buckets=PACK_BUCKETS),
+        "mixture_sample": _text.mixture_sample_sql_duck("documents"),
         "quality_score": _text.quality_score_sql_duck(),
         "repetition_stats": _clean.repetition_stats_sql_duck(),
         "pii_scrub": (

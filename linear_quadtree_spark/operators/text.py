@@ -61,6 +61,10 @@ __all__ = [
     "tfidf_keywords_sql_duck",
     "curate_corpus",
     "curate_corpus_sql_duck",
+    "pack_sequences",
+    "pack_sequences_sql_duck",
+    "mixture_sample",
+    "mixture_sample_sql_duck",
 ]
 
 #: English stopword sample used by the quality heuristic.
@@ -615,4 +619,182 @@ canon AS (SELECT MIN({id_col}) AS {id_col} FROM fp GROUP BY fp1, fp2, text_len)
 SELECT p.{id_col}, p.quality, p.pred_lang
 FROM p SEMI JOIN canon ON p.{id_col} = canon.{id_col}
 WHERE p.pred_lang IN ({in_list})
+"""
+
+
+# ------------------------------------------------------- sequence packing
+#: xxHash's second prime (public constant) — a mixing family independent
+#: of `_SAMPLE_MULT` so packing buckets are uncorrelated with sampling
+#: coins (a doc's survival must not bias which bucket it packs into).
+_PACK_MULT = 2246822519
+
+
+def _pack_bucket_sql(id_col: str, n_buckets: int) -> str:
+    # identical BIGINT semantics in Spark SQL and DuckDB
+    return f"(((({id_col} + 1) * {_PACK_MULT}) % 4294967296) % {n_buckets})"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that concatenates tokenized documents and slices the stream
+    into fixed ``budget``-token context windows. A document belongs to
+    the window its FIRST token lands in; output is one row per packed
+    sequence: (bucket, seq_id, n_docs, n_tokens, first_doc).
+
+    Determinism spec (integer arithmetic end to end, so the DuckDB twin
+    is value-hash exact): each doc draws a bucket from an id-derived
+    multiplicative mix (independent family from the sampling coin);
+    within a bucket docs concatenate in id order; the window id is
+    ``(running_token_count - n_tokens) div budget``.
+
+    Scale shape: ONE hash shuffle on ``bucket`` + a partition-local sort
+    — exactly the engine's build pipeline shape. The running sum is a
+    bounded per-bucket window, never a global one: ``n_buckets`` scales
+    with the cluster (10^5 buckets ≈ 1 GB/bucket at 100 TB), so no
+    single task ever sees more than one bucket's docs. The rollup after
+    is map-side-combinable on the same partitioning."""
+    from pyspark.sql import Window
+
+    e = SPARK
+    d = docs.select(
+        F.col(id_col),
+        F.expr(size_expr(e, tokens_expr(e, text_col))).alias("n_tokens"),
+        F.expr(_pack_bucket_sql(id_col, n_buckets)).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    d = d.withColumn("seq_id", F.expr(f"(cum - n_tokens) div {budget}"))
+    return (
+        d.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+        )
+    )
+
+
+def pack_sequences_sql_duck(
+    src: str = "documents",
+    budget: int = 256,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    e = DUCK
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         {size_expr(e, tokens_expr(e, text_col))} AS n_tokens,
+         {_pack_bucket_sql(id_col, n_buckets)} AS bucket
+  FROM {src}
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY bucket ORDER BY {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT bucket, ((cum - n_tokens) // {budget}) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN({id_col}) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- temperature mixing
+def mixture_sample(
+    docs: DataFrame,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    scale_pm: int = 10000,
+) -> DataFrame:
+    """Temperature-rebalanced corpus mixing at alpha = 0.5: downsample
+    each stratum at rate sqrt(n_min / n_i), so expected kept counts are
+    proportional to sqrt(n_i) — the classic sampling-temperature
+    flattening of a skewed language/source mix (rare strata keep 100%,
+    a 100x-larger stratum keeps 10%). Unlike `stratified_sample` (whose
+    rates are caller-chosen constants) the rates here are DERIVED from
+    the corpus itself. Output: one row per stratum,
+    (strat, n_in, rate_pm, n_kept).
+
+    Cross-engine exactness without trusting float reductions: the only
+    non-integer steps are one IEEE-correctly-rounded division, sqrt,
+    multiply, then floor — no float SUMs whose order could differ — so
+    Spark and DuckDB compute bit-identical rates; the per-doc keep coin
+    is the integer `_sample_coin_sql` mix.
+
+    Scale shape: the rate table is one tiny aggregate (|strata| rows)
+    joined back by BROADCAST; the doc side is a map-only filter plus one
+    final map-side-combinable count. Two scans of the doc relation are
+    inherent (rates must exist before the filter), but both scans prune
+    to ({strat_col}, {id_col}) only."""
+    counts = docs.groupBy(strat_col).agg(F.count("*").alias("n_in"))
+    nmin = counts.agg(F.min("n_in").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "rate_pm",
+            F.expr(
+                f"least(CAST({scale_pm} AS BIGINT), "
+                f"CAST(floor({float(scale_pm)!r}e0 * sqrt("
+                f"CAST(n_min AS DOUBLE) / CAST(n_in AS DOUBLE))) AS BIGINT))"
+            ),
+        )
+        .select(strat_col, "n_in", "rate_pm")
+    )
+    kept = (
+        docs.select(strat_col, id_col)
+        .join(F.broadcast(rates.select(strat_col, "rate_pm")), strat_col)
+        .filter(F.expr(f"{_sample_coin_sql(id_col)} < rate_pm"))
+        .groupBy(strat_col)
+        .agg(F.count("*").alias("_nk"))
+    )
+    return (
+        rates.join(kept, strat_col, "left")
+        .select(
+            strat_col,
+            "n_in",
+            "rate_pm",
+            F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def mixture_sample_sql_duck(
+    src: str = "documents",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    scale_pm: int = 10000,
+) -> str:
+    return f"""
+WITH c AS (SELECT {strat_col}, COUNT(*) AS n_in FROM {src} GROUP BY 1),
+r AS (
+  SELECT {strat_col}, n_in,
+         LEAST(CAST({scale_pm} AS BIGINT),
+               CAST(FLOOR({float(scale_pm)!r}e0 * SQRT(
+                 CAST((SELECT MIN(n_in) FROM c) AS DOUBLE)
+                 / CAST(n_in AS DOUBLE))) AS BIGINT)) AS rate_pm
+  FROM c
+),
+k AS (
+  SELECT d.{strat_col}, COUNT(*) AS n_kept
+  FROM {src} d JOIN r ON d.{strat_col} = r.{strat_col}
+  WHERE {_sample_coin_sql("d." + id_col)} < r.rate_pm
+  GROUP BY 1
+)
+SELECT r.{strat_col}, r.n_in, r.rate_pm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.{strat_col} = k.{strat_col}
 """
