@@ -362,6 +362,20 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.mixture_sample(_docs(spark, sf_dir))
 
 
+#: retrieval-chunking window / overlap (tokens)
+CHUNK_WINDOW = 64
+CHUNK_OVERLAP = 16
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (retrieval/embedding prep):
+    map-only explode, zero shuffle, slices carry only their own
+    tokens."""
+    return _text.chunk_documents(
+        _docs(spark, sf_dir), window=CHUNK_WINDOW, overlap=CHUNK_OVERLAP
+    )
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation over the duplicate corpus: canonical-copy ∧
     quality ∧ language in one composition (single tokens pass for the
@@ -461,6 +475,13 @@ def _q_ann_topk_ivf_km(spark, sf_dir):
 
 def _q_emb_neardup(spark, sf_dir):
     return _sim.emb_neardup_pairs(corpus_embs(spark, sf_dir))
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters (fixed-point
+    centroids), within-cluster cosine pair scan (one list_id shuffle),
+    keep-lowest-id drop rule — (vec_id, list_id, kept)."""
+    return _sim.semantic_dedup(corpus_embs(spark, sf_dir))
 
 
 # --------------------------------------------------------- media / stream
@@ -1061,6 +1082,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
+        "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
         # corpus cleaning
@@ -1084,6 +1106,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_km": _q_ann_topk_ivf_km,
         "emb_neardup_pairs": _q_emb_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         # multimodal
         "media_metadata": _q_media_metadata,
         "media_frames": _q_media_frames,
@@ -1387,6 +1410,8 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "pack_sequences": _text.pack_sequences_sql_duck(
             "documents", budget=PACK_BUDGET, n_buckets=PACK_BUCKETS),
         "mixture_sample": _text.mixture_sample_sql_duck("documents"),
+        "chunk_documents": _text.chunk_documents_sql_duck(
+            "documents", window=CHUNK_WINDOW, overlap=CHUNK_OVERLAP),
         "quality_score": _text.quality_score_sql_duck(),
         "repetition_stats": _clean.repetition_stats_sql_duck(),
         "pii_scrub": (
@@ -1413,6 +1438,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ann_topk_ivf": _emb_corpus(_sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_ivf_km": _emb_corpus(_sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),
+        "semantic_dedup": _emb_corpus(_sim.semantic_dedup_sql_duck()),
         # ---- multimodal (oracle recomputes from source text)
         "media_metadata": _media.media_metadata_sql_duck(),
         "media_frames": _media.frame_fps_sql_duck(),

@@ -420,6 +420,20 @@ def main() -> None:
     curated_rows = curate_corpus(corp).count()
     timings["curate_corpus"] = time.time() - t0
 
+    t0 = _probe_mark("pack_sequences")
+    from linear_quadtree_spark.operators.text import mixture_sample, pack_sequences
+    pack_rows = pack_sequences(docs, budget=2048, n_buckets=32).count()
+    timings["pack_sequences"] = time.time() - t0
+
+    t0 = _probe_mark("mixture_sample")
+    mix_rows = mixture_sample(docs).count()
+    timings["mixture_sample"] = time.time() - t0
+
+    t0 = _probe_mark("chunk_documents")
+    from linear_quadtree_spark.operators.text import chunk_documents
+    chunk_rows = chunk_documents(docs, window=64, overlap=16).count()
+    timings["chunk_documents"] = time.time() - t0
+
     t0 = _probe_mark("tile_quality_rollup")
     import __spark_entry__ as _entry
     rollup_rows = _entry.queries()["tile_quality_rollup"](spark, SF_DIR).count()
@@ -504,6 +518,11 @@ def main() -> None:
     from linear_quadtree_spark.operators.similarity import _make_planes
     nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
     timings["emb_neardup"] = time.time() - t0
+
+    t0 = _probe_mark("semantic_dedup")
+    from linear_quadtree_spark.operators.similarity import semantic_dedup
+    semded_rows = semantic_dedup(embs).count()
+    timings["semantic_dedup"] = time.time() - t0
 
     result = {
         "metric": "lqt_build_throughput_rows_per_sec",

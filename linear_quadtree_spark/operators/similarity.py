@@ -56,6 +56,8 @@ __all__ = [
     "ivf_assign",
     "emb_neardup_pairs",
     "emb_neardup_pairs_sql_duck",
+    "semantic_dedup",
+    "semantic_dedup_sql_duck",
     "cosine_col",
 ]
 
@@ -731,4 +733,104 @@ p AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}),
 v AS (SELECT id_a, id_b, CAST(FLOOR(({cos}) * 1000000) AS BIGINT) AS cos_ppm FROM p)
 SELECT id_a, id_b, cos_ppm FROM v WHERE cos_ppm >= {tau_ppm}
+"""
+
+
+# ----------------------------------------------------------- semantic dedup
+#: default keep threshold: cosine >= 0.92 (ppm) marks semantic duplicates
+SEMDEDUP_TAU_PPM = 920_000
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    tau_ppm: int = SEMDEDUP_TAU_PPM,
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the sampled-k-means coarse quantizer, then WITHIN each cluster
+    drop every vector that has an earlier-id clustermate with cosine >=
+    ``tau_ppm`` (the deterministic keep-lowest-id policy, applied by
+    evidence: a vector is dropped by the mere existence of an earlier
+    near-duplicate, whether or not that neighbor itself survives — a
+    single non-iterative join, unlike connected components). Output is
+    one row per vector: (vec_id, list_id, kept∈{0,1}).
+
+    Scale shape — the reason clustering precedes the pair scan at all:
+    the only shuffle of the big side is ONE hash exchange on `list_id`
+    for the self-join; pair work is Σ c_i² over cluster sizes instead of
+    n². `nlist=None` self-sizes to √n (cluster size ≈ √n → ~n^1.5 pair
+    work); at 10^10+ vectors pass `nlist ∝ n` so clusters stay
+    constant-sized and the pair scan is linear — the published SemDeDup
+    regime (50k clusters on 5B embeddings). Centroids remain a tiny
+    broadcast dimension either way; the final kept flag is a broadcast
+    left join of the (small) dropped-id set.
+
+    Cross-engine exactness: fixed-point k-means centroids
+    (`train_ivf_kmeans`), sequential-fold cosine, and an integer ppm
+    floor — so the DuckDB twin is value-hash identical."""
+    embs = track(embs)
+    cents = train_ivf_kmeans(embs, nlist, iters, sample_mod, emb_col, id_col)
+    _, assigned = ivf_assign(embs, None, emb_col, id_col, centroids=cents)
+    assigned = track(assigned)
+    x = assigned.select(
+        F.col(id_col).alias("_xid"), F.col(emb_col).alias("_xemb"), "list_id"
+    )
+    y = assigned.select(
+        F.col(id_col).alias("_yid"), F.col(emb_col).alias("_yemb"), "list_id"
+    )
+    dropped = (
+        x.join(y, "list_id")
+        .filter(F.col("_xid") < F.col("_yid"))
+        .withColumn("_cos", cosine_col("_xemb", "_yemb"))
+        .filter(F.expr(f"CAST(FLOOR(_cos * 1000000) AS BIGINT) >= {tau_ppm}"))
+        .select(F.col("_yid").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(F.broadcast(dropped.withColumn("_d", F.lit(1))), id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.when(F.col("_d").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql_duck(
+    tau_ppm: int = SEMDEDUP_TAU_PPM,
+    nlist: int | None = None,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_mod: int = 1,
+    src: str = "emb_corpus",
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of semantic_dedup (trained centroids in SQL, identical
+    assignment, pair scan, and keep rule)."""
+    ccos = _cos_duck("c.c_emb", f"s.{emb_col}")
+    pcos = _cos_duck(f"x.{emb_col}", f"y.{emb_col}")
+    return f"""
+WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col)},
+asg AS (
+  SELECT {id_col}, {emb_col}, list_id FROM (
+    SELECT s.{id_col}, s.{emb_col}, c.cid AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                              ORDER BY ({ccos}) DESC, c.cid) AS crn
+    FROM {src} s CROSS JOIN kmcents c) t WHERE crn = 1),
+drp AS (
+  SELECT DISTINCT y.{id_col} AS vid
+  FROM asg x JOIN asg y
+    ON x.list_id = y.list_id AND x.{id_col} < y.{id_col}
+  WHERE CAST(FLOOR(({pcos}) * 1000000) AS BIGINT) >= {tau_ppm})
+SELECT a.{id_col}, a.list_id,
+       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM asg a LEFT JOIN drp d ON a.{id_col} = d.vid
 """

@@ -65,6 +65,8 @@ __all__ = [
     "pack_sequences_sql_duck",
     "mixture_sample",
     "mixture_sample_sql_duck",
+    "chunk_documents",
+    "chunk_documents_sql_duck",
 ]
 
 #: English stopword sample used by the quality heuristic.
@@ -797,4 +799,85 @@ k AS (
 SELECT r.{strat_col}, r.n_in, r.rate_pm,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM r LEFT JOIN k ON r.{strat_col} = k.{strat_col}
+"""
+
+
+# --------------------------------------------------------- document chunking
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding prep
+    step that slices each document's token stream into ``window``-token
+    chunks whose starts advance by ``window - overlap``. One row per
+    chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_text); the last
+    chunk is the first one whose window reaches the document's end (so
+    every token is covered and no chunk starts past the end);
+    zero-token documents emit no chunks.
+
+    Scale shape: a pure map-only explode — tokenize once, derive the
+    chunk count arithmetically, `explode(sequence(...))`, slice and
+    rejoin tokens — all JVM expressions inside one codegen stage, ZERO
+    shuffle at any corpus size. The fan-out is bounded by
+    ~n_tokens/(window-overlap) rows per doc, each carrying only its own
+    slice (no duplicated full-doc payload)."""
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    step = window - overlap
+    e = SPARK
+    d = docs.select(
+        F.col(id_col), F.expr(tokens_expr(e, text_col)).alias("_toks")
+    ).withColumn("_n", F.expr(e.size("_toks")))
+    nch = (
+        f"CASE WHEN _n <= {window} THEN 1 "
+        f"ELSE 1 + (((_n - {window}) + {step - 1}) div {step}) END"
+    )
+    d = (
+        d.filter("_n > 0")
+        .withColumn("_k", F.explode(F.expr(f"sequence(0, ({nch}) - 1)")))
+        .withColumn("_start", F.expr(f"_k * {step}"))
+    )
+    return d.select(
+        F.col(id_col),
+        F.col("_k").cast("long").alias("chunk_id"),
+        F.col("_start").cast("long").alias("start_tok"),
+        F.expr(f"CAST(least({window}, _n - _start) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            f"array_join(slice(_toks, CAST(_start + 1 AS INT), "
+            f"CAST(least({window}, _n - _start) AS INT)), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql_duck(
+    src: str = "documents",
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    e = DUCK
+    step = window - overlap
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {tokens_expr(e, text_col)} AS toks
+  FROM {src}
+),
+p AS (
+  SELECT {id_col}, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {window} THEN 1
+              ELSE 1 + (((len(toks) - {window}) + {step - 1}) // {step}) END AS nch
+  FROM t WHERE len(toks) > 0
+)
+SELECT {id_col},
+       CAST(g.k AS BIGINT) AS chunk_id,
+       CAST(g.k * {step} AS BIGINT) AS start_tok,
+       CAST(LEAST({window}, n - g.k * {step}) AS BIGINT) AS n_tok,
+       array_to_string(
+         toks[g.k * {step} + 1 : g.k * {step} + LEAST({window}, n - g.k * {step})],
+         ' ') AS chunk_text
+FROM p CROSS JOIN UNNEST(generate_series(0, nch - 1)) AS g(k)
 """

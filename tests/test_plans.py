@@ -284,3 +284,53 @@ def test_surt_sorted_scan_prunes_row_groups(spark, tmp_path):
         (F.col("surt_key") >= lo) & (F.col("surt_key") < hi)
     ).count()
     assert scan.count() == want and want > 0
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    from linear_quadtree_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(docs, window=64, overlap=16))
+    assert "Exchange" not in plan          # zero shuffle at any corpus size
+    assert "Generate" in plan              # explode stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    from linear_quadtree_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=256, n_buckets=8))
+    # ONE hash exchange on the packing bucket feeds both the running-sum
+    # window and the rollup (same partitioning → no second shuffle of
+    # the doc relation; the final aggregate may add its own exchange on
+    # (bucket, seq_id) but never re-shuffles raw docs)
+    assert plan.count("Exchange hashpartitioning(bucket#") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only doc_id + text leave the scan
+    assert "ReadSchema" in plan and "lang" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_mixture_sample_broadcasts_rate_table(spark, sf_dir):
+    from linear_quadtree_spark.operators.text import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(mixture_sample(docs))
+    # the per-stratum rate table must ride a broadcast join — the doc
+    # relation is never hash-exchanged on the join key
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_shuffles_corpus_once_per_side(spark, sf_dir):
+    from linear_quadtree_spark.operators.similarity import semantic_dedup
+    from linear_quadtree_spark.sources.synth import corpus_embs
+    from linear_quadtree_spark.cache import release_caches
+
+    plan = _plan(semantic_dedup(corpus_embs(spark, sf_dir)))
+    # centroids ride broadcasts; the big side is hash-exchanged on
+    # list_id for the pair scan and the dropped-id set broadcasts back —
+    # there must be no SortMergeJoin of the corpus against itself on id
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(list_id#") <= 2  # x and y side
+    release_caches()
