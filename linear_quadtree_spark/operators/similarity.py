@@ -749,6 +749,7 @@ def semantic_dedup(
     sample_mod: int = 1,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the sampled-k-means coarse quantizer, then WITHIN each cluster
@@ -769,12 +770,56 @@ def semantic_dedup(
     broadcast dimension either way; the final kept flag is a broadcast
     left join of the (small) dropped-id set.
 
+    Degenerate-cluster guard (``collapse_exact``, default on): pair work
+    is Σ c_i² over cluster sizes, and a pile of byte-identical embeddings
+    always lands in ONE cluster no matter how large ``nlist`` is — the
+    one shape that re-quadratics the scan. The guard collapses exact-
+    identical vectors first (one hash aggregate on the embedding bytes —
+    the standard exact-dedup-upstream-of-semantic-dedup pipeline order,
+    fused into the operator): only the lowest-id representative of each
+    identical group enters the pair scan, and the copies get their
+    verdict fanned back as ``kept=0``. This is RESULT-exact for every
+    ``tau_ppm``, not an approximation: identical arrays produce the same
+    sequential-fold cosine against any third vector, so (a) a copy's
+    drop-evidence set is its representative's plus the representative
+    itself, and (b) evidence *provided by* a copy is always also provided
+    by its (lower-id) representative. Groups whose self-cosine ppm floor
+    falls below ``tau_ppm`` (only possible for pathological taus near
+    10⁶ or zero vectors, where (a) breaks) are left uncollapsed and scan
+    as before, so the guard never changes a single output row.
+
     Cross-engine exactness: fixed-point k-means centroids
     (`train_ivf_kmeans`), sequential-fold cosine, and an integer ppm
-    floor — so the DuckDB twin is value-hash identical."""
+    floor — so the DuckDB twin is value-hash identical (the twin keeps
+    the uncollapsed quadratic-in-cluster scan: different plan family,
+    same rows)."""
     embs = track(embs)
     cents = train_ivf_kmeans(embs, nlist, iters, sample_mod, emb_col, id_col)
-    _, assigned = ivf_assign(embs, None, emb_col, id_col, centroids=cents)
+    copies = None
+    scan = embs
+    if collapse_exact:
+        self_ppm = F.floor(cosine_col(emb_col, emb_col) * 1_000_000).cast("long")
+        groups = track(
+            embs.groupBy(emb_col)
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
+            .withColumn("_selfdup", self_ppm >= F.lit(tau_ppm))
+        )
+        reps = groups.filter("_selfdup OR _n = 1").select(
+            F.col("_rep").alias(id_col), emb_col
+        )
+        inelig = embs.join(
+            groups.filter("NOT _selfdup AND _n > 1").select(emb_col), emb_col
+        ).select(id_col, emb_col)
+        scan = reps.unionByName(inelig)
+        copies = (
+            embs.join(
+                groups.filter("_selfdup AND _n > 1").select(emb_col, "_rep"),
+                emb_col,
+            )
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(id_col, "_rep")
+        )
+    _, assigned = ivf_assign(scan, None, emb_col, id_col, centroids=cents)
     assigned = track(assigned)
     x = assigned.select(
         F.col(id_col).alias("_xid"), F.col(emb_col).alias("_xemb"), "list_id"
@@ -790,7 +835,7 @@ def semantic_dedup(
         .select(F.col("_yid").alias(id_col))
         .distinct()
     )
-    return (
+    out = (
         assigned.select(id_col, "list_id")
         .join(F.broadcast(dropped.withColumn("_d", F.lit(1))), id_col, "left")
         .select(
@@ -802,6 +847,13 @@ def semantic_dedup(
             .alias("kept"),
         )
     )
+    if copies is not None:
+        rep_lists = assigned.select(F.col(id_col).alias("_rep"), "list_id")
+        copies_out = copies.join(rep_lists, "_rep").select(
+            id_col, "list_id", F.lit(0).cast("int").alias("kept")
+        )
+        out = out.unionByName(copies_out)
+    return out
 
 
 def semantic_dedup_sql_duck(

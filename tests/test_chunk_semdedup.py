@@ -125,6 +125,64 @@ def test_semantic_dedup_keep_rule_fixture(spark):
         assert out[i].kept == 1
 
 
+def _megagroup_embs(spark, n_copies=50):
+    """n_copies byte-identical vectors (ids 0..n-1) + 5 distinct ones,
+    one of which (id n) is a near-dup of the identical pile."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(5, 64)
+    rows = []
+    pile = base[0] / np.linalg.norm(base[0])
+    for i in range(n_copies):
+        rows.append((i, [float(x) for x in pile]))
+    near = base[0] + 0.01 * base[1]
+    near = near / np.linalg.norm(near)
+    rows.append((n_copies, [float(x) for x in near]))
+    for j in range(1, 5):
+        w = base[j] / np.linalg.norm(base[j])
+        rows.append((n_copies + j, [float(x) for x in w]))
+    return spark.createDataFrame(rows, "vec_id: long, emb: array<double>")
+
+
+def test_semantic_dedup_exact_collapse_is_result_exact(spark):
+    """The degenerate-cluster guard (collapse_exact) must not change a
+    single output row vs the uncollapsed scan — on the one adversarial
+    shape it exists for (a pile of identical embeddings that all land in
+    one cluster)."""
+    embs = _megagroup_embs(spark)
+    fast = sorted(
+        (r.vec_id, r.list_id, r.kept)
+        for r in S.semantic_dedup(embs, nlist=3, iters=1).collect()
+    )
+    slow = sorted(
+        (r.vec_id, r.list_id, r.kept)
+        for r in S.semantic_dedup(
+            embs, nlist=3, iters=1, collapse_exact=False
+        ).collect()
+    )
+    assert fast == slow
+    out = {vid: (lid, k) for vid, lid, k in fast}
+    # exactly one survivor of the identical pile: the lowest id
+    assert out[0][1] == 1
+    assert all(out[i][1] == 0 for i in range(1, 50))
+    # copies are reported under their representative's cluster
+    assert len({out[i][0] for i in range(50)}) == 1
+    # the near-dup of the pile is dropped by pair evidence, not collapse
+    assert out[50][1] == 0
+
+
+def test_semantic_dedup_pathological_tau_skips_collapse(spark):
+    """tau above any reachable self-cosine ppm: the guard must decline
+    to collapse (identical copies no longer imply a drop) and both paths
+    must still agree — here, nothing is ever dropped."""
+    embs = _megagroup_embs(spark, n_copies=6)
+    for flag in (True, False):
+        rows = S.semantic_dedup(
+            embs, tau_ppm=1_000_001, nlist=2, iters=1, collapse_exact=flag
+        ).collect()
+        assert len(rows) == 11
+        assert all(r.kept == 1 for r in rows)
+
+
 def test_semantic_dedup_engine_lockstep(spark, sf_dir):
     got = sorted(
         (r.vec_id, r.list_id, r.kept)
