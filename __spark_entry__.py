@@ -46,6 +46,7 @@ from linear_quadtree_spark.functions.hexcell import hex_stats_sql_duck  # noqa: 
 from linear_quadtree_spark.operators import clean as _clean  # noqa: E402
 from linear_quadtree_spark.operators import dedup as _dedup  # noqa: E402
 from linear_quadtree_spark.operators.crawl import captures_cte_duck  # noqa: E402
+from linear_quadtree_spark.operators import graph as _graph  # noqa: E402
 from linear_quadtree_spark.operators import media as _media  # noqa: E402
 from linear_quadtree_spark.operators import similarity as _sim  # noqa: E402
 from linear_quadtree_spark.operators import text as _text  # noqa: E402
@@ -680,6 +681,15 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(pages_table(spark, sf_dir))
 
 
+def _q_host_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the deterministic host link
+    graph (3 unrolled power iterations, DIV arithmetic end to end —
+    operators/graph.py): (host, rank_fp) with rank_fp = rank · 10^12.
+    The crawl-prioritization / quality-weighting score of the public
+    Common-Crawl host-ranking line of work."""
+    return _graph.pagerank(_graph.host_link_edges(spark, sf_dir))
+
+
 # -------------------------------------------------------- alternate index
 GEOCELL_LEVEL = 6
 
@@ -1122,6 +1132,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_capture": _q_asof_capture,
         "extract_text": _q_extract_text,
         "domain_stats": _q_domain_stats,
+        "host_pagerank": _q_host_pagerank,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1480,6 +1491,7 @@ SELECT source AS site, COUNT(*) AS n_pages,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """,
+        "host_pagerank": _graph.host_pagerank_sql_duck(),
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

@@ -255,6 +255,11 @@ def main() -> None:
     lc_rows = latest_capture(captures_table(spark, SF_DIR)).count()
     timings["latest_capture"] = time.time() - t0
 
+    t0 = _probe_mark("host_pagerank")
+    from linear_quadtree_spark.operators.graph import host_link_edges, pagerank
+    pr_rows = pagerank(host_link_edges(spark, SF_DIR)).count()
+    timings["host_pagerank"] = time.time() - t0
+
     # incremental maintenance: ingest a 1/32 delta as a sorted run and
     # query the merged view — cost must track the DELTA, not the base
     t0 = _probe_mark("incremental_append")
@@ -544,6 +549,7 @@ def main() -> None:
             "slippy_quadkey_rows": slippy_rows,
             "haversine_site_groups": hav_rows,
             "cdx_rows": cdx_rows,
+            "pagerank_hosts": pr_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,

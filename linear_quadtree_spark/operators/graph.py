@@ -1,0 +1,211 @@
+"""Host-graph operators over the Common-Crawl-style page table.
+
+The web corpus the north rule targets is a *graph* as much as a table:
+crawl prioritization, spam discounting, and training-data quality
+weighting all start from link-derived host scores (the public
+Common-Crawl host-level ranking line of work). The reference engine has
+no graph layer (it is a pure spatial kernel, lqt.h:1-30); this module
+exists for the same reason the crawl-index layer does — it is the
+data-shape the 10^12-page target actually has.
+
+`pagerank` is the real distributed operator: it takes ANY (src, dst)
+edge DataFrame and runs a FIXED number of power-iteration rounds in
+pure integer arithmetic, so the result is bit-identical to the DuckDB
+unrolled-CTE twin (no floating sums whose order could differ across
+engines, no convergence test whose tolerance could flip a row).
+`host_link_edges` is the deterministic test-scale synthesizer (the
+sandbox corpus has no real anchors); at production scale the edge table
+comes from anchor extraction and this generator is never on the path.
+
+Scale shape (SCALE.md "host_pagerank"): per iteration exactly two
+shuffles — ranks hash-join edges on src (edges pre-partitioned once,
+cached with their out-degree), then one hash aggregate on dst. The
+iteration count is a constant (default 3), not data-dependent: the
+driver holds NO per-round scalar and the loop unrolls into one static
+plan. Rank state is one row per host (~10^8 at web scale — a thin
+shuffle, never collected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.cache import track
+
+__all__ = [
+    "host_link_edges",
+    "pagerank",
+    "host_pagerank_sql_duck",
+]
+
+# deterministic synthetic link map: page doc_id links its host to host
+# index ((doc_id*A + C) mod P mod N)² div N — an LCG step scrambled
+# through a large prime, then squared so in-degree is SKEWED (low-index
+# hosts are hubs, the web's real shape), all in engine-portable integer
+# arithmetic.
+_EDGE_A = 1103515245
+_EDGE_C = 12345
+_EDGE_P = 1000003
+
+PR_SCALE = 10**12  # fixed-point 1.0 == 10^12 (total mass fits int64)
+PR_D_NUM = 85  # damping d = 85/100
+PR_D_DEN = 100
+PR_ITERS = 3
+
+
+def host_link_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """Deterministic test-scale host link graph: each page contributes
+    the directed edge (its host → host[(doc_id*A + C) mod N]), self
+    loops dropped, edges distinct, in-degree quadratically skewed
+    toward low host indices (hub shape). The window over the host
+    dimension is fine HERE because hosts are a tiny synth dimension; a
+    production edge table comes from anchor extraction (url → surt →
+    host) and never needs a dense index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = (
+        docs.select(F.col(host_col).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            (F.row_number().over(Window.orderBy("host")) - 1).alias("idx"),
+        )
+    )
+    n = F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts")))
+    return (
+        docs.crossJoin(n)
+        .select(
+            F.col(host_col).alias("src"),
+            F.expr(
+                f"((({id_col} * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % n_hosts)"
+                f" * ((({id_col} * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % n_hosts))"
+                " div n_hosts"
+            ).alias("_didx"),
+        )
+        .join(F.broadcast(hosts), F.col("_didx") == F.col("idx"))
+        .filter(F.col("src") != F.col("host"))
+        .select("src", F.col("host").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    d_num: int = PR_D_NUM,
+    d_den: int = PR_D_DEN,
+    scale: int = PR_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank over a distinct (src, dst) edge
+    DataFrame → (host, rank_fp) with rank_fp = rank · 10^12.
+
+    The recurrence, in int64 end to end:
+
+        rank_0(v)   = scale DIV N
+        contrib(u→v) = rank(u) DIV out_deg(u)
+        rank_i+1(v) = (scale·(1−d) DIV 1) DIV N
+                      + (d_num · Σ_u contrib(u→v)) DIV d_den
+
+    Every operation is integer (DIV is floor division on positive
+    operands in both Spark and DuckDB), so summation order cannot
+    change the result and the DuckDB twin is value-hash identical.
+    Dangling mass (hosts with no out-edges) drops, the standard
+    simplification — identical in both engines by construction.
+    Total in-flight mass is ≤ scale = 10^12 and d_num·mass ≤ 8.5·10^13,
+    comfortably inside int64.
+
+    Plan: edges carry their out-degree in ONE cached relation
+    (edges ⋈ degree, pre-shuffled on src); each of the `iters` rounds
+    is a hash join of the thin rank state onto that relation plus one
+    hash aggregate on dst — two shuffles per round, zero driver
+    round-trips, a single static unrolled plan."""
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = track(
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_hosts")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = track(edges.join(deg, "src").repartition("src"))
+    base = f"((CAST({scale} AS BIGINT) * {d_den - d_num}) div {d_den}) div n_hosts"
+    ranks = nodes.crossJoin(n).select(
+        "host", F.expr(f"CAST({scale} AS BIGINT) div n_hosts").alias("rank_fp")
+    )
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            ranks.select(F.col("host").alias("src"), "rank_fp"), "src"
+        ).select(
+            F.col("dst").alias("host"),
+            F.expr("rank_fp div out_deg").alias("_c"),
+        )
+        inflow = contrib.groupBy("host").agg(
+            F.sum("_c").cast("long").alias("_c_in")
+        )
+        ranks = (
+            nodes.crossJoin(n)
+            .join(inflow, "host", "left")
+            .select(
+                "host",
+                F.expr(
+                    f"{base} + ({d_num} * coalesce(_c_in, CAST(0 AS BIGINT))) div {d_den}"
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks.select("host", "rank_fp")
+
+
+def host_pagerank_sql_duck(
+    src: str = "documents",
+    iters: int = PR_ITERS,
+    d_num: int = PR_D_NUM,
+    d_den: int = PR_D_DEN,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of host_link_edges + pagerank: the same integer
+    recurrence unrolled as chained CTEs (a different plan family from
+    the Spark loop — relational unroll vs iterative joins — same rows
+    bit for bit). DuckDB SUM(BIGINT) widens to HUGEINT, so every sum is
+    cast back before it meets the int64 arithmetic."""
+    big = "CAST({v} AS BIGINT)".format
+    q = f"""
+WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
+hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
+hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
+edges AS (
+  SELECT DISTINCT d.source AS src, h.host AS dst
+  FROM {src} d CROSS JOIN hn
+  JOIN hosts h ON (
+    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
+     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
+    // hn.n_hosts) = h.idx
+  WHERE d.source <> h.host),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, g.out_deg FROM edges e JOIN deg g USING (src)),
+r0 AS (SELECT host, {big(v=scale)} // n_hosts AS rank_fp FROM nodes CROSS JOIN nn)
+"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        q += f""",
+c{i} AS (
+  SELECT ed.dst AS host,
+         CAST(SUM(r.rank_fp // ed.out_deg) AS BIGINT) AS c_in
+  FROM ed JOIN {prev} r ON r.host = ed.src GROUP BY 1),
+r{i} AS (
+  SELECT nodes.host,
+         (({big(v=scale)} * {d_den - d_num}) // {d_den}) // n_hosts
+           + ({d_num} * COALESCE(c_in, {big(v=0)})) // {d_den} AS rank_fp
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (host))
+"""
+        prev = f"r{i}"
+    q += f"SELECT host, rank_fp FROM {prev}"
+    return q

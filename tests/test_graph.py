@@ -1,0 +1,99 @@
+"""Host-graph PageRank: ground-truth recurrence, lockstep, properties.
+
+The operator's contract is the *integer* recurrence documented in
+operators/graph.py — so the ground truth here is an independent pure-
+Python implementation of that recurrence over the collected edge list,
+not a float PageRank with a tolerance.
+"""
+
+import duckdb
+import pytest
+
+from linear_quadtree_spark.operators.graph import (
+    PR_D_DEN,
+    PR_D_NUM,
+    PR_SCALE,
+    host_link_edges,
+    host_pagerank_sql_duck,
+    pagerank,
+)
+
+
+def _pagerank_py(edges, iters=3, scale=PR_SCALE, d_num=PR_D_NUM, d_den=PR_D_DEN):
+    """Reference integer recurrence over a [(src, dst)] list."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = ((scale * (d_den - d_num)) // d_den) // n
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {v: base + (d_num * inflow[v]) // d_den for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_ground_truth(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "c"),  # e dangling-in, c the hub
+    ]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r.host: r.rank_fp for r in pagerank(df).collect()}
+    want = _pagerank_py(edges)
+    assert got == want
+    # the hub outranks everything; base-only nodes sit at the floor
+    assert got["c"] == max(got.values())
+    n = len(want)
+    base = ((PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN) // n
+    assert got["e"] == base  # no in-links → teleport mass only
+
+
+def test_pagerank_dangling_node_keeps_row(spark):
+    """A node that only RECEIVES links must still appear (nodes come
+    from the union of both edge endpoints) and a node with no in-links
+    still gets the teleport base."""
+    df = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    got = {r.host: r.rank_fp for r in pagerank(df, iters=1).collect()}
+    assert set(got) == {"a", "b"}
+    base = ((PR_SCALE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN) // 2
+    assert got["a"] == base
+    assert got["b"] == base + (PR_D_NUM * (PR_SCALE // 2)) // PR_D_DEN
+
+
+def test_pagerank_mass_bounded(spark, sf_dir):
+    """Total fixed-point mass never exceeds scale (dangling mass only
+    ever drops) — the int64-safety invariant the docstring claims."""
+    edges = host_link_edges(spark, sf_dir)
+    total = sum(r.rank_fp for r in pagerank(edges).collect())
+    assert 0 < total <= PR_SCALE
+
+
+def test_host_link_edges_skewed_and_deterministic(spark, sf_dir):
+    e1 = sorted((r.src, r.dst) for r in host_link_edges(spark, sf_dir).collect())
+    e2 = sorted((r.src, r.dst) for r in host_link_edges(spark, sf_dir).collect())
+    assert e1 == e2
+    indeg = {}
+    for _, d in e1:
+        indeg[d] = indeg.get(d, 0) + 1
+    hosts = {s for s, _ in e1} | {d for _, d in e1}
+    # quadratic map → some host indices are unreachable (no in-links at
+    # all) and hubs collect distinctly more in-neighbours than leaves
+    assert len(indeg) < len(hosts)
+    assert 2 * max(indeg.values()) >= 3 * min(indeg.values())
+
+
+def test_host_pagerank_engine_lockstep(spark, sf_dir):
+    got = sorted(
+        (r.host, r.rank_fp)
+        for r in pagerank(host_link_edges(spark, sf_dir)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(host_pagerank_sql_duck()).fetchall()))
+    assert got == want
