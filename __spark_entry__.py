@@ -391,6 +391,17 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.tfidf_keywords(_docs(spark, sf_dir), top_k=5)
 
 
+#: BM25 query bag: four mid-frequency terms of the synth vocabulary.
+BM25_TERMS = ["spark", "merge", "window", "customer"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval top-10 (per-term ppm floors summed in
+    int64 — `bm25_score_ppm_expr` shared verbatim with the DuckDB twin;
+    global top-k is TakeOrdered, never a single-partition window)."""
+    return _text.bm25_topk(_docs(spark, sf_dir), BM25_TERMS, top_k=10)
+
+
 def _q_fingerprint(spark, sf_dir):
     return _text.fingerprint(_docs(spark, sf_dir))
 
@@ -1088,6 +1099,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_stats": _q_token_stats,
         "vocab_stats": _q_vocab_stats,
         "tfidf_keywords": _q_tfidf_keywords,
+        "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -1414,6 +1426,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "vocab_stats": _text.vocab_stats_sql_duck(
             min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
+        "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
         "stratified_sample": _text.stratified_sample_sql_duck(
             "documents", SAMPLE_RATES_PM, default_pm=SAMPLE_DEFAULT_PM,

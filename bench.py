@@ -420,6 +420,13 @@ def main() -> None:
     tfidf_rows = tfidf_keywords(docs, top_k=5).count()
     timings["tfidf_keywords"] = time.time() - t0
 
+    t0 = _probe_mark("bm25_topk")
+    from linear_quadtree_spark.operators.text import bm25_topk
+    bm25_rows = bm25_topk(
+        docs, ["spark", "merge", "window", "customer"], top_k=10
+    ).count()
+    timings["bm25_topk"] = time.time() - t0
+
     t0 = _probe_mark("curate_corpus")
     from linear_quadtree_spark.operators.text import curate_corpus
     curated_rows = curate_corpus(corp).count()
@@ -572,6 +579,7 @@ def main() -> None:
             "incremental_dedup_rows": incr_ded_rows,
             "vocab_rows": vocab_rows,
             "tfidf_rows": tfidf_rows,
+            "bm25_rows": bm25_rows,
             "curated_rows": curated_rows,
             "extract_identical_rows": extract_rows,
             "dedup_group_rows": grp_rows,

@@ -59,6 +59,9 @@ __all__ = [
     "stratified_sample_sql_duck",
     "tfidf_keywords",
     "tfidf_keywords_sql_duck",
+    "bm25_topk",
+    "bm25_topk_sql_duck",
+    "bm25_score_ppm_expr",
     "curate_corpus",
     "curate_corpus_sql_duck",
     "pack_sequences",
@@ -541,6 +544,126 @@ r AS (
     PARTITION BY {id_col} ORDER BY score DESC, token) AS rank
   FROM s)
 SELECT {id_col}, token, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {top_k}
+"""
+
+
+# ------------------------------------------------------------ BM25 retrieval
+#: BM25 constants as engine-portable double literals (the literal STRING
+#: is shared by both engines, so `k1 + 1.0e0` is the same rounded double
+#: on both sides — never pre-fold it to 2.2, which is a DIFFERENT double).
+BM25_K1 = "1.2e0"
+BM25_B = "0.75e0"
+
+
+def bm25_score_ppm_expr(
+    tf: str, df: str, dl: str, n_docs: str, tot_toks: str
+) -> str:
+    """Per-(doc, term) BM25 partial score, floored to ppm — ONE shared
+    expression string rendered into both engines, so every IEEE op has
+    the identical tree and the floor is bit-deterministic. idf is the
+    rational (N+1)/(df+1) form for the same reason tfidf uses it (ln()
+    is not correctly rounded in either engine; a ulp flips a floor).
+    Flooring per term BEFORE the per-doc sum turns the score into an
+    int64 sum — order-independent, so map-side combine stays exact."""
+    idf = f"((CAST({n_docs} AS DOUBLE) + 1.0e0) / (CAST({df} AS DOUBLE) + 1.0e0))"
+    rel = (
+        f"(CAST({dl} AS DOUBLE) / "
+        f"(CAST({tot_toks} AS DOUBLE) / CAST({n_docs} AS DOUBLE)))"
+    )
+    tfp = (
+        f"((CAST({tf} AS DOUBLE) * ({BM25_K1} + 1.0e0)) / "
+        f"(CAST({tf} AS DOUBLE) + {BM25_K1} * "
+        f"((1.0e0 - {BM25_B}) + {BM25_B} * {rel})))"
+    )
+    return f"CAST(FLOOR(1000000.0e0 * {idf} * {tfp}) AS BIGINT)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a bag of
+    query terms, return the global top-k → (id, score_ppm, n_terms,
+    rank). The retrieval step of a corpus-curation / eval-search
+    pipeline (find the docs most about X).
+
+    Plan: the query-term filter lands BEFORE the tf shuffle, so the
+    (doc, term) aggregate is postings-sized (docs matching ≥1 term),
+    not corpus-sized; doc length and the two corpus scalars come from
+    one cached exploded relation; df and the scalars broadcast. The
+    global top-k is orderBy+limit — Spark's TakeOrdered (per-partition
+    heap, then a k-row merge), NEVER a global single-partition window;
+    the rank column is a row_number over the k surviving rows only.
+    Scoring is `bm25_score_ppm_expr` (shared with the DuckDB twin):
+    per-term ppm floors summed in int64, bit-identical across engines."""
+    from linear_quadtree_spark.cache import track
+
+    d = _with_tokens(docs, text_col)
+    ex = track(d.select(F.col(id_col), F.explode("toks").alias("token")))
+    dl = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    term_list = ", ".join("'" + t + "'" for t in terms)
+    tf = ex.filter(F.expr(f"token IN ({term_list})")).groupBy(
+        id_col, "token"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    dfq = F.broadcast(tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    stats = F.broadcast(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            ex.agg(F.count(F.lit(1)).alias("tot_toks"))
+        )
+    )
+    scored = (
+        tf.join(dfq, "token")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .withColumn(
+            "_s", F.expr(bm25_score_ppm_expr("tf", "df", "dl", "n_docs", "tot_toks"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_s").cast("long").alias("score_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score_ppm").desc(), F.col(id_col)).limit(top_k)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col(id_col))
+    return top.select(
+        id_col, "score_ppm", "n_terms", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def bm25_topk_sql_duck(
+    terms: list[str],
+    top_k: int = 10,
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    e = DUCK
+    term_list = ", ".join("'" + t + "'" for t in terms)
+    score = bm25_score_ppm_expr("tf", "df", "dl", "n_docs", "tot_toks")
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+ex AS (SELECT {id_col}, unnest(toks) AS token FROM t),
+dl AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {src}) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS tot_toks FROM ex),
+tf AS (SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM ex WHERE token IN ({term_list}) GROUP BY 1, 2),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.{id_col}, {score} AS s
+      FROM tf JOIN dfq USING (token) JOIN dl USING ({id_col}) CROSS JOIN st),
+g AS (SELECT {id_col}, CAST(SUM(s) AS BIGINT) AS score_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM s GROUP BY 1),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, {id_col}) AS rank
+      FROM g)
+SELECT {id_col}, score_ppm, n_terms, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= {top_k}
 """
 
