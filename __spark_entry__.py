@@ -485,6 +485,15 @@ def _q_ann_topk_ivf_km(spark, sf_dir):
     return _sim.ann_topk_ivf_kmeans(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
 
 
+def _q_ann_topk_pq(spark, sf_dir):
+    """PQ/ADC approximate top-k: per-subspace integer k-means codebooks
+    (8 subspaces × 16 centroids over the 64-dim corpus → 8-byte codes,
+    64× compression), asymmetric-distance scan over codes only. All
+    int64 — training, encode, and ADC sums are bit-identical to the
+    unrolled DuckDB twin."""
+    return _sim.ann_topk_pq(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
+
+
 def _q_emb_neardup(spark, sf_dir):
     return _sim.emb_neardup_pairs(corpus_embs(spark, sf_dir))
 
@@ -1127,6 +1136,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_km": _q_ann_topk_ivf_km,
+        "ann_topk_pq": _q_ann_topk_pq,
         "emb_neardup_pairs": _q_emb_neardup,
         "semantic_dedup": _q_semantic_dedup,
         # multimodal
@@ -1461,6 +1471,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ann_topk_lsh": _emb_corpus(_sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_ivf": _emb_corpus(_sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_ivf_km": _emb_corpus(_sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10)),
+        "ann_topk_pq": _emb_corpus(_sim.ann_topk_pq_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),
         "semantic_dedup": _emb_corpus(_sim.semantic_dedup_sql_duck()),
         # ---- multimodal (oracle recomputes from source text)

@@ -526,6 +526,13 @@ def main() -> None:
     ).count()
     timings["ann_topk_ivf_km"] = time.time() - t0
 
+    t0 = _probe_mark("ann_topk_pq")
+    from linear_quadtree_spark.operators.similarity import ann_topk_pq
+    ann_pq_rows = ann_topk_pq(
+        embs, [3, 17, 42, 99, 123, 256, 321, 444], k=10
+    ).count()
+    timings["ann_topk_pq"] = time.time() - t0
+
     t0 = _probe_mark("emb_neardup")
     from linear_quadtree_spark.operators.similarity import _make_planes
     nd_rows = emb_neardup_pairs(embs, planes=_make_planes(32), bands=4).count()
@@ -572,6 +579,7 @@ def main() -> None:
             "ann_rows": ann_rows,
             "ann_lsh_rows": ann_lsh_rows,
             "ann_ivf_km_rows": ann_km_rows,
+            "ann_pq_rows": ann_pq_rows,
             "emb_neardup_rows": nd_rows,
             "incremental_bbox_rows": incr_rows,
             "rasterize_rows": rast_rows,

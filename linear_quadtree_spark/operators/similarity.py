@@ -53,6 +53,12 @@ __all__ = [
     "ann_topk_ivf_kmeans_sql_duck",
     "train_ivf_kmeans",
     "ivf_kmeans_cents_ctes_duck",
+    "train_pq_codebooks",
+    "pq_codebooks_ctes_duck",
+    "pq_encode",
+    "ann_topk_pq",
+    "ann_topk_pq_sql_duck",
+    "l2q_expr",
     "ivf_assign",
     "emb_neardup_pairs",
     "emb_neardup_pairs_sql_duck",
@@ -886,3 +892,345 @@ SELECT a.{id_col}, a.list_id,
        CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS kept
 FROM asg a LEFT JOIN drp d ON a.{id_col} = d.vid
 """
+
+
+# ------------------------------------------------------ product quantization
+#: PQ geometry: EMB_DIM=64 splits into PQ_M=8 subspaces of 8 components,
+#: PQ_KSUB=16 centroids per subspace → an 8-byte code per vector (64× the
+#: compression of the float32 row — the memory story that makes 10^12
+#: vectors fit an ANN serving tier at all).
+PQ_M = 8
+PQ_KSUB = 16
+PQ_ITERS = 2
+
+
+def l2q_expr(e, a_col: str, b_col: str, dlen: int) -> str:
+    """Integer squared-L2 between two BIGINT arrays — a shared
+    expression rendered into both engines (same fold order; integer
+    adds are order-independent anyway, which is the point of running
+    PQ in quantized integer space)."""
+    prods = e.transform(
+        e.seq("1", str(dlen)),
+        "i",
+        f"({e.elem(a_col, 'i')} - {e.elem(b_col, 'i')})"
+        f" * ({e.elem(a_col, 'i')} - {e.elem(b_col, 'i')})",
+    )
+    return e.fold(prods, "CAST(0 AS BIGINT)", "a", "x", "a + x")
+
+
+def _quantize_expr(e, emb_col: str) -> str:
+    """floor(v · 2^20) per component → BIGINT array; the exact same
+    quantization the numpy trainer applies (np.floor(X * float(_QUANT)))."""
+    return e.transform(
+        emb_col, "v", f"CAST(FLOOR(CAST(v AS DOUBLE) * {float(_QUANT)!r}) AS BIGINT)"
+    )
+
+
+def train_pq_codebooks(
+    embs: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means on QUANTIZED INTEGER subvectors →
+    (sub, cid, cq) codebooks. Same offline-train/broadcast split as
+    `train_ivf_kmeans` (bounded deterministic sample to the driver,
+    numpy Lloyd iterations, tiny dimension back out) — but entirely in
+    int64: distances are exact squared L2 on floor(v·2^20) ints and the
+    centroid update is TRUNCATED integer division (sign·(|sum| div cnt),
+    emulating SQL `div`/`//` toward-zero semantics — numpy's `//`
+    floors, which disagrees on negative sums), so the unrolled DuckDB
+    twin (`pq_codebooks_ctes_duck`) is bit-identical with no floating
+    point anywhere in training. Init: every ⌊n/ksub⌋-th sample subvector
+    in id order; ties → lowest cid; empty clusters drop (both sides)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        embs.filter(F.expr(f"{id_col} % {sample_mod} = 0"))
+        .select(id_col, emb_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty PQ training sample")
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    q = np.floor(X * float(_QUANT)).astype(np.int64)
+    step = max(1, len(rows) // ksub)
+    out = []
+    for j in range(m):
+        Q = q[:, j * dsub : (j + 1) * dsub]
+        C = Q[::step][:ksub].copy()
+        cids = np.arange(C.shape[0], dtype=np.int64)
+        for _ in range(iters):
+            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # first min → lowest cid
+            surviving = np.unique(assign)
+            newc = np.empty((len(surviving), dsub), dtype=np.int64)
+            for si, s in enumerate(surviving):
+                ssum = Q[assign == s].sum(axis=0)
+                cnt = (assign == s).sum()
+                newc[si] = np.sign(ssum) * (np.abs(ssum) // cnt)
+            C = newc
+            cids = cids[surviving]
+        out += [
+            (j, int(c), [int(v) for v in row]) for c, row in zip(cids, C)
+        ]
+    return embs.sparkSession.createDataFrame(
+        out, "sub int, cid int, cq array<bigint>"
+    )
+
+
+def _pq_subvectors(embs: DataFrame, m: int, dsub: int, emb_col: str, id_col: str) -> DataFrame:
+    """(id, sub, qs): each vector's m quantized integer subvectors —
+    one narrow map + explode, no shuffle."""
+    return (
+        embs.select(
+            F.col(id_col),
+            F.expr(_quantize_expr(SPARK, emb_col)).alias("_qv"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
+            F.col("_qv"),
+        )
+        .select(
+            F.col(id_col),
+            "sub",
+            F.expr(f"slice(_qv, sub * {dsub} + 1, {dsub})").alias("qs"),
+        )
+    )
+
+
+def pq_encode(
+    embs: DataFrame,
+    books: DataFrame,
+    m: int = PQ_M,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """PQ codes: (id, sub, code) — each subvector's nearest codebook
+    centroid by exact integer L2 (ties → lowest cid). One broadcast
+    join of the tiny codebook against the exploded subvector stream,
+    then a `min_by` hash aggregate (map-side combine collapses the
+    ksub scored rows per subvector before any exchange — the same
+    argmin shape ivf_assign uses)."""
+    dsub = dim // m
+    subs = _pq_subvectors(embs, m, dsub, emb_col, id_col)
+    scored = subs.join(F.broadcast(books), "sub").withColumn(
+        "_d", F.expr(l2q_expr(SPARK, "qs", "cq", dsub))
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("code")
+    )
+
+
+def ann_topk_pq(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    sample_mod: int = 1,
+    rerank: int = 4,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """PQ/ADC top-k with exact rerank: (qid, vec_id, d2q, rn).
+
+    Stage 1 (ADC shortlist): each query's EXACT quantized subvectors
+    score against every codebook centroid once (a |Q|·m·ksub lookup
+    table, broadcast), then the corpus is scanned as CODES ONLY —
+    per-(query, vector) distance is the sum of m table lookups, int64
+    adds, order-independent, map-side combined. Top k·``rerank`` per
+    query survive.
+
+    Stage 2 (exact rerank): the shortlist — and ONLY the shortlist —
+    fetches full vectors and reranks by exact integer squared-L2 on the
+    floor(v·2^20) quantization (``d2q``; a 2^-20 grid cannot reorder
+    anything but astronomically near ties, and it keeps the whole
+    operator float-free → value-hash exact vs the DuckDB twin). This is
+    the standard IVF-PQ serving split: codes in memory for the scan,
+    full vectors touched only k·rerank times per query. ``rerank=0``
+    skips stage 2 and returns raw ADC ranks (column ``d2q`` then holds
+    the ADC distance). Self-matches excluded.
+
+    Scale: the codes relation is the 64×-compressed corpus (the whole
+    point — it's what fits an ANN serving tier at 10^12 vectors); the
+    LUT and the shortlist are broadcasts; the only corpus-sized shuffle
+    is the (qid, vec_id) partial-agg rollup, already collapsed m× by
+    map-side combine. Bulk query sets repartition by qid and reuse the
+    same plan."""
+    dsub = dim // m
+    embs = track(embs)
+    books = train_pq_codebooks(embs, m, ksub, iters, sample_mod, emb_col, id_col, dim)
+    codes = pq_encode(embs, books, m, emb_col, id_col, dim)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    qsubs = _pq_subvectors(
+        embs.filter(F.expr(f"{id_col} IN ({ids})")), m, dsub, emb_col, id_col
+    ).select(F.col(id_col).alias("qid"), "sub", F.col("qs").alias("qqs"))
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        "qid", "sub", "cid", F.expr(l2q_expr(SPARK, "qqs", "cq", dsub)).alias("_d")
+    )
+    adist = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cid"]),
+        )
+        .groupBy("qid", id_col)
+        .agg(F.sum("_d").cast("long").alias("adist"))
+        .filter(F.col("qid") != F.col(id_col))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col(id_col))
+    if not rerank:
+        return (
+            adist.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("qid", id_col, F.col("adist").alias("d2q"), "rn")
+        )
+    short = (
+        adist.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= k * rerank)
+        .select("qid", id_col)
+    )
+    qfull = embs.select(
+        F.col(id_col), F.expr(_quantize_expr(SPARK, emb_col)).alias("_qv")
+    )
+    qq = qfull.filter(F.expr(f"{id_col} IN ({ids})")).select(
+        F.col(id_col).alias("qid"), F.col("_qv").alias("_qqv")
+    )
+    rr = (
+        F.broadcast(short)
+        .join(qfull, id_col)
+        .join(F.broadcast(qq), "qid")
+        .withColumn("d2q", F.expr(l2q_expr(SPARK, "_qv", "_qqv", dim)))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("d2q"), F.col(id_col))
+    return (
+        rr.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "d2q", "rn")
+    )
+
+
+def pq_codebooks_ctes_duck(
+    src: str = "emb_corpus",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    sample_mod: int = 1,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> str:
+    """CTE chain ending in ``pqcb(sub, cid, cq)`` — the unrolled SQL twin
+    of ``train_pq_codebooks`` (same sample, quantization, init, integer
+    L2, tie rule, and TRUNCATED integer mean → bit-identical codebooks)."""
+    dsub = dim // m
+    dist = l2q_expr(DUCK, "s.qs", "c.cq", dsub)
+    parts = [
+        f"""pq_qz AS (SELECT {id_col} AS vid,
+        {_quantize_expr(DUCK, emb_col)} AS qv FROM {src}
+        WHERE {id_col} % {sample_mod} = 0),
+pq_sr AS (SELECT vid, qv, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM pq_qz),
+pq_gs AS (SELECT CAST(g.j AS INTEGER) AS sub
+          FROM UNNEST(generate_series(0, {m - 1})) AS g(j)),
+pq_prm AS (SELECT GREATEST(1, COUNT(*) // {ksub}) AS step FROM pq_qz),
+pq_ss AS (SELECT sr.vid, gs.sub,
+                 list_slice(sr.qv, gs.sub * {dsub} + 1, (gs.sub + 1) * {dsub}) AS qs
+          FROM pq_sr sr CROSS JOIN pq_gs gs),
+pq_c0 AS (SELECT gs.sub, CAST((sr.rn - 1) // prm.step AS INTEGER) AS cid,
+                 list_slice(sr.qv, gs.sub * {dsub} + 1, (gs.sub + 1) * {dsub}) AS cq
+          FROM pq_sr sr CROSS JOIN pq_gs gs CROSS JOIN pq_prm prm
+          WHERE (sr.rn - 1) % prm.step = 0 AND (sr.rn - 1) // prm.step < {ksub})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pq_asg{t} AS (SELECT s.vid, s.sub, c.cid,
+       ROW_NUMBER() OVER (PARTITION BY s.sub, s.vid
+                          ORDER BY ({dist}) ASC, c.cid) AS crn
+  FROM pq_ss s JOIN pq_c{t - 1} c ON c.sub = s.sub),
+pq_up{t} AS (SELECT a.sub, a.cid, g.i AS pos, s.qs[g.i] AS qc
+  FROM pq_asg{t} a JOIN pq_ss s ON s.vid = a.vid AND s.sub = a.sub
+  CROSS JOIN UNNEST(generate_series(1, {dsub})) AS g(i)
+  WHERE a.crn = 1),
+pq_c{t} AS (SELECT sub, cid, list(comp ORDER BY pos) AS cq FROM (
+  SELECT sub, cid, pos,
+         CAST(SUM(qc) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS comp
+  FROM pq_up{t} GROUP BY 1, 2, 3) GROUP BY 1, 2)"""
+        )
+    parts.append(f"pqcb AS (SELECT sub, cid, cq FROM pq_c{iters})")
+    return ",\n".join(parts)
+
+
+def ann_topk_pq_sql_duck(
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    sample_mod: int = 1,
+    rerank: int = 4,
+    src: str = "emb_corpus",
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of ann_topk_pq: trained codebooks in SQL, the same
+    encode / LUT / ADC-shortlist / exact-rerank chain."""
+    dsub = dim // m
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    dist = l2q_expr(DUCK, "a.qs", "c.cq", dsub)
+    full = l2q_expr(DUCK, "v.qv", "q.qv", dim)
+    head = f"""
+WITH {pq_codebooks_ctes_duck(src, m, ksub, iters, sample_mod, emb_col, id_col, dim)},
+all_qz AS (SELECT {id_col}, {_quantize_expr(DUCK, emb_col)} AS qv FROM {src}),
+all_ss AS (SELECT q.{id_col}, gs.sub,
+                  list_slice(q.qv, gs.sub * {dsub} + 1, (gs.sub + 1) * {dsub}) AS qs
+           FROM all_qz q CROSS JOIN pq_gs gs),
+enc AS (SELECT {id_col}, sub, cid AS code FROM (
+  SELECT a.{id_col}, a.sub, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY a.sub, a.{id_col}
+                            ORDER BY ({dist}) ASC, c.cid) AS crn
+  FROM all_ss a JOIN pqcb c ON c.sub = a.sub) WHERE crn = 1),
+lut AS (SELECT a.{id_col} AS qid, a.sub, c.cid, ({dist}) AS d
+        FROM all_ss a JOIN pqcb c ON c.sub = a.sub
+        WHERE a.{id_col} IN ({ids})),
+ad AS (SELECT l.qid, e.{id_col}, CAST(SUM(l.d) AS BIGINT) AS adist
+       FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+       WHERE l.qid <> e.{id_col}
+       GROUP BY 1, 2),
+sr AS (SELECT qid, {id_col}, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, {id_col}) AS srn
+      FROM ad)"""
+    if not rerank:
+        return (
+            head
+            + f"""
+SELECT qid, {id_col}, adist AS d2q, CAST(srn AS INTEGER) AS rn
+FROM sr WHERE srn <= {k}
+"""
+        )
+    return (
+        head
+        + f""",
+shortl AS (SELECT qid, {id_col} FROM sr WHERE srn <= {k * rerank}),
+rr AS (SELECT s.qid, s.{id_col}, ({full}) AS d2q
+       FROM shortl s
+       JOIN all_qz v ON v.{id_col} = s.{id_col}
+       JOIN all_qz q ON q.{id_col} = s.qid),
+r2 AS (SELECT qid, {id_col}, d2q,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2q, {id_col}) AS rn
+       FROM rr)
+SELECT qid, {id_col}, d2q, CAST(rn AS INTEGER) AS rn FROM r2 WHERE rn <= {k}
+"""
+    )
