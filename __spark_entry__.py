@@ -701,6 +701,16 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(pages_table(spark, sf_dir))
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot recrawl triage (operators/crawl.py snapshot_diff):
+    full-outer join of two slim fingerprint projections → status per
+    url ∈ {added, gone, changed, same}; payloads never move."""
+    from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
+
+    old, new = snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new)
+
+
 def _q_host_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the deterministic host link
     graph (3 unrolled power iterations, DIV arithmetic end to end —
@@ -1155,6 +1165,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_text": _q_extract_text,
         "domain_stats": _q_domain_stats,
         "host_pagerank": _q_host_pagerank,
+        "snapshot_diff": _q_snapshot_diff,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1300,6 +1311,12 @@ def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
         else f"WITH {corpus_cte_duck()} {sql}"
+
+
+def _snapshot_diff_oracle() -> str:
+    from linear_quadtree_spark.operators.crawl import snapshot_diff_sql_duck
+
+    return snapshot_diff_sql_duck()
 
 
 def _emb_corpus(sql: str) -> str:
@@ -1516,6 +1533,7 @@ SELECT source AS site, COUNT(*) AS n_pages,
 FROM documents GROUP BY 1
 """,
         "host_pagerank": _graph.host_pagerank_sql_duck(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

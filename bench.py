@@ -260,6 +260,12 @@ def main() -> None:
     pr_rows = pagerank(host_link_edges(spark, SF_DIR)).count()
     timings["host_pagerank"] = time.time() - t0
 
+    t0 = _probe_mark("snapshot_diff")
+    from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
+    _sd_old, _sd_new = snapshot_pair(spark, SF_DIR)
+    sd_rows = snapshot_diff(_sd_old, _sd_new).count()
+    timings["snapshot_diff"] = time.time() - t0
+
     # incremental maintenance: ingest a 1/32 delta as a sorted run and
     # query the merged view — cost must track the DELTA, not the base
     t0 = _probe_mark("incremental_append")
@@ -564,6 +570,7 @@ def main() -> None:
             "haversine_site_groups": hav_rows,
             "cdx_rows": cdx_rows,
             "pagerank_hosts": pr_rows,
+            "snapshot_diff_rows": sd_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,

@@ -29,6 +29,9 @@ __all__ = [
     "cdx_prefix_bounds",
     "cdx_range_scan",
     "cdx_range_scan_sql_duck",
+    "snapshot_pair",
+    "snapshot_diff",
+    "snapshot_diff_sql_duck",
 ]
 
 # deterministic multi-capture synth: each url has 1 + (doc_id % 3)
@@ -332,3 +335,155 @@ def extract_text(
     return pages.withColumn(
         out_col, F.expr(extract_text_expr(SPARK, f"CAST({html_col} AS STRING)"))
     )
+
+
+# ------------------------------------------------------------ snapshot diff
+#: deterministic snapshot-mutation moduli (test-scale synth): pages with
+#: doc_id % 7 == 3 vanish from the new crawl, % 7 == 5 change content,
+#: and every % 11 == 0 page spawns one new url (id + _DIFF_NEW_OFFSET).
+_DIFF_GONE_MOD = 7
+_DIFF_GONE_RES = 3
+_DIFF_CHG_RES = 5
+_DIFF_NEW_MOD = 11
+_DIFF_NEW_OFFSET = 1_000_000
+
+
+def _doc_url(id_col: str = "doc_id", source_col: str = "source"):
+    return F.concat(
+        F.lit("https://example.org/"),
+        F.col(source_col),
+        F.lit("/page-"),
+        F.col(id_col).cast("string"),
+    )
+
+
+def snapshot_pair(spark: SparkSession, sf_dir: str):
+    """Deterministic (old, new) crawl-snapshot pair over the documents
+    table: the new snapshot drops some pages, rewrites the text of
+    others, and adds fresh urls — the CDX-diff input shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(_doc_url().alias("url"), "doc_id", "text")
+    old = base.select("url", "text")
+    kept = base.filter(
+        F.col("doc_id") % _DIFF_GONE_MOD != _DIFF_GONE_RES
+    ).select(
+        "url",
+        F.when(
+            F.col("doc_id") % _DIFF_GONE_MOD == _DIFF_CHG_RES,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" updated")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % _DIFF_NEW_MOD == 0).select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("source"),
+            F.lit("/page-"),
+            (F.col("doc_id") + _DIFF_NEW_OFFSET).cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return old, kept.unionByName(added)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot page diff: (url, status, old_len, new_len) with
+    status ∈ {added, gone, changed, same} — the recrawl triage every
+    incremental crawl pipeline runs before it decides what to refetch,
+    re-extract, or tombstone.
+
+    Content equality is the 60-bit composite fingerprint on (fp1, fp2,
+    length) — `operators/text.fingerprint`'s exact-dedup key, sized for
+    10^12 pages — computed as a map-only projection on EACH side, so
+    the full outer join moves two slim (key, fp1, fp2, len) relations,
+    never the page payloads. One shuffle total (the join); at scale
+    both snapshots arrive surt-sorted and the join is a co-partitioned
+    sort-merge. Missing lengths report -1 (never NULL) so downstream
+    filters stay sargable."""
+    from linear_quadtree_spark.functions.textexpr import (
+        B2,
+        P2,
+        SEED2,
+        SPARK,
+        text_fp_expr,
+    )
+
+    def slim(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.expr(text_fp_expr(SPARK, text_col)).alias(f"{tag}_fp1"),
+            F.expr(text_fp_expr(SPARK, text_col, P2, B2, SEED2)).alias(f"{tag}_fp2"),
+            F.expr(f"length(coalesce({text_col}, ''))")
+            .cast("long")
+            .alias(f"{tag}_len"),
+        )
+    o = slim(old, "o")
+    n = slim(new, "n")
+    joined = o.join(n, key_col, "full_outer")
+    return joined.select(
+        F.col(key_col),
+        F.when(F.col("o_len").isNull(), F.lit("added"))
+        .when(F.col("n_len").isNull(), F.lit("gone"))
+        .when(
+            (F.col("o_fp1") == F.col("n_fp1"))
+            & (F.col("o_fp2") == F.col("n_fp2"))
+            & (F.col("o_len") == F.col("n_len")),
+            F.lit("same"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        F.coalesce(F.col("o_len"), F.lit(-1).cast("long")).alias("old_len"),
+        F.coalesce(F.col("n_len"), F.lit(-1).cast("long")).alias("new_len"),
+    )
+
+
+def snapshot_diff_sql_duck(src: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of snapshot_pair + snapshot_diff (same synth
+    mutations, same fingerprint expressions, same status rules)."""
+    from linear_quadtree_spark.functions.textexpr import (
+        B2,
+        DUCK,
+        P2,
+        SEED2,
+        text_fp_expr,
+    )
+
+    fp1 = text_fp_expr(DUCK, text_col)
+    fp2 = text_fp_expr(DUCK, text_col, P2, B2, SEED2)
+    url = f"'https://example.org/' || source || '/page-' || CAST(doc_id AS VARCHAR)"
+    url_new = (
+        "'https://example.org/' || source || '/page-' || "
+        f"CAST(doc_id + {_DIFF_NEW_OFFSET} AS VARCHAR)"
+    )
+    return f"""
+WITH old_snap AS (SELECT {url} AS url, {text_col} FROM {src}),
+new_snap AS (
+  SELECT {url} AS url,
+         CASE WHEN doc_id % {_DIFF_GONE_MOD} = {_DIFF_CHG_RES}
+              THEN COALESCE({text_col}, '') || ' updated'
+              ELSE {text_col} END AS {text_col}
+  FROM {src} WHERE doc_id % {_DIFF_GONE_MOD} <> {_DIFF_GONE_RES}
+  UNION ALL
+  SELECT {url_new} AS url, {text_col}
+  FROM {src} WHERE doc_id % {_DIFF_NEW_MOD} = 0),
+o AS (SELECT url, {fp1} AS o_fp1, {fp2} AS o_fp2,
+             CAST(LENGTH(COALESCE({text_col}, '')) AS BIGINT) AS o_len
+      FROM old_snap),
+n AS (SELECT url, {fp1} AS n_fp1, {fp2} AS n_fp2,
+             CAST(LENGTH(COALESCE({text_col}, '')) AS BIGINT) AS n_len
+      FROM new_snap)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o_len IS NULL THEN 'added'
+            WHEN n_len IS NULL THEN 'gone'
+            WHEN o_fp1 = n_fp1 AND o_fp2 = n_fp2 AND o_len = n_len THEN 'same'
+            ELSE 'changed' END AS status,
+       COALESCE(o_len, CAST(-1 AS BIGINT)) AS old_len,
+       COALESCE(n_len, CAST(-1 AS BIGINT)) AS new_len
+FROM o FULL OUTER JOIN n ON o.url = n.url
+"""

@@ -246,3 +246,50 @@ def test_cdx_bounds_are_exact_prefix():
     # closed-open: the prefix itself is in, the incremented bound is out
     assert lo <= "org,example)/a/x" < hi
     assert not (lo <= "org,example)/b" < hi)
+
+
+def test_snapshot_diff_statuses_first_principles(spark, sf_dir):
+    """Status per url recomputed from the synth mutation rules: %7==3
+    gone, %7==5 changed, %11==0 spawns an added url, the rest same —
+    plus the invariants: every url appears exactly once, lens are -1
+    exactly on the missing side."""
+    from linear_quadtree_spark.operators.crawl import (
+        _DIFF_CHG_RES,
+        _DIFF_GONE_MOD,
+        _DIFF_GONE_RES,
+        _DIFF_NEW_MOD,
+        _DIFF_NEW_OFFSET,
+        snapshot_diff,
+        snapshot_pair,
+    )
+
+    old, new = snapshot_pair(spark, sf_dir)
+    rows = snapshot_diff(old, new).collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls))
+    by_url = {r.url: r for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        url = f"https://example.org/{d.source}/page-{d.doc_id}"
+        r = by_url[url]
+        if d.doc_id % _DIFF_GONE_MOD == _DIFF_GONE_RES:
+            assert r.status == "gone" and r.new_len == -1 and r.old_len >= 0
+        elif d.doc_id % _DIFF_GONE_MOD == _DIFF_CHG_RES:
+            assert r.status == "changed"
+            assert r.new_len == r.old_len + len(" updated")
+        else:
+            assert r.status == "same" and r.old_len == r.new_len
+        if d.doc_id % _DIFF_NEW_MOD == 0:
+            added_url = (
+                f"https://example.org/{d.source}/page-{d.doc_id + _DIFF_NEW_OFFSET}"
+            )
+            a = by_url[added_url]
+            assert a.status == "added" and a.old_len == -1
+
+
+def test_snapshot_diff_same_snapshot_is_all_same(spark, sf_dir):
+    from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
+
+    old, _ = snapshot_pair(spark, sf_dir)
+    rows = snapshot_diff(old, old).collect()
+    assert rows and all(r.status == "same" for r in rows)
