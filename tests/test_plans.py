@@ -334,3 +334,47 @@ def test_semantic_dedup_shuffles_corpus_once_per_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(list_id#") <= 2  # x and y side
     release_caches()
+
+
+def test_host_pagerank_static_jvm_plan(spark, sf_dir):
+    """The unrolled PageRank must be one static JVM plan: no Python
+    evaluation anywhere, the cached edges⋈degree relation reused from
+    memory (InMemoryTableScan), and the thin rank side — never the
+    edge relation — re-exchanged per round."""
+    from linear_quadtree_spark.operators.graph import host_link_edges, pagerank
+
+    out = pagerank(host_link_edges(spark, sf_dir))
+    out.count()  # populate the tracked caches so the executed plan shows them
+    plan = _plan(out)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_ann_topk_pq_broadcasts_lut_and_stays_jvm(spark, sf_dir):
+    """PQ/ADC: the codebook and LUT sides must broadcast (the corpus-
+    sized code relation is never re-shuffled onto them) and the whole
+    operator must stay JVM-side — quantization, encode, ADC, and
+    rerank are Catalyst expressions, not Python."""
+    from linear_quadtree_spark.operators.similarity import ann_topk_pq
+    from linear_quadtree_spark.sources.synth import corpus_embs
+
+    out = ann_topk_pq(corpus_embs(spark, sf_dir), [3, 17], k=5)
+    out.count()
+    plan = _plan(out)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_single_join_and_pruned_scans(spark, sf_dir):
+    """Snapshot diff: exactly ONE join (the full-outer on the url key),
+    and the parquet scans must read only the columns the slim
+    fingerprint projection needs — never n_chars / lang."""
+    from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
+
+    old, new = snapshot_pair(spark, sf_dir)
+    plan = _plan(snapshot_diff(old, new))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg[:220]
+        assert "n_chars" not in head and "lang" not in head
