@@ -701,6 +701,28 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(pages_table(spark, sf_dir))
 
 
+def _q_ranked_curation(spark, sf_dir):
+    """The graph × curation composition: curated-corpus membership
+    (exact-dedup canonical + quality + language, curate_corpus) rolled
+    up per host and weighted by the host's PageRank — the
+    quality-weighted sampling table a pretraining mixture draws from
+    (host authority × document quality). Plan: curation's own scans,
+    one broadcast join of the thin (host, rank_fp) relation, ONE final
+    hash aggregate on (host, rank_fp)."""
+    docs = _docs(spark, sf_dir)
+    cur = _text.curate_corpus(docs)
+    ranks = _graph.pagerank(_graph.host_link_edges(spark, sf_dir))
+    return (
+        cur.join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(ranks), F.col("source") == F.col("host"))
+        .groupBy("host", "rank_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_curated"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+        )
+    )
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Cross-snapshot recrawl triage (operators/crawl.py snapshot_diff):
     full-outer join of two slim fingerprint projections → status per
@@ -1166,6 +1188,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "domain_stats": _q_domain_stats,
         "host_pagerank": _q_host_pagerank,
         "snapshot_diff": _q_snapshot_diff,
+        "ranked_curation": _q_ranked_curation,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1534,6 +1557,16 @@ FROM documents GROUP BY 1
 """,
         "host_pagerank": _graph.host_pagerank_sql_duck(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        "ranked_curation": f"""
+WITH cur AS ({_text.curate_corpus_sql_duck()}),
+pr AS ({_graph.host_pagerank_sql_duck()})
+SELECT d.source AS host, pr.rank_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_curated,
+       CAST(SUM(cur.quality) AS BIGINT) AS sum_quality
+FROM cur JOIN documents d USING (doc_id)
+JOIN pr ON pr.host = d.source
+GROUP BY 1, 2
+""",
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

@@ -260,6 +260,11 @@ def main() -> None:
     pr_rows = pagerank(host_link_edges(spark, SF_DIR)).count()
     timings["host_pagerank"] = time.time() - t0
 
+    t0 = _probe_mark("ranked_curation")
+    import __spark_entry__ as _entry_mod
+    rc_rows = _entry_mod.queries()["ranked_curation"](spark, SF_DIR).count()
+    timings["ranked_curation"] = time.time() - t0
+
     t0 = _probe_mark("snapshot_diff")
     from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
     _sd_old, _sd_new = snapshot_pair(spark, SF_DIR)
@@ -571,6 +576,7 @@ def main() -> None:
             "cdx_rows": cdx_rows,
             "pagerank_hosts": pr_rows,
             "snapshot_diff_rows": sd_rows,
+            "ranked_curation_rows": rc_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,
