@@ -701,6 +701,14 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(pages_table(spark, sf_dir))
 
 
+def _q_anchor_terms(spark, sf_dir):
+    """Per-target-host top anchor terms (operators/graph.py
+    anchor_terms): the external-relevance signal — one map-side-
+    combined (dst, token) aggregate, per-dst window top-k over the
+    vocab-sized rollup."""
+    return _graph.anchor_terms(_graph.host_link_anchors(spark, sf_dir))
+
+
 def _q_ranked_curation(spark, sf_dir):
     """The graph × curation composition: curated-corpus membership
     (exact-dedup canonical + quality + language, curate_corpus) rolled
@@ -1189,6 +1197,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "host_pagerank": _q_host_pagerank,
         "snapshot_diff": _q_snapshot_diff,
         "ranked_curation": _q_ranked_curation,
+        "anchor_terms": _q_anchor_terms,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1567,6 +1576,7 @@ FROM cur JOIN documents d USING (doc_id)
 JOIN pr ON pr.host = d.source
 GROUP BY 1, 2
 """,
+        "anchor_terms": _graph.anchor_terms_sql_duck(),
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

@@ -265,6 +265,11 @@ def main() -> None:
     rc_rows = _entry_mod.queries()["ranked_curation"](spark, SF_DIR).count()
     timings["ranked_curation"] = time.time() - t0
 
+    t0 = _probe_mark("anchor_terms")
+    from linear_quadtree_spark.operators.graph import anchor_terms, host_link_anchors
+    at_rows = anchor_terms(host_link_anchors(spark, SF_DIR)).count()
+    timings["anchor_terms"] = time.time() - t0
+
     t0 = _probe_mark("snapshot_diff")
     from linear_quadtree_spark.operators.crawl import snapshot_diff, snapshot_pair
     _sd_old, _sd_new = snapshot_pair(spark, SF_DIR)
@@ -577,6 +582,7 @@ def main() -> None:
             "pagerank_hosts": pr_rows,
             "snapshot_diff_rows": sd_rows,
             "ranked_curation_rows": rc_rows,
+            "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,
             "knn_rows": knn_rows,

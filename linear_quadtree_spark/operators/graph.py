@@ -37,6 +37,9 @@ __all__ = [
     "host_link_edges",
     "pagerank",
     "host_pagerank_sql_duck",
+    "host_link_anchors",
+    "anchor_terms",
+    "anchor_terms_sql_duck",
 ]
 
 # deterministic synthetic link map: page doc_id links its host to host
@@ -209,3 +212,107 @@ r{i} AS (
         prev = f"r{i}"
     q += f"SELECT host, rank_fp FROM {prev}"
     return q
+
+
+def host_link_anchors(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tokens: int = 4,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """Doc-granularity links with anchor text: (src, dst, anchor) — the
+    same deterministic hub-skewed destination map as `host_link_edges`,
+    but one row per PAGE, carrying the page's first ``n_tokens`` tokens
+    as the link's anchor text (the sandbox corpus has no real <a> tags;
+    at production scale this relation comes straight from anchor
+    extraction)."""
+    from linear_quadtree_spark.functions.textexpr import SPARK, tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = (
+        docs.select(F.col(host_col).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            (F.row_number().over(Window.orderBy("host")) - 1).alias("idx"),
+        )
+    )
+    n = F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts")))
+    return (
+        docs.crossJoin(n)
+        .select(
+            F.col(host_col).alias("src"),
+            F.expr(
+                f"((({id_col} * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % n_hosts)"
+                f" * ((({id_col} * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % n_hosts))"
+                " div n_hosts"
+            ).alias("_didx"),
+            F.expr(
+                f"array_join(slice({tokens_expr(SPARK, 'text')}, 1, {n_tokens}), ' ')"
+            ).alias("anchor"),
+        )
+        .join(F.broadcast(hosts), F.col("_didx") == F.col("idx"))
+        .filter(F.col("src") != F.col("host"))
+        .select("src", F.col("host").alias("dst"), "anchor")
+    )
+
+
+def anchor_terms(
+    anchors: DataFrame,
+    top_k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target-host top anchor terms: (dst, token, cnt, rank) — what
+    the web calls a page/host ABOUT (anchor text is the classic external
+    relevance signal, and at corpus scale the strongest one). Plan: one
+    (dst, token) hash aggregate with map-side combine (anchor vocab per
+    host is tiny, so the combine collapses almost everything before the
+    exchange), then a per-dst window top-k over the already-aggregated
+    relation — the window input is vocab-sized, never link-sized."""
+    from linear_quadtree_spark.functions.textexpr import SPARK, tokens_expr
+
+    ex = anchors.select(
+        F.col(dst_col),
+        F.explode(F.expr(tokens_expr(SPARK, anchor_col))).alias("token"),
+    )
+    agg = ex.groupBy(dst_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(dst_col).orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(dst_col, "token", "cnt", "rank")
+    )
+
+
+def anchor_terms_sql_duck(
+    src: str = "documents",
+    top_k: int = 3,
+    n_tokens: int = 4,
+) -> str:
+    """DuckDB twin of host_link_anchors + anchor_terms."""
+    from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
+
+    return f"""
+WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
+hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
+hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
+links AS (
+  SELECT d.source AS src, h.host AS dst,
+         array_to_string(list_slice({tokens_expr(DUCK, 'd.text')}, 1, {n_tokens}), ' ') AS anchor
+  FROM {src} d CROSS JOIN hn
+  JOIN hosts h ON (
+    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
+     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
+    // hn.n_hosts) = h.idx
+  WHERE d.source <> h.host),
+ex AS (SELECT dst, unnest({tokens_expr(DUCK, 'anchor')}) AS token FROM links),
+agg AS (SELECT dst, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY 1, 2),
+r AS (SELECT dst, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, token) AS rank
+      FROM agg)
+SELECT dst, token, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= {top_k}
+"""

@@ -97,3 +97,50 @@ def test_host_pagerank_engine_lockstep(spark, sf_dir):
     )
     want = sorted(map(tuple, con.execute(host_pagerank_sql_duck()).fetchall()))
     assert got == want
+
+
+def test_anchor_terms_first_principles(spark, sf_dir):
+    """Recompute the per-host anchor-term top-k from the collected link
+    relation with a plain Python counter — same counts, same (cnt desc,
+    token asc) tie rule."""
+    from collections import Counter
+
+    from linear_quadtree_spark.operators.graph import (
+        anchor_terms,
+        host_link_anchors,
+    )
+
+    anchors = host_link_anchors(spark, sf_dir)
+    rows = anchors.collect()
+    counts = {}
+    for r in rows:
+        for tok in r.anchor.split():
+            counts.setdefault(r.dst, Counter())[tok] += 1
+    want = []
+    for dst, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [(dst, t, n, i + 1) for i, (t, n) in enumerate(top)]
+    got = sorted(tuple(r) for r in anchor_terms(anchors).collect())
+    assert got == sorted(want)
+    # anchors carry at most n_tokens tokens each
+    assert all(len(r.anchor.split()) <= 4 for r in rows)
+
+
+def test_anchor_terms_engine_lockstep(spark, sf_dir):
+    import duckdb as _dd
+
+    from linear_quadtree_spark.operators.graph import (
+        anchor_terms,
+        anchor_terms_sql_duck,
+        host_link_anchors,
+    )
+
+    got = sorted(
+        tuple(r) for r in anchor_terms(host_link_anchors(spark, sf_dir)).collect()
+    )
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(anchor_terms_sql_duck()).fetchall()))
+    assert got == want
