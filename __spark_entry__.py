@@ -763,6 +763,21 @@ def _q_geocell_stats(spark, sf_dir):
     )
 
 
+def _q_hilbert_stats(spark, sf_dir):
+    """Hilbert-curve alternate clustering key (functions/hilbert.py):
+    unrolled rotate-and-flip integer transform, map-only; per-cell
+    rollup. Hilbert covers of rectangular windows split into ~2× fewer
+    contiguous key runs than Morton (tests/test_hilbert.py)."""
+    from linear_quadtree_spark.functions.hilbert import with_hilbert_key
+
+    pts = geotagged_docs(spark, sf_dir)
+    return (
+        with_hilbert_key(pts, "x", "y", DEFAULT_BOUNDS)
+        .groupBy("hkey")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("doc_id").alias("sum_doc_id"))
+    )
+
+
 def _q_surt_canonical(spark, sf_dir):
     """SURT url canonicalization (round-3): four deterministic spellings
     of each page url (case / www / default ports) collapse to one
@@ -1201,6 +1216,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
+        "hilbert_stats": _q_hilbert_stats,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
         "surt_canonical": _q_surt_canonical,
@@ -1343,6 +1359,17 @@ def _corpus(sql: str) -> str:
     """Prepend the duplicate-corpus CTE to an oracle query over `corpus`."""
     return sql.replace("WITH ", f"WITH {corpus_cte_duck()}, ", 1) if "WITH " in sql \
         else f"WITH {corpus_cte_duck()} {sql}"
+
+
+def _hilbert_stats_oracle() -> str:
+    from linear_quadtree_spark.functions.hilbert import hilbert_ctes_duck
+
+    return f"""
+WITH {_PTS_CTE},
+{hilbert_ctes_duck('pts', 'px', 'py', DEFAULT_BOUNDS)}
+SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM hfin GROUP BY 1
+"""
 
 
 def _snapshot_diff_oracle() -> str:
@@ -1588,6 +1615,7 @@ FROM pts GROUP BY 1
             f"WITH {_PTS_CTE}\n"
             + hex_stats_sql_duck("pts", "px", "py", "doc_id", DEFAULT_BOUNDS, HEX_RES)
         ),
+        "hilbert_stats": _hilbert_stats_oracle(),
         "hex_focal_smooth": _hex_focal_oracle(),
         "slippy_tile_stats": _slippy_oracle(),
         "surt_canonical": _crawl_surt_oracle(),

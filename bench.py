@@ -350,6 +350,14 @@ def main() -> None:
     )
     timings["hexcell_stats_r8"] = time.time() - t0
 
+    t0 = _probe_mark("hilbert_stats")
+    from linear_quadtree_spark.functions.hilbert import with_hilbert_key
+    hilb_rows = (
+        with_hilbert_key(pts, "x", "y", DEFAULT_BOUNDS)
+        .groupBy("hkey").count().count()
+    )
+    timings["hilbert_stats"] = time.time() - t0
+
     t0 = _probe_mark("hex_focal_r8")
     hexf_rows = hex_focal_smooth(pts, "x", "y", res=8).count()
     timings["hex_focal_r8"] = time.time() - t0
@@ -575,6 +583,7 @@ def main() -> None:
         "host_probe_per_query": PROBES,
         "aux": {
             "hexcell_rows": hex_rows,
+            "hilbert_rows": hilb_rows,
             "hex_focal_rows": hexf_rows,
             "slippy_quadkey_rows": slippy_rows,
             "haversine_site_groups": hav_rows,
