@@ -778,6 +778,33 @@ def _q_hilbert_stats(spark, sf_dir):
     )
 
 
+#: hilbert_bbox query window (same rect as the zkey bbox benches)
+HILBERT_RECT = (1020.0, 1045.0, 1030.0, 1070.0)
+
+
+def _q_hilbert_bbox(spark, sf_dir):
+    """bbox over the Hilbert-keyed relation: driver-planned hkey
+    interval cover (OR-of-BETWEEN, sargable) + exact closed-rect
+    refine — the zkey bbox_query's two-phase shape on the
+    locality-first curve (functions/hilbert.py hilbert_bbox).
+
+    The keyed relation is tracked/cached FIRST — the clustering-key
+    contract: hkey must be a stored (or cached) column before range
+    predicates hit it, else Catalyst inlines the 18-step key transform
+    into every BETWEEN and the collapsed expression tree blows up
+    combinatorially (measured: a 40-minute optimizer stall). At scale
+    the key is a written table column, same as the zs layout."""
+    from linear_quadtree_spark.cache import track
+    from linear_quadtree_spark.functions.hilbert import (
+        hilbert_bbox,
+        with_hilbert_key,
+    )
+
+    pts = geotagged_docs(spark, sf_dir)
+    keyed = track(with_hilbert_key(pts, "x", "y", DEFAULT_BOUNDS))
+    return hilbert_bbox(keyed, *HILBERT_RECT, DEFAULT_BOUNDS).select("doc_id")
+
+
 def _q_surt_canonical(spark, sf_dir):
     """SURT url canonicalization (round-3): four deterministic spellings
     of each page url (case / www / default ports) collapse to one
@@ -1217,6 +1244,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
         "hilbert_stats": _q_hilbert_stats,
+        "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
         "surt_canonical": _q_surt_canonical,
@@ -1616,6 +1644,12 @@ FROM pts GROUP BY 1
             + hex_stats_sql_duck("pts", "px", "py", "doc_id", DEFAULT_BOUNDS, HEX_RES)
         ),
         "hilbert_stats": _hilbert_stats_oracle(),
+        "hilbert_bbox": f"""
+WITH {_PTS_CTE}
+SELECT doc_id FROM pts
+WHERE px >= {HILBERT_RECT[0]!r} AND px <= {HILBERT_RECT[1]!r}
+  AND py >= {HILBERT_RECT[2]!r} AND py <= {HILBERT_RECT[3]!r}
+""",
         "hex_focal_smooth": _hex_focal_oracle(),
         "slippy_tile_stats": _slippy_oracle(),
         "surt_canonical": _crawl_surt_oracle(),

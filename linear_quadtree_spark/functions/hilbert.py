@@ -40,6 +40,8 @@ __all__ = [
     "hilbert_xy2d_py",
     "with_hilbert_key",
     "hilbert_ctes_duck",
+    "hilbert_cover_rect",
+    "hilbert_bbox",
 ]
 
 HILBERT_LEVEL = 6
@@ -153,3 +155,101 @@ def hilbert_ctes_duck(
         )
     parts.append(f"hfin AS (SELECT {carry}, hd AS hkey FROM h{level})")
     return ",\n".join(parts)
+
+
+# ------------------------------------------------------------- cover planner
+def hilbert_cover_rect(
+    x0: float,
+    x1: float,
+    y0: float,
+    y1: float,
+    bounds: Bounds,
+    level: int = HILBERT_LEVEL,
+    max_depth: int | None = None,
+) -> list[tuple[int, int]]:
+    """Rectangle → merged CLOSED hkey ranges [(lo, hi), ...] covering
+    every grid cell the closed rect intersects.
+
+    The Hilbert curve is hierarchical: the depth-d index of a cell IS
+    the key prefix of every level-L key inside it (d_L(x, y) div
+    4^(L-d) == d_d(x>>(L-d), y>>(L-d)) — exhaustively verified in
+    tests), so a depth-d quadrant owns exactly the CONTIGUOUS range
+    [cell·4^(L-d), (cell+1)·4^(L-d)). The planner descends quadrants,
+    emitting whole ranges for contained cells — the same recursive
+    cover `plans/cover.py` runs in zkey space, but over a curve whose
+    covers merge into ~2× fewer runs (tests/test_hilbert.py)."""
+    import math
+
+    if max_depth is None:
+        max_depth = level
+    n = 1 << level
+
+    def axis(v: float, lo: float, hi: float) -> int:
+        raw = math.floor((float(v) - lo) * (float(n) / (hi - lo)))
+        return max(0, min(n - 1, int(raw)))
+
+    gx0, gx1 = axis(x0, bounds.xstart, bounds.xend), axis(x1, bounds.xstart, bounds.xend)
+    gy0, gy1 = axis(y0, bounds.ystart, bounds.yend), axis(y1, bounds.ystart, bounds.yend)
+    ranges: list[tuple[int, int]] = []
+
+    def emit(cx: int, cy: int, d: int) -> None:
+        w = 1 << (level - d)
+        lox, hix = cx * w, (cx + 1) * w - 1
+        loy, hiy = cy * w, (cy + 1) * w - 1
+        if hix < gx0 or lox > gx1 or hiy < gy0 or loy > gy1:
+            return
+        contained = lox >= gx0 and hix <= gx1 and loy >= gy0 and hiy <= gy1
+        if contained or d >= max_depth:
+            span = 4 ** (level - d)
+            base = hilbert_xy2d_py(cx, cy, d) * span if d else 0
+            ranges.append((base, base + span - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                emit(2 * cx + dx, 2 * cy + dy, d + 1)
+
+    emit(0, 0, 0)
+    ranges.sort()
+    merged = [ranges[0]]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def hilbert_bbox(
+    df: DataFrame,
+    x0: float,
+    x1: float,
+    y0: float,
+    y1: float,
+    bounds: Bounds,
+    level: int = HILBERT_LEVEL,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "hkey",
+) -> DataFrame:
+    """bbox query over a Hilbert-keyed relation: OR-of-BETWEEN pruned
+    scan on the hkey ranges (sargable — on an hkey-sorted table the
+    predicates reach parquet row-group stats), then the exact closed-
+    rect refine on (x, y). Same two-phase shape as the zkey
+    `bbox_query`; results are therefore independent of the cover and
+    trivially oracle-checkable.
+
+    CONTRACT: `key_col` must be a stored, cached, or otherwise
+    materialized column (the clustering-key workflow — you write the
+    table sorted by hkey, then query it). Filtering a just-computed
+    `with_hilbert_key` chain instead lets Catalyst inline the unrolled
+    transform into every BETWEEN; each step references its state
+    several times, so the collapsed tree grows combinatorially and the
+    optimizer stalls for minutes. Cache or save first."""
+    cover = hilbert_cover_rect(x0, x1, y0, y1, bounds, level)
+    pred = " OR ".join(f"({key_col} BETWEEN {lo} AND {hi})" for lo, hi in cover)
+    return df.filter(F.expr(pred)).filter(
+        (F.col(x_col).cast("double") >= x0)
+        & (F.col(x_col).cast("double") <= x1)
+        & (F.col(y_col).cast("double") >= y0)
+        & (F.col(y_col).cast("double") <= y1)
+    )

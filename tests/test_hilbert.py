@@ -112,3 +112,86 @@ def test_hilbert_spark_matches_ground_truth_and_duck(spark, sf_dir):
         )
     )
     assert got == duck
+
+
+def test_hilbert_bbox_matches_bruteforce(spark, sf_dir):
+    """Cover + refine returns exactly the closed-rect rows: equality
+    with the brute-force filter also proves the COVER never misses a
+    cell (the refine can only shrink, never recover a missed key
+    range). Several rects including degenerate/edge ones."""
+    pts = geotagged_docs(spark, sf_dir)
+    keyed = with_hilbert_key(pts, "x", "y", DEFAULT_BOUNDS).cache()
+    from linear_quadtree_spark.functions.hilbert import hilbert_bbox
+
+    for rect in [
+        (1020.0, 1045.0, 1030.0, 1070.0),
+        (1000.0, 1100.0, 1000.0, 1100.0),  # whole domain
+        (1049.9, 1050.1, 1049.9, 1050.1),  # midline sliver
+        (1000.0, 1001.0, 1099.0, 1100.0),  # corner
+    ]:
+        x0, x1, y0, y1 = rect
+        got = sorted(
+            r.doc_id for r in hilbert_bbox(keyed, *rect, DEFAULT_BOUNDS).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in keyed.filter(
+                (keyed.x.cast("double") >= x0)
+                & (keyed.x.cast("double") <= x1)
+                & (keyed.y.cast("double") >= y0)
+                & (keyed.y.cast("double") <= y1)
+            ).collect()
+        )
+        assert got == want, rect
+    keyed.unpersist()
+
+
+def test_hilbert_sorted_scan_prunes_row_groups(spark, tmp_path):
+    """The Hilbert key is a CLUSTERING key, proven on real footers: an
+    hkey-sorted parquet table confines a small window's cover to a
+    small fraction of rows by row-group min/max stats, with the range
+    predicates pushed to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.functions.hilbert import (
+        hilbert_bbox,
+        hilbert_cover_rect,
+    )
+
+    pts = spark.range(60_000).select(
+        F.col("id").alias("pid"),
+        geotag_x("pid").alias("x"),
+        geotag_y("pid").alias("y"),
+    )
+    keyed = with_hilbert_key(pts, "x", "y", DEFAULT_BOUNDS)
+    path = str(tmp_path / "hsorted")
+    keyed.repartitionByRange(8, "hkey").sortWithinPartitions("hkey").write.parquet(path)
+    loaded = spark.read.parquet(path)
+    rect = (1020.0, 1025.0, 1030.0, 1035.0)  # 0.25% of the domain area
+    plan = (
+        hilbert_bbox(loaded, *rect, DEFAULT_BOUNDS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "hkey" in plan.split("PushedFilters", 1)[1][:4000]
+
+    ranges = hilbert_cover_rect(*rect, DEFAULT_BOUNDS)
+    tot_rows = hit_rows = tot_groups = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("hkey")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows = md.row_group(g).num_rows
+            tot_groups += 1
+            tot_rows += rows
+            if any(st.max >= lo and st.min <= hi for lo, hi in ranges):
+                hit_rows += rows
+    assert tot_groups >= 8
+    assert hit_rows <= 0.25 * tot_rows

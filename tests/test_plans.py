@@ -378,3 +378,21 @@ def test_snapshot_diff_single_join_and_pruned_scans(spark, sf_dir):
     for seg in plan.split("ReadSchema")[1:]:
         head = seg[:220]
         assert "n_chars" not in head and "lang" not in head
+
+
+def test_hilbert_bbox_filters_cached_column_not_inlined_chain(spark, sf_dir):
+    """Regression guard for the clustering-key contract: the registry's
+    hilbert_bbox must filter the TRACKED/CACHED hkey column — if the
+    25-range OR-of-BETWEEN ever inlines the 18-step key transform
+    instead, the collapsed expression tree grows combinatorially and
+    the optimizer stalls for minutes (observed before the fix)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plan_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.queries()["hilbert_bbox"](spark, sf_dir)
+    plan = _plan(out)
+    assert "InMemoryTableScan" in plan
