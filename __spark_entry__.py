@@ -763,6 +763,34 @@ def _q_geocell_stats(spark, sf_dir):
     )
 
 
+#: grid DBSCAN / compaction parameters (sized for the 500-doc test corpus;
+#: at 10^12 pages these rise with density — see operators/cluster.py)
+DBSCAN_LEVEL, DBSCAN_MINPTS = 4, 4
+COMPACT_LEVEL = 4
+
+
+def _q_grid_dbscan(spark, sf_dir):
+    """Density clustering of the geotagged corpus on the cell grid
+    (operators/cluster.py): core cells (>= minpts points) merged across
+    8-adjacency into clusters via pointer-jumping components; per-cluster
+    rollup. Points shuffle exactly once (the cell aggregate)."""
+    from linear_quadtree_spark.operators.cluster import grid_dbscan
+
+    return grid_dbscan(
+        geotagged_docs(spark, sf_dir), level=DBSCAN_LEVEL, minpts=DBSCAN_MINPTS
+    )
+
+
+def _q_quadtree_compact(spark, sf_dir):
+    """Linear region-quadtree compaction (operators/cluster.py): minimal
+    maximal-quadrant decomposition of the occupied-cell set — the classic
+    consumer of the reference's linear key layout (lqt.cpp:54-58) that
+    stores a fully-occupied quadrant as ONE key at its level."""
+    from linear_quadtree_spark.operators.cluster import quadtree_compact
+
+    return quadtree_compact(geotagged_docs(spark, sf_dir), level=COMPACT_LEVEL)
+
+
 def _q_hilbert_stats(spark, sf_dir):
     """Hilbert-curve alternate clustering key (functions/hilbert.py):
     unrolled rotate-and-flip integer transform, map-only; per-cell
@@ -1240,6 +1268,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "snapshot_diff": _q_snapshot_diff,
         "ranked_curation": _q_ranked_curation,
         "anchor_terms": _q_anchor_terms,
+        # spatial analysis
+        "grid_dbscan": _q_grid_dbscan,
+        "quadtree_compact": _q_quadtree_compact,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1409,6 +1440,28 @@ def _snapshot_diff_oracle() -> str:
 def _emb_corpus(sql: str) -> str:
     return sql.replace("WITH ", f"WITH {emb_corpus_cte_duck()}, ", 1) if "WITH " in sql \
         else f"WITH {emb_corpus_cte_duck()} {sql}"
+
+
+def _grid_dbscan_oracle() -> str:
+    """DuckDB twin of _q_grid_dbscan — same dual-engine cell expressions,
+    adjacency by |Δ|<=1 join, cluster labels by the recursive-closure
+    DEFINITION (operators/cluster.py)."""
+    from linear_quadtree_spark.operators.cluster import grid_dbscan_sql_duck
+
+    return (
+        f"WITH RECURSIVE {_PTS_CTE},\n"
+        + grid_dbscan_sql_duck("pts", DBSCAN_LEVEL, DBSCAN_MINPTS, DEFAULT_BOUNDS)
+    )
+
+
+def _quadtree_compact_oracle() -> str:
+    """DuckDB twin of _q_quadtree_compact — the bottom-up full-quadrant
+    recurrence unrolled as one CTE per level."""
+    from linear_quadtree_spark.operators.cluster import quadtree_compact_sql_duck
+
+    return f"WITH {_PTS_CTE},\n" + quadtree_compact_sql_duck(
+        "pts", COMPACT_LEVEL, DEFAULT_BOUNDS
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1632,6 +1685,9 @@ JOIN pr ON pr.host = d.source
 GROUP BY 1, 2
 """,
         "anchor_terms": _graph.anchor_terms_sql_duck(),
+        # ---- spatial analysis
+        "grid_dbscan": _grid_dbscan_oracle(),
+        "quadtree_compact": _quadtree_compact_oracle(),
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

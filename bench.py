@@ -358,6 +358,15 @@ def main() -> None:
     )
     timings["hilbert_stats"] = time.time() - t0
 
+    t0 = _probe_mark("grid_dbscan_l9")
+    from linear_quadtree_spark.operators.cluster import grid_dbscan, quadtree_compact
+    dbscan_rows = grid_dbscan(pts, level=9, minpts=5, id_col="pid").count()
+    timings["grid_dbscan_l9"] = time.time() - t0
+
+    t0 = _probe_mark("quadtree_compact_l8")
+    compact_rows = quadtree_compact(pts, level=8).count()
+    timings["quadtree_compact_l8"] = time.time() - t0
+
     t0 = _probe_mark("hex_focal_r8")
     hexf_rows = hex_focal_smooth(pts, "x", "y", res=8).count()
     timings["hex_focal_r8"] = time.time() - t0
@@ -584,6 +593,8 @@ def main() -> None:
         "aux": {
             "hexcell_rows": hex_rows,
             "hilbert_rows": hilb_rows,
+            "dbscan_clusters": dbscan_rows,
+            "compact_quadrants": compact_rows,
             "hex_focal_rows": hexf_rows,
             "slippy_quadkey_rows": slippy_rows,
             "haversine_site_groups": hav_rows,

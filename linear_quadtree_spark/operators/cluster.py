@@ -1,0 +1,259 @@
+"""Grid-density clustering (DBSCAN on the cell grid) and region-quadtree
+compaction — spatial ANALYSIS operators on top of the engine's cell
+indexes.
+
+The reference stops at key range scans (SURVEY §2.9); these are the two
+classic aggregate consumers of a linear quadtree's cell structure:
+
+* :func:`grid_dbscan` — density-based clustering of the geotagged corpus
+  (the "where are the page hotspots" question): cells with at least
+  ``minpts`` points are *core*; 8-adjacent core cells merge into one
+  cluster (the grid formulation of DBSCAN — public algorithm, Ester et
+  al. 1996, its grid variant in the GriDBSCAN/CLIQUE line of work).
+* :func:`quadtree_compact` — the minimal maximal-quadrant decomposition
+  of the occupied-cell set: the textbook *linear region quadtree*
+  representation (Gargantini 1982), where a fully-occupied quadrant is
+  stored as ONE key at its level instead of 4^d leaves. This is the
+  compaction the reference's linear-key layout (lqt.cpp:54-58) makes
+  possible but never implements.
+
+Scale shapes
+------------
+grid_dbscan: points shuffle exactly ONCE (the cell aggregate — map-side
+combined, output is cells not points). Everything after runs on the
+core-cell relation, orders of magnitude smaller than the corpus:
+adjacency is an 8-way stencil EXPLODE + hash equi-join on (tx, ty) — no
+inequality join, no crossJoin — and cluster labels come from
+operators/components.py's pointer-jumping components (O(log diameter)
+bounded shuffles on the tiny cell graph). The corpus itself is never
+joined back here; callers who need per-point labels join points to the
+labeled-cell relation on the cell id (co-partitions with the grid).
+
+quadtree_compact: ``level`` rounds of parent aggregates, each input 4×
+smaller than the last (geometric total work ≈ 4/3 of the leaf set), then
+``level`` broadcast anti-joins against the (even smaller) parent sets.
+At 10^12 pages with level 16 the leaf relation is the big one; every
+subsequent relation fits comfortably in a broadcast.
+
+Both operators' cell ids come from functions/geocell.py's dual-engine
+expressions, so the DuckDB oracles are lockstep-by-construction; cluster
+labels are oracled by the DEFINITION (recursive transitive closure,
+components_ctes_duck) rather than by mirroring the Spark algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.cache import track
+from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geocell import (
+    cell_axis_expr,
+    geocell_col,
+    geocell_sql_duck,
+)
+from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+from linear_quadtree_spark.operators.components import (
+    components_ctes_duck,
+    connected_components,
+)
+
+__all__ = [
+    "grid_dbscan",
+    "grid_dbscan_sql_duck",
+    "quadtree_compact",
+    "quadtree_compact_sql_duck",
+]
+
+#: 8-neighborhood stencil (dx, dy) — shared by both engines' adjacency.
+_STENCIL = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def grid_dbscan(
+    pts: DataFrame,
+    level: int = 6,
+    minpts: int = 3,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster rollup of grid DBSCAN over a point relation:
+    ``(cluster_id, n_cells, n_points, sum_doc_id)``.
+
+    cluster_id is the smallest core-cell id in the cluster (own id for an
+    isolated core cell) — deterministic, integer, engine-agnostic. Points
+    in non-core cells are noise and do not appear (classic DBSCAN drops
+    them; border-point assignment is a per-point join the caller adds if
+    needed).
+    """
+    cells = (
+        pts.withColumn("cell", geocell_col(x_col, y_col, bounds, level))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(id_col).alias("sum_id"),
+        )
+    )
+    core = track(
+        cells.filter(F.col("n_points") >= minpts)
+        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "cell", level, 0)))
+        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "cell", level, 1)))
+    )
+    stencil = F.expr(
+        "array(" + ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)" for dx, dy in _STENCIL) + ")"
+    )
+    nbr = (
+        core.select("cell", "tx", "ty")
+        .withColumn("o", F.explode(stencil))
+        .select(
+            "cell",
+            (F.col("tx") + F.col("o.dx")).alias("ntx"),
+            (F.col("ty") + F.col("o.dy")).alias("nty"),
+        )
+    )
+    edges = (
+        nbr.join(
+            core.select(
+                F.col("cell").alias("cell_b"),
+                F.col("tx").alias("ntx"),
+                F.col("ty").alias("nty"),
+            ),
+            ["ntx", "nty"],
+        )
+        .select(F.col("cell").alias("id_a"), F.col("cell_b").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = core.join(
+        comp.withColumnRenamed("id", "cell"), "cell", "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("comp"), F.col("cell")))
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_id").alias("sum_doc_id"),
+    )
+
+
+def grid_dbscan_sql_duck(
+    pts_cte: str,
+    level: int = 6,
+    minpts: int = 3,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "px",
+    y_col: str = "py",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin — same cell expressions, adjacency by |Δtx|≤1 ∧ |Δty|≤1
+    (a deliberately different join family from the Spark stencil explode),
+    cluster labels by the recursive-closure DEFINITION. Embed after a
+    ``WITH RECURSIVE`` opener and the points CTE."""
+    cell = geocell_sql_duck(x_col, y_col, bounds, level)
+    tx = cell_axis_expr(DUCK, "cell", level, 0)
+    ty = cell_axis_expr(DUCK, "cell", level, 1)
+    return f"""cells AS (
+  SELECT {cell} AS cell, COUNT(*) AS n_points,
+         CAST(SUM({id_col}) AS BIGINT) AS sum_id
+  FROM {pts_cte} GROUP BY 1),
+core AS (
+  SELECT cell, n_points, sum_id, {tx} AS tx, {ty} AS ty
+  FROM cells WHERE n_points >= {minpts}),
+cpairs AS (
+  SELECT a.cell AS id_a, b.cell AS id_b
+  FROM core a JOIN core b
+    ON abs(a.tx - b.tx) <= 1 AND abs(a.ty - b.ty) <= 1 AND a.cell < b.cell),
+{components_ctes_duck('cpairs')},
+labeled AS (
+  SELECT COALESCE(k.comp, c.cell) AS cluster_id, c.n_points, c.sum_id
+  FROM core c LEFT JOIN comp k ON k.id = c.cell)
+SELECT cluster_id, COUNT(*) AS n_cells,
+       CAST(SUM(n_points) AS BIGINT) AS n_points,
+       CAST(SUM(sum_id) AS BIGINT) AS sum_doc_id
+FROM labeled GROUP BY 1"""
+
+
+def quadtree_compact(
+    pts: DataFrame,
+    level: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Minimal maximal-quadrant decomposition of the occupied-cell set:
+    ``(level, cell, n_leaves)`` — one row per maximal fully-occupied
+    quadrant, ``n_leaves = 4^(max_level - level)`` leaves it covers.
+
+    full(L) = distinct occupied leaf cells; full(l) = parents whose 4
+    children are all in full(l+1); a quadrant is EMITTED at the highest
+    level where it is full (parent not full). The union over levels tiles
+    the occupied set exactly, with no overlap — property-tested in
+    tests/test_cluster.py.
+    """
+    occ = track(
+        pts.withColumn("cell", geocell_col(x_col, y_col, bounds, level))
+        .select("cell")
+        .distinct()
+    )
+    fulls: list[DataFrame] = [occ]  # index i holds full(level - i)
+    for _ in range(level):
+        child = fulls[-1]
+        parent = (
+            child.groupBy(F.shiftrightunsigned(F.col("cell"), 2).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("nch"))
+            .filter(F.col("nch") == 4)
+            .select("cell")
+        )
+        fulls.append(track(parent))
+    emits = []
+    for i, f in enumerate(fulls):
+        lvl = level - i
+        n_leaves = 4 ** (level - lvl)
+        if lvl == 0:
+            e = f  # the root has no parent — if full, it is the answer
+        else:
+            e = f.withColumn("p", F.shiftrightunsigned(F.col("cell"), 2)).join(
+                fulls[i + 1].withColumnRenamed("cell", "p"), "p", "left_anti"
+            )
+        emits.append(
+            e.select(
+                F.lit(lvl).cast("int").alias("level"),
+                "cell",
+                F.lit(n_leaves).cast("long").alias("n_leaves"),
+            )
+        )
+    out = emits[0]
+    for e in emits[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def quadtree_compact_sql_duck(
+    pts_cte: str,
+    level: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "px",
+    y_col: str = "py",
+) -> str:
+    """DuckDB twin — the same bottom-up recurrence unrolled as one CTE per
+    level (deterministic, no recursion needed: the level count is a plan
+    constant in both engines)."""
+    cell = geocell_sql_duck(x_col, y_col, bounds, level)
+    parts = [f"f{level} AS (SELECT DISTINCT {cell} AS cell FROM {pts_cte})"]
+    for lv in range(level - 1, -1, -1):
+        parts.append(
+            f"f{lv} AS (SELECT (cell >> 2) AS cell FROM f{lv + 1} "
+            f"GROUP BY 1 HAVING COUNT(*) = 4)"
+        )
+    selects = []
+    for lv in range(level, 0, -1):
+        selects.append(
+            f"SELECT CAST({lv} AS INTEGER) AS level, cell, "
+            f"CAST({4 ** (level - lv)} AS BIGINT) AS n_leaves FROM f{lv} "
+            f"WHERE (cell >> 2) NOT IN (SELECT cell FROM f{lv - 1})"
+        )
+    selects.append(
+        f"SELECT CAST(0 AS INTEGER) AS level, cell, "
+        f"CAST({4 ** level} AS BIGINT) AS n_leaves FROM f0"
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

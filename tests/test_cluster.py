@@ -1,0 +1,149 @@
+"""Grid DBSCAN + quadtree compaction: first-principles fixtures,
+cross-engine lockstep, and the exact-tiling invariant."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.config import Bounds
+from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+from linear_quadtree_spark.operators.cluster import (
+    grid_dbscan,
+    grid_dbscan_sql_duck,
+    quadtree_compact,
+    quadtree_compact_sql_duck,
+)
+
+#: 16×16 unit-cell grid for the hand-built fixtures.
+GRID = Bounds(0.0, 16.0, 0.0, 16.0)
+LEVEL4 = 4
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _cell(ix: int, iy: int, level: int = LEVEL4) -> int:
+    c = 0
+    for i in range(level):
+        c |= ((ix >> i) & 1) << (2 * i)
+        c |= ((iy >> i) & 1) << (2 * i + 1)
+    return c
+
+
+def _pts(spark, cells_with_counts):
+    """Points at cell centers of the GRID fixture, sequential doc ids."""
+    rows, did = [], 0
+    for (ix, iy), n in cells_with_counts.items():
+        for _ in range(n):
+            rows.append((did, ix + 0.5, iy + 0.5))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, x double, y double")
+
+
+def test_dbscan_known_clusters(spark):
+    """Two clusters (one 3-cell chain incl. a diagonal link, one isolated
+    core cell); a 1-point cell is noise and never appears."""
+    pts = _pts(
+        spark,
+        {
+            (1, 1): 3,
+            (1, 2): 4,
+            (2, 3): 3,  # diagonal neighbor of (1, 2)
+            (10, 10): 5,
+            (5, 5): 1,  # noise
+        },
+    )
+    got = {
+        r["cluster_id"]: (r["n_cells"], r["n_points"])
+        for r in grid_dbscan(pts, level=LEVEL4, minpts=3, bounds=GRID).collect()
+    }
+    a = min(_cell(1, 1), _cell(1, 2), _cell(2, 3))
+    b = _cell(10, 10)
+    assert got == {a: (3, 10), b: (1, 5)}
+
+
+def test_dbscan_lockstep(spark, sf_dir, duck):
+    """Full-corpus lockstep at a level/minpts that yields a non-trivial
+    mix of merged clusters, singletons, and noise."""
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    got = (
+        grid_dbscan(geotagged_docs(spark, sf_dir), level=4, minpts=3)
+        .toPandas()
+        .sort_values("cluster_id", ignore_index=True)
+    )
+    exp = duck.execute(f"""
+WITH RECURSIVE pts AS (SELECT doc_id,
+        CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents),
+{grid_dbscan_sql_duck('pts', 4, 3, DEFAULT_BOUNDS)}
+ORDER BY cluster_id
+""").fetch_df()
+    assert len(got) == len(exp) > 1
+    for c in ("cluster_id", "n_cells", "n_points", "sum_doc_id"):
+        assert (got[c].values == exp[c].values).all(), c
+
+
+def test_compact_collapses_full_quadrant(spark):
+    """All 4 leaves of one level-3 quadrant occupied → ONE level-3 row;
+    an isolated leaf stays at leaf level."""
+    pts = _pts(spark, {(0, 0): 1, (1, 0): 1, (0, 1): 1, (1, 1): 1, (9, 9): 1})
+    got = {
+        (r["level"], r["cell"], r["n_leaves"])
+        for r in quadtree_compact(pts, level=LEVEL4, bounds=GRID).collect()
+    }
+    assert got == {(3, 0, 4), (4, _cell(9, 9), 1)}
+
+
+def test_compact_exact_tiling(spark, sf_dir):
+    """The emitted quadrants tile the occupied leaf set exactly: every
+    occupied leaf covered once, nothing else covered."""
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    level = 5
+    pts = geotagged_docs(spark, sf_dir)
+    from linear_quadtree_spark.functions.geocell import with_geocell
+
+    occ = {
+        r["geocell"]
+        for r in with_geocell(pts, level=level).select("geocell").distinct().collect()
+    }
+    covered = []
+    for r in quadtree_compact(pts, level=level).collect():
+        shift = 2 * (level - r["level"])
+        lo = r["cell"] << shift
+        covered.extend(range(lo, lo + r["n_leaves"]))
+        assert r["n_leaves"] == 1 << shift
+    assert len(covered) == len(set(covered)), "overlapping quadrants"
+    assert set(covered) == occ
+
+
+def test_compact_lockstep(spark, sf_dir, duck):
+    got = (
+        quadtree_compact(
+            __import__(
+                "linear_quadtree_spark.sources.synth", fromlist=["geotagged_docs"]
+            ).geotagged_docs(spark, sf_dir),
+            level=5,
+        )
+        .toPandas()
+        .sort_values(["level", "cell"], ignore_index=True)
+    )
+    exp = duck.execute(f"""
+WITH pts AS (SELECT doc_id,
+        CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents),
+{quadtree_compact_sql_duck('pts', 5, DEFAULT_BOUNDS)}
+ORDER BY level, cell
+""").fetch_df()
+    assert len(got) == len(exp) > 0
+    for c in ("level", "cell", "n_leaves"):
+        assert (got[c].values == exp[c].values).all(), c
