@@ -49,6 +49,7 @@ from linear_quadtree_spark.operators.crawl import captures_cte_duck  # noqa: E40
 from linear_quadtree_spark.operators import graph as _graph  # noqa: E402
 from linear_quadtree_spark.operators import media as _media  # noqa: E402
 from linear_quadtree_spark.operators import similarity as _sim  # noqa: E402
+from linear_quadtree_spark.operators import sketches as _sk  # noqa: E402
 from linear_quadtree_spark.operators import text as _text  # noqa: E402
 from linear_quadtree_spark.sources.synth import (  # noqa: E402
     corpus_cte_duck,
@@ -336,6 +337,39 @@ def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.vocab_stats(
         _docs(spark, sf_dir), min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K
     )
+
+
+#: KMV sketch size — RSE ~ 1/sqrt(k-2) ≈ 12.7%; small here so the
+#: estimator path (not the exact-below-k fast path) is what gets
+#: oracle-checked. Production corpora would use k=4096 (RSE 1.6%).
+KMV_K = 64
+
+
+def _q_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via the KMV bottom-k sketch —
+    the 'how big is each slice's vocabulary' question answered without
+    materializing any distinct set larger than k rows per group."""
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SP, tokens_expr
+
+    ex = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(tokens_expr(_SP, "text"))).alias("token")
+    )
+    return _sk.kmv_distinct(ex, ["source"], "token", k=KMV_K)
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimate between the even- and odd-doc_id halves of
+    the corpus: distinct-token cardinalities, union/intersection
+    estimates, and Jaccard — computed by merging two ≤k-row sketches,
+    never joining the corpora."""
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SP, tokens_expr
+
+    ex = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(tokens_expr(_SP, "text"))).alias("token")
+    )
+    a = ex.filter("doc_id % 2 = 0").select("token")
+    b = ex.filter("doc_id % 2 = 1").select("token")
+    return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,6 +1251,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # text analysis
         "token_stats": _q_token_stats,
         "vocab_stats": _q_vocab_stats,
+        "kmv_vocab": _q_kmv_vocab,
+        "kmv_overlap": _q_kmv_overlap,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1431,6 +1467,27 @@ FROM hfin GROUP BY 1
 """
 
 
+def _kmv_vocab_oracle() -> str:
+    from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
+
+    return f"""
+WITH t AS (SELECT source, {tokens_expr(DUCK, 'text')} AS toks FROM documents),
+ex AS (SELECT source, unnest(toks) AS token FROM t),
+{_sk.kmv_distinct_sql_duck('ex', ['source'], 'token', k=KMV_K)}
+"""
+
+
+def _kmv_overlap_oracle() -> str:
+    from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
+
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_expr(DUCK, 'text')} AS toks FROM documents),
+exa AS (SELECT unnest(toks) AS token FROM t WHERE doc_id % 2 = 0),
+exb AS (SELECT unnest(toks) AS token FROM t WHERE doc_id % 2 = 1),
+{_sk.kmv_overlap_sql_duck('exa', 'exb', 'token', k=KMV_K)}
+"""
+
+
 def _snapshot_diff_oracle() -> str:
     from linear_quadtree_spark.operators.crawl import snapshot_diff_sql_duck
 
@@ -1592,6 +1649,8 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "token_stats": _text.token_stats_sql_duck(),
         "vocab_stats": _text.vocab_stats_sql_duck(
             min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
+        "kmv_vocab": _kmv_vocab_oracle(),
+        "kmv_overlap": _kmv_overlap_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

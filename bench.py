@@ -448,6 +448,17 @@ def main() -> None:
     vocab_rows = vocab_stats(docs, top_k=1000).count()
     timings["vocab_stats"] = time.time() - t0
 
+    t0 = _probe_mark("kmv_vocab")
+    from linear_quadtree_spark.functions.textexpr import tokens_expr
+    from linear_quadtree_spark.operators.sketches import kmv_distinct
+    kmv_rows = kmv_distinct(
+        docs.select(
+            "source", F.explode(F.expr(tokens_expr(_SENG, "text"))).alias("token")
+        ),
+        ["source"], "token", k=64,
+    ).count()
+    timings["kmv_vocab"] = time.time() - t0
+
     t0 = _probe_mark("tfidf_keywords")
     from linear_quadtree_spark.operators.text import tfidf_keywords
     tfidf_rows = tfidf_keywords(docs, top_k=5).count()
