@@ -50,6 +50,7 @@ from linear_quadtree_spark.operators import graph as _graph  # noqa: E402
 from linear_quadtree_spark.operators import media as _media  # noqa: E402
 from linear_quadtree_spark.operators import similarity as _sim  # noqa: E402
 from linear_quadtree_spark.operators import sketches as _sk  # noqa: E402
+from linear_quadtree_spark.operators import lookup as _lookup  # noqa: E402
 from linear_quadtree_spark.operators import text as _text  # noqa: E402
 from linear_quadtree_spark.sources.synth import (  # noqa: E402
     corpus_cte_duck,
@@ -370,6 +371,36 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ex.filter("doc_id % 2 = 0").select("token")
     b = ex.filter("doc_id % 2 = 1").select("token")
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
+
+
+#: IP-block dimension: 256 /8-aligned blocks offset +10M so each block
+#: straddles a 2^24 bucket boundary — the driver gate exercises all
+#: three lookup paths (gap -> NULL, same-bucket hit, carry-over hit).
+_IPR_COUNTRY = "CASE {v} % 5 WHEN 0 THEN 'us' WHEN 1 THEN 'de' WHEN 2 THEN 'jp' WHEN 3 THEN 'br' ELSE 'in' END"
+_IPR_IP = "({v} * 2654435761) % 4294967296"
+
+
+def _ip_blocks_df(spark: SparkSession) -> DataFrame:
+    return spark.range(256).select(
+        (F.col("id") * 16777216 + 10_000_000).alias("block_start"),
+        (F.col("id") * 16777216 + 19_999_999).alias("block_end"),
+        (F.lit(64496) + (F.col("id") * 7) % 512).alias("asn"),
+        F.expr(_IPR_COUNTRY.format(v="id")).alias("country"),
+    )
+
+
+def _q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-log enrichment: tag each document's (synthetic,
+    deterministic) client IP with the ASN + country of the containing
+    IP block — the bucketed union+window range lookup, never a
+    nested-loop join."""
+    facts = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IPR_IP.format(v="doc_id")).alias("ip")
+    )
+    return _lookup.range_lookup(
+        facts, _ip_blocks_df(spark), "ip", "block_start", "block_end",
+        ["asn", "country"],
+    )
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,6 +1284,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_stats": _q_vocab_stats,
         "kmv_vocab": _q_kmv_vocab,
         "kmv_overlap": _q_kmv_overlap,
+        "ip_range_lookup": _q_ip_range_lookup,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1467,6 +1499,22 @@ FROM hfin GROUP BY 1
 """
 
 
+def _ip_range_lookup_oracle() -> str:
+    return f"""
+WITH facts AS (
+  SELECT doc_id, {_IPR_IP.format(v='doc_id')} AS ip FROM documents),
+blocks AS (
+  SELECT CAST(range * 16777216 + 10000000 AS BIGINT) AS block_start,
+         CAST(range * 16777216 + 19999999 AS BIGINT) AS block_end,
+         CAST(64496 + (range * 7) % 512 AS BIGINT) AS asn,
+         {_IPR_COUNTRY.format(v='range')} AS country
+  FROM range(256))
+{_lookup.range_lookup_sql_duck('facts', 'blocks', 'ip', 'block_start',
+                               'block_end', ['asn', 'country'],
+                               ['doc_id', 'ip'])}
+"""
+
+
 def _kmv_vocab_oracle() -> str:
     from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
 
@@ -1651,6 +1699,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
             min_doc_freq=VOCAB_MIN_DF, top_k=VOCAB_TOP_K),
         "kmv_vocab": _kmv_vocab_oracle(),
         "kmv_overlap": _kmv_overlap_oracle(),
+        "ip_range_lookup": _ip_range_lookup_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

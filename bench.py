@@ -321,6 +321,20 @@ def main() -> None:
     ).count()
     timings["asof_join"] = time.time() - t0
 
+    # range lookup at point-table scale: 600k facts x 256 IP blocks at
+    # sf0.1 — one bucket shuffle, no join operator
+    t0 = _probe_mark("ip_range_lookup")
+    import __spark_entry__ as _iprl_entry
+    from linear_quadtree_spark.operators.lookup import range_lookup
+    iprl_facts = pts.select(
+        "pid", F.expr("(pid * 2654435761) % 4294967296").alias("ip")
+    )
+    iprl_rows = range_lookup(
+        iprl_facts, _iprl_entry._ip_blocks_df(spark),
+        "ip", "block_start", "block_end", ["asn", "country"],
+    ).count()
+    timings["ip_range_lookup"] = time.time() - t0
+
     t0 = _probe_mark("zorder_cluster")
     from linear_quadtree_spark.functions.zorder import cluster_by_zorder
     zli = cluster_by_zorder(
