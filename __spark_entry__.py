@@ -373,6 +373,31 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+#: trajectory fixture: one segment per document, endpoints geotag(id)
+#: and geotag(id + stride) — full-domain hops exercise long supercovers
+SEG_ZOOM = 4
+SEG_STRIDE = 131
+
+
+def _q_segment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover raster assignment for segments: every zoom-4 cell each
+    trajectory hop passes through, rolled up per tile."""
+    from linear_quadtree_spark.operators.trajectory import segment_tiles
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("sid"),
+        F.expr(f"CAST({geotag_x_sql('doc_id')} AS DOUBLE)").alias("x1"),
+        F.expr(f"CAST({geotag_y_sql('doc_id')} AS DOUBLE)").alias("y1"),
+        F.expr(f"CAST({geotag_x_sql(f'(doc_id + {SEG_STRIDE})')} AS DOUBLE)").alias("x2"),
+        F.expr(f"CAST({geotag_y_sql(f'(doc_id + {SEG_STRIDE})')} AS DOUBLE)").alias("y2"),
+    )
+    return (
+        segment_tiles(d, zoom=SEG_ZOOM)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_segments"), F.sum("sid").alias("sum_sid"))
+    )
+
+
 #: IP-block dimension: 256 /8-aligned blocks offset +10M so each block
 #: straddles a 2^24 bucket boundary — the driver gate exercises all
 #: three lookup paths (gap -> NULL, same-bucket hit, carry-over hit).
@@ -1285,6 +1310,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kmv_vocab": _q_kmv_vocab,
         "kmv_overlap": _q_kmv_overlap,
         "ip_range_lookup": _q_ip_range_lookup,
+        "segment_tiles": _q_segment_tiles,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1499,6 +1525,23 @@ FROM hfin GROUP BY 1
 """
 
 
+def _segment_tiles_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import segment_tiles_sql_duck
+
+    inner = segment_tiles_sql_duck("segsrc", SEG_ZOOM)
+    return f"""
+WITH segsrc AS (
+  SELECT doc_id AS sid,
+         CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS x1,
+         CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS y1,
+         CAST({geotag_x_sql(f'(doc_id + {SEG_STRIDE})')} AS DOUBLE) AS x2,
+         CAST({geotag_y_sql(f'(doc_id + {SEG_STRIDE})')} AS DOUBLE) AS y2
+  FROM documents)
+SELECT tile_id, COUNT(*) AS n_segments, CAST(SUM(sid) AS BIGINT) AS sum_sid
+FROM (WITH {inner}) st GROUP BY 1
+"""
+
+
 def _ip_range_lookup_oracle() -> str:
     return f"""
 WITH facts AS (
@@ -1700,6 +1743,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "kmv_vocab": _kmv_vocab_oracle(),
         "kmv_overlap": _kmv_overlap_oracle(),
         "ip_range_lookup": _ip_range_lookup_oracle(),
+        "segment_tiles": _segment_tiles_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

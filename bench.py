@@ -296,6 +296,22 @@ def main() -> None:
     rast_rows = rasterize_polygons(polygons_df(spark, 16), zoom=8).count()
     timings["rasterize_z8"] = time.time() - t0
 
+    # supercover rasterization of 600k full-domain trajectory hops at
+    # zoom 6 — map-only cell enumeration, one aggregate shuffle
+    t0 = _probe_mark("segment_tiles_z6")
+    from linear_quadtree_spark.operators.trajectory import segment_tiles
+    segsrc = pts.select(
+        F.col("pid").alias("sid"),
+        F.col("x").cast("double").alias("x1"),
+        F.col("y").cast("double").alias("y1"),
+        geotag_x("(pid + 131)").cast("double").alias("x2"),
+        geotag_y("(pid + 131)").cast("double").alias("y2"),
+    )
+    seg_rows = (
+        segment_tiles(segsrc, zoom=6).groupBy("tile_id").count().count()
+    )
+    timings["segment_tiles_z6"] = time.time() - t0
+
     t0 = _probe_mark("tile_activity")
     from linear_quadtree_spark.operators.spacetime import tile_activity
     ta_rows = tile_activity(

@@ -1,0 +1,175 @@
+"""Segment → tile supercover: enumerate every grid cell a line segment
+passes through — the raster-assignment layer (SURVEY §2.9) extended
+from points to trajectories (GPS traces, shipping lanes, link lines
+between capture locations). The reference indexes points only
+(lqt.h:29-116); tiling a segment is the natural extension of its
+"coordinates → cell key" discipline to 1-D geometry.
+
+Algorithm — crossing-parameter supercover, as a pure-SQL two-stage
+projection (no UDF, no shuffle until the caller aggregates):
+
+1. normalize endpoints to cell space (0..2^zoom per axis);
+2. collect the parameters t ∈ (0,1) where the segment crosses a
+   vertical or horizontal grid line (one `sequence`+`transform` per
+   axis), add {0, 1}, sort — bound as a real COLUMN so the array is
+   computed once per row;
+3. every consecutive pair (t_i, t_{i+1}) with t_{i+1} > t_i is a
+   sub-interval lying inside EXACTLY ONE cell — the one containing the
+   midpoint;
+4. map midpoints to packed cell ids (row-major, iy·2^zoom + ix),
+   distinct, explode.
+
+The result is the set of cells the segment overlaps with positive
+length (corner-only touches are excluded, deliberately: a zero-measure
+touch assigns no raster mass). A segment spanning c_x columns and c_y
+rows yields ≤ c_x + c_y + 1 cells — the supercover tightness bound,
+asserted in tests.
+
+Cross-engine determinism: every step is IEEE basic arithmetic
+(+,-,·,/ exactly rounded and identical in Spark and DuckDB), `floor`,
+and array sort — the DuckDB twin is the same expression text rendered
+by the Eng seam, so tile assignments are bit-identical. Division by
+zero on a degenerate axis is avoided by an explicit empty-array CASE
+(NaN comparison semantics DIVERGE between engines — Spark orders NaN
+greatest, DuckDB IEEE-false — so NaN must never reach a predicate).
+
+Scale shape: map-only per segment (both projections fuse into
+WholeStageCodegen), then one explode; the caller's per-tile aggregate
+is the only shuffle. Skew = very long segments; bound them by
+splitting trajectories upstream (each input row's cost is its own
+cell count, and AQE's post-explode handling absorbs moderate skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.config import Bounds
+from linear_quadtree_spark.functions.textexpr import DUCK, SPARK, Eng
+
+__all__ = [
+    "segment_stage_exprs",
+    "segment_cells_from_stage_expr",
+    "segment_tiles",
+    "segment_tiles_sql_duck",
+]
+
+
+def _empty_darr(e: Eng) -> str:
+    return "CAST(array() AS ARRAY<DOUBLE>)" if e.name == "spark" else "CAST([] AS DOUBLE[])"
+
+
+def _flat3(e: Eng, a: str, b: str, c: str) -> str:
+    if e.name == "spark":
+        return f"flatten(array({a}, {b}, {c}))"
+    return f"flatten([{a}, {b}, {c}])"
+
+
+def _pair(e: Eng, a: str, b: str) -> str:
+    return f"array({a}, {b})" if e.name == "spark" else f"[{a}, {b}]"
+
+
+def _axis_ts(e: Eng, c1: str, c2: str, d: str) -> str:
+    """Crossing parameters of integer grid lines on one axis: t where
+    c1 + t·d hits an integer strictly inside (0,1). Empty when the
+    segment is degenerate on this axis (d = 0 would put NaN/Inf into
+    the predicate — engines disagree on NaN ordering)."""
+    klo = f"CAST(ceil(least({c1}, {c2})) AS BIGINT)"
+    khi = f"CAST(floor(greatest({c1}, {c2})) AS BIGINT)"
+    # seq hi clamps to lo so Spark's DESCENDING sequence(1,0) never
+    # fires; the spurious element the clamp may add falls outside (0,1)
+    # and dies with the same predicate that trims boundary crossings
+    ts = e.transform(
+        e.seq(klo, f"greatest({khi}, {klo})"),
+        "k",
+        f"(CAST(k AS DOUBLE) - ({c1})) / ({d})",
+    )
+    kept = e.filt(ts, "t", "t > 0.0 AND t < 1.0")
+    return f"CASE WHEN ({d}) = 0.0 THEN {_empty_darr(e)} ELSE {kept} END"
+
+
+def segment_stage_exprs(
+    e: Eng,
+    x1: str,
+    y1: str,
+    x2: str,
+    y2: str,
+    zoom: int,
+    bounds: Bounds = DEFAULT_BOUNDS,
+) -> dict[str, str]:
+    """Stage-1 projection: cell-space origin (_cx, _cy), deltas
+    (_dx, _dy), and the sorted crossing-parameter array (_ts)."""
+    xlo, xhi, ylo, yhi = bounds.as_tuple()
+    n = 1 << zoom
+    cx1 = f"((({x1}) - {xlo!r}) * {float(n)!r} / {xhi - xlo!r})"
+    cx2 = f"((({x2}) - {xlo!r}) * {float(n)!r} / {xhi - xlo!r})"
+    cy1 = f"((({y1}) - {ylo!r}) * {float(n)!r} / {yhi - ylo!r})"
+    cy2 = f"((({y2}) - {ylo!r}) * {float(n)!r} / {yhi - ylo!r})"
+    dx = f"({cx2} - {cx1})"
+    dy = f"({cy2} - {cy1})"
+    ts = e.asort(
+        _flat3(
+            e,
+            _pair(e, "0.0", "1.0"),
+            _axis_ts(e, cx1, cx2, dx),
+            _axis_ts(e, cy1, cy2, dy),
+        )
+    )
+    return {"_cx": cx1, "_cy": cy1, "_dx": dx, "_dy": dy, "_ts": ts}
+
+
+def segment_cells_from_stage_expr(e: Eng, zoom: int) -> str:
+    """Stage-2 expression over the stage-1 columns: ARRAY<BIGINT> of
+    distinct row-major cell ids (iy·2^zoom + ix) the segment overlaps
+    with positive length. Out-of-bounds overhang clamps to edge cells."""
+    n = 1 << zoom
+    lo = e.elem("_ts", "CAST(i AS INT)")
+    hi = e.elem("_ts", "CAST(i AS INT) + 1")
+    tm = f"(({lo}) + ({hi})) / 2.0"
+    px = f"(_cx + ({tm}) * _dx)"
+    py = f"(_cy + ({tm}) * _dy)"
+    ix = f"least(greatest(CAST(floor({px}) AS BIGINT), 0), {n - 1})"
+    iy = f"least(greatest(CAST(floor({py}) AS BIGINT), 0), {n - 1})"
+    cell = (
+        f"CASE WHEN ({hi}) > ({lo}) THEN ({iy}) * {n} + ({ix}) "
+        f"ELSE CAST(-1 AS BIGINT) END"
+    )
+    mids = e.transform(e.seq("1", f"{e.size('_ts')} - 1"), "i", cell)
+    return e.adistinct(e.filt(mids, "c", "c >= 0"))
+
+
+def segment_tiles(
+    segs: DataFrame,
+    zoom: int,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "sid",
+    coord_cols: tuple[str, str, str, str] = ("x1", "y1", "x2", "y2"),
+) -> DataFrame:
+    """(id_col, tile_id) — one row per (segment, overlapped cell)."""
+    stage = segment_stage_exprs(SPARK, *coord_cols, zoom, bounds)
+    staged = segs.select(
+        id_col, *[F.expr(ex).alias(name) for name, ex in stage.items()]
+    )
+    cells = segment_cells_from_stage_expr(SPARK, zoom)
+    return staged.select(id_col, F.explode(F.expr(cells)).alias("tile_id"))
+
+
+def segment_tiles_sql_duck(
+    src: str,
+    zoom: int,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "sid",
+    coord_cols: tuple[str, str, str, str] = ("x1", "y1", "x2", "y2"),
+) -> str:
+    """DuckDB twin: identical expression text, CTE-bound stage columns,
+    unnest instead of explode. Embed after a CTE exposing
+    (id, x1, y1, x2, y2); yields (id_col, tile_id) rows."""
+    stage = segment_stage_exprs(DUCK, *coord_cols, zoom, bounds)
+    cols = ",\n         ".join(f"{ex} AS {name}" for name, ex in stage.items())
+    cells = segment_cells_from_stage_expr(DUCK, zoom)
+    return (
+        f"segstage AS (\n  SELECT {id_col}, {cols}\n  FROM {src})\n"
+        f"SELECT {id_col}, unnest({cells}) AS tile_id FROM segstage"
+    )

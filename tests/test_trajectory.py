@@ -1,0 +1,123 @@
+"""segment_tiles supercover: hand-computed fixtures, randomized
+equivalence against an independent Liang-Barsky clipping oracle, the
+supercover tightness bound, cross-engine lockstep, and the map-only
+plan shape."""
+
+import math
+import random
+
+import duckdb
+
+from linear_quadtree_spark.config import Bounds
+from linear_quadtree_spark.operators.trajectory import (
+    segment_tiles,
+    segment_tiles_sql_duck,
+)
+
+B = Bounds(0.0, 16.0, 0.0, 16.0)  # zoom 4 over [0,16)^2 -> unit cells
+SCHEMA = "sid: long, x1: double, y1: double, x2: double, y2: double"
+
+
+def _run(spark, segs, zoom=4, bounds=B):
+    df = spark.createDataFrame(segs, SCHEMA)
+    out = {}
+    for r in segment_tiles(df, zoom, bounds).collect():
+        out.setdefault(r.sid, set()).add(r.tile_id)
+    return out
+
+
+def test_fixtures(spark):
+    got = _run(
+        spark,
+        [
+            (0, 0.5, 0.5, 3.5, 0.5),    # horizontal: cells (0..3, 0)
+            (1, 0.5, 0.5, 0.5, 3.5),    # vertical: cells (0, 0..3)
+            (2, 0.1, 0.1, 3.9, 3.9),    # diagonal through corners: (i,i)
+            (3, 2.5, 2.5, 2.5, 2.5),    # degenerate point
+            (4, 1.0, 0.5, 1.0, 2.5),    # ON a gridline: upper column wins
+            (5, -5.0, 0.5, 0.5, 0.5),   # overhang clamps to edge cell
+        ],
+    )
+    assert got[0] == {0, 1, 2, 3}
+    assert got[1] == {0, 16, 32, 48}
+    assert got[2] == {0, 17, 34, 51}
+    assert got[3] == {2 * 16 + 2}
+    assert got[4] == {1, 17, 33}
+    assert got[5] == {0}
+
+
+def _truth_cells(x1, y1, x2, y2, n=16):
+    """Independent oracle: a cell is covered iff the segment's clipped
+    parameter interval against the cell box has positive length
+    (Liang-Barsky)."""
+    out = set()
+    cx_lo = max(0, math.floor(min(x1, x2)) - 1)
+    cx_hi = min(n - 1, math.floor(max(x1, x2)) + 1)
+    cy_lo = max(0, math.floor(min(y1, y2)) - 1)
+    cy_hi = min(n - 1, math.floor(max(y1, y2)) + 1)
+    dx, dy = x2 - x1, y2 - y1
+    for cy in range(cy_lo, cy_hi + 1):
+        for cx in range(cx_lo, cx_hi + 1):
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for p, q0, q1 in ((dx, cx - x1, cx + 1 - x1), (dy, cy - y1, cy + 1 - y1)):
+                if p == 0.0:
+                    if q0 > 0.0 or q1 < 0.0:
+                        ok = False
+                        break
+                else:
+                    ta, tb = q0 / p, q1 / p
+                    if ta > tb:
+                        ta, tb = tb, ta
+                    t0, t1 = max(t0, ta), min(t1, tb)
+            if ok and t1 > t0:
+                out.add(cy * n + cx)
+    return out
+
+
+def test_fuzz_vs_clipping_oracle(spark):
+    rng = random.Random(42)
+    segs = []
+    for i in range(200):
+        x1, y1 = rng.uniform(0.2, 15.8), rng.uniform(0.2, 15.8)
+        ang, ln = rng.uniform(0, 2 * math.pi), rng.uniform(0, 6.0)
+        x2 = min(max(x1 + ln * math.cos(ang), 0.05), 15.95)
+        y2 = min(max(y1 + ln * math.sin(ang), 0.05), 15.95)
+        segs.append((i, x1, y1, x2, y2))
+    got = _run(spark, segs)
+    for i, x1, y1, x2, y2 in segs:
+        exp = _truth_cells(x1, y1, x2, y2)
+        assert got[i] == exp, (i, x1, y1, x2, y2)
+        # supercover tightness: <= columns + rows + 1
+        bound = (
+            abs(math.floor(x2) - math.floor(x1))
+            + abs(math.floor(y2) - math.floor(y1))
+            + 1
+        )
+        assert len(got[i]) <= bound
+
+
+def test_duckdb_lockstep(spark):
+    rng = random.Random(9)
+    segs = [
+        (i, rng.uniform(0, 16), rng.uniform(0, 16),
+         rng.uniform(0, 16), rng.uniform(0, 16))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(segs, SCHEMA)
+    got = sorted((r.sid, r.tile_id) for r in segment_tiles(df, 4, B).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE segs(sid BIGINT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE)")
+    con.executemany("INSERT INTO segs VALUES (?,?,?,?,?)", segs)
+    exp = sorted(map(tuple, con.execute(
+        "WITH " + segment_tiles_sql_duck("segs", 4, B)).fetchall()))
+    assert got == exp
+
+
+def test_map_only_plan(spark):
+    df = spark.createDataFrame([(0, 1.0, 1.0, 5.0, 3.0)], SCHEMA)
+    plan = (
+        segment_tiles(df, 4, B)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection + explode, no shuffle
