@@ -373,6 +373,19 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+N_STAT_POLYGONS = 256
+
+
+def _q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-layer geometry accounting over the DISTRIBUTED polygon
+    dimension (spark.range-generated, never driver-materialized):
+    shoelace area, perimeter, centroid, bbox per polygon — map-only."""
+    from linear_quadtree_spark.operators.geometry import polygon_stats
+    from linear_quadtree_spark.sources.synth import polygons_df_distributed
+
+    return polygon_stats(polygons_df_distributed(spark, N_STAT_POLYGONS))
+
+
 #: trajectory fixture: one segment per document, endpoints geotag(id)
 #: and geotag(id + stride) — full-domain hops exercise long supercovers
 SEG_ZOOM = 4
@@ -1311,6 +1324,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kmv_overlap": _q_kmv_overlap,
         "ip_range_lookup": _q_ip_range_lookup,
         "segment_tiles": _q_segment_tiles,
+        "polygon_stats": _q_polygon_stats,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1523,6 +1537,28 @@ WITH {_PTS_CTE},
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
 """
+
+
+def _polygon_stats_oracle() -> str:
+    from linear_quadtree_spark.operators.geometry import polygon_stats_sql_duck
+    from linear_quadtree_spark.sources.synth import poly_vertices
+
+    def _arr(vals: list[float]) -> str:
+        # the e0 suffix makes DuckDB lex each literal as DOUBLE directly;
+        # a bare literal parses as DECIMAL whose cast to DOUBLE rounds
+        # twice (measured 1-ulp divergence on 38/256 polygons)
+        return "[" + ", ".join(f"{v!r}e0" for v in vals) + "]"
+
+    rows = ",\n    ".join(
+        f"({p}, {_arr(xs)}, {_arr(ys)})"
+        for p, (xs, ys) in (
+            (p, poly_vertices(p)) for p in range(N_STAT_POLYGONS)
+        )
+    )
+    return (
+        "WITH polys(poly_id, xs, ys) AS (VALUES\n    " + rows + ")\n"
+        + polygon_stats_sql_duck("polys")
+    )
 
 
 def _segment_tiles_oracle() -> str:
@@ -1744,6 +1780,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "kmv_overlap": _kmv_overlap_oracle(),
         "ip_range_lookup": _ip_range_lookup_oracle(),
         "segment_tiles": _segment_tiles_oracle(),
+        "polygon_stats": _polygon_stats_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
