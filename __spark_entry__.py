@@ -373,6 +373,18 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact p50/p90/p99 via
+    the distinct-value histogram + cumulative window (both shuffles
+    sized by distinct lengths, never rows)."""
+    from linear_quadtree_spark.operators.quantiles import group_quantiles
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.length("text").cast("long").alias("doc_len")
+    )
+    return group_quantiles(d, ["source"], "doc_len")
+
+
 N_STAT_POLYGONS = 256
 
 
@@ -1325,6 +1337,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ip_range_lookup": _q_ip_range_lookup,
         "segment_tiles": _q_segment_tiles,
         "polygon_stats": _q_polygon_stats,
+        "length_quantiles": _q_length_quantiles,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1537,6 +1550,15 @@ WITH {_PTS_CTE},
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
 """
+
+
+def _length_quantiles_oracle() -> str:
+    from linear_quadtree_spark.operators.quantiles import group_quantiles_sql_duck
+
+    return group_quantiles_sql_duck(
+        "(SELECT source, CAST(LENGTH(text) AS BIGINT) AS doc_len FROM documents)",
+        ["source"], "doc_len",
+    )
 
 
 def _polygon_stats_oracle() -> str:
@@ -1781,6 +1803,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ip_range_lookup": _ip_range_lookup_oracle(),
         "segment_tiles": _segment_tiles_oracle(),
         "polygon_stats": _polygon_stats_oracle(),
+        "length_quantiles": _length_quantiles_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
