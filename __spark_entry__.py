@@ -373,6 +373,26 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: per-host (wave, slot)
+    assignment under a broadcast per-host capacity dimension."""
+    from linear_quadtree_spark.operators.frontier import fetch_schedule
+
+    d = _docs(spark, sf_dir)
+    frontier = d.select(
+        F.concat(
+            F.lit("https://example.org/"), F.col("source"),
+            F.lit("/page-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        ((F.col("doc_id") * 48271) % 1000).alias("priority"),
+    )
+    slots = d.select(F.col("source").alias("host")).distinct().select(
+        "host", (F.lit(1) + F.length("host") % 4).cast("long").alias("cap")
+    )
+    return fetch_schedule(frontier, slots, default_slots=1)
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution: exact p50/p90/p99 via
     the distinct-value histogram + cumulative window (both shuffles
@@ -1338,6 +1358,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "segment_tiles": _q_segment_tiles,
         "polygon_stats": _q_polygon_stats,
         "length_quantiles": _q_length_quantiles,
+        "fetch_schedule": _q_fetch_schedule,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1549,6 +1570,23 @@ WITH {_PTS_CTE},
 {hilbert_ctes_duck('pts', 'px', 'py', DEFAULT_BOUNDS)}
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
+"""
+
+
+def _fetch_schedule_oracle() -> str:
+    from linear_quadtree_spark.operators.frontier import fetch_schedule_sql_duck
+
+    inner = fetch_schedule_sql_duck("frontier", "slots")
+    return f"""
+WITH frontier AS (
+  SELECT 'https://example.org/' || source || '/page-' || CAST(doc_id AS VARCHAR) AS url,
+         source AS host,
+         (doc_id * 48271) % 1000 AS priority
+  FROM documents),
+slots AS (
+  SELECT host, CAST(1 + LENGTH(host) % 4 AS BIGINT) AS cap
+  FROM (SELECT DISTINCT source AS host FROM documents))
+{inner}
 """
 
 
@@ -1804,6 +1842,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "segment_tiles": _segment_tiles_oracle(),
         "polygon_stats": _polygon_stats_oracle(),
         "length_quantiles": _length_quantiles_oracle(),
+        "fetch_schedule": _fetch_schedule_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
