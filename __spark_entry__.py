@@ -373,6 +373,17 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+def _q_tile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed hotspot ranking: per-tile fixed-point exponential decay
+    at the latest event time — exact integer arithmetic (exp()/float
+    sums could never be hash-exact), one broadcast + one aggregate."""
+    from linear_quadtree_spark.operators.spacetime import tile_trend
+
+    return tile_trend(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4
+    )
+
+
 def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-scheduled crawl frontier: per-host (wave, slot)
     assignment under a broadcast per-host capacity dimension."""
@@ -1359,6 +1370,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "polygon_stats": _q_polygon_stats,
         "length_quantiles": _q_length_quantiles,
         "fetch_schedule": _q_fetch_schedule,
+        "tile_trend": _q_tile_trend,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1571,6 +1583,12 @@ WITH {_PTS_CTE},
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
 """
+
+
+def _tile_trend_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import tile_trend_sql_duck
+
+    return tile_trend_sql_duck("events", zoom=4)
 
 
 def _fetch_schedule_oracle() -> str:
@@ -1843,6 +1861,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "polygon_stats": _polygon_stats_oracle(),
         "length_quantiles": _length_quantiles_oracle(),
         "fetch_schedule": _fetch_schedule_oracle(),
+        "tile_trend": _tile_trend_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

@@ -31,7 +31,7 @@ from linear_quadtree_spark.functions.geotag import (
     geotag_y_sql,
 )
 
-__all__ = ["tile_activity", "tile_activity_sql_duck", "tile_activity_stream"]
+__all__ = ["tile_activity", "tile_activity_sql_duck", "tile_activity_stream", "tile_trend", "tile_trend_sql_duck"]
 
 
 def _with_keys(events: DataFrame, zoom: int, bounds: Bounds,
@@ -112,3 +112,96 @@ def tile_activity_stream(
         "n_events",
         "sum_value",
     )
+
+
+# ------------------------------------------------------------ decayed trend
+def tile_trend(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_s: int = 3600,
+    frac_bits: int = 40,
+) -> DataFrame:
+    """Per-tile exponentially-decayed activity at the corpus's latest
+    event time — the hotspot ranking where an event ``a`` seconds old
+    counts 2^-(a div half_life_s): recent bursts dominate, history
+    fades, and unlike a sliding window nothing falls off a cliff edge.
+
+    Determinism at the heart of it: ``exp()`` is NOT exactly rounded
+    and float SUM order is engine/partition-dependent, so a float
+    implementation could never be hash-exact (or even run-to-run
+    stable). Instead the decay is quantized to half-life buckets and
+    each event contributes the INTEGER 2^(frac_bits - k) (zero once
+    k ≥ frac_bits) — ``trend_fp`` is an exact fixed-point sum with
+    frac_bits fractional bits, associative and order-free. Overflow
+    ceiling: per-tile events × 2^frac_bits < 2^63 — at 10^9 events per
+    tile use frac_bits≈28; ANSI mode turns violations into errors, not
+    silent wrap.
+
+    Plan: one 1-row aggregate for the reference time (broadcast back),
+    then ONE map-side-combined hash aggregate on tile. Output:
+    (tile, n_events, recent_events, trend_fp)."""
+    keyed = _with_keys(events, zoom, bounds, id_col, ts_col)
+    ref = events.agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("_ref_epoch")
+    )
+    k = (
+        f"least((_ref_epoch - unix_timestamp({ts_col})) div {half_life_s}, "
+        f"CAST({frac_bits} AS BIGINT))"
+    )
+    w = (
+        f"CASE WHEN ({k}) < {frac_bits} "
+        f"THEN shiftleft(CAST(1 AS BIGINT), CAST({frac_bits} - ({k}) AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    recent = (
+        f"CASE WHEN _ref_epoch - unix_timestamp({ts_col}) < {half_life_s} "
+        "THEN 1 ELSE 0 END"
+    )
+    return (
+        keyed.crossJoin(F.broadcast(ref))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(recent)).alias("recent_events"),
+            F.sum(F.expr(w)).alias("trend_fp"),
+        )
+    )
+
+
+def tile_trend_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_s: int = 3600,
+    frac_bits: int = 40,
+) -> str:
+    """DuckDB twin: scalar-subquery reference time, same integer decay."""
+    k = (
+        f"least((_ref_epoch - CAST(epoch({ts_col}) AS BIGINT)) // {half_life_s}, "
+        f"CAST({frac_bits} AS BIGINT))"
+    )
+    w = (
+        f"CASE WHEN ({k}) < {frac_bits} "
+        f"THEN (CAST(1 AS BIGINT) << CAST({frac_bits} - ({k}) AS INTEGER)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    recent = (
+        f"CASE WHEN _ref_epoch - CAST(epoch({ts_col}) AS BIGINT) < {half_life_s} "
+        "THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH trkeyed AS (
+  SELECT {geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, zoom)} AS tile,
+         {ts_col},
+         (SELECT MAX(CAST(epoch({ts_col}) AS BIGINT)) FROM {src}) AS _ref_epoch
+  FROM {src})
+SELECT tile, COUNT(*) AS n_events,
+       CAST(SUM({recent}) AS BIGINT) AS recent_events,
+       CAST(SUM({w}) AS BIGINT) AS trend_fp
+FROM trkeyed GROUP BY 1
+"""
