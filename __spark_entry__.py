@@ -373,6 +373,24 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a deterministic fixture: chains
+    id -> id-1 ending at multiples of 8, plus one 2-cycle — pointer
+    doubling resolves in ceil(log2(7)) = 3 rounds and flags the loop."""
+    from linear_quadtree_spark.operators.redirects import resolve_redirects
+
+    chain = _docs(spark, sf_dir).filter("doc_id % 8 != 0").select(
+        F.concat(F.lit("https://r.example/u"), F.col("doc_id").cast("string")).alias("src_url"),
+        F.concat(F.lit("https://r.example/u"), (F.col("doc_id") - 1).cast("string")).alias("dst_url"),
+    )
+    cyc = spark.createDataFrame(
+        [("https://r.example/loop-a", "https://r.example/loop-b"),
+         ("https://r.example/loop-b", "https://r.example/loop-a")],
+        "src_url: string, dst_url: string",
+    )
+    return resolve_redirects(chain.unionByName(cyc), max_chain=8)
+
+
 def _q_tile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decayed hotspot ranking: per-tile fixed-point exponential decay
     at the latest event time — exact integer arithmetic (exp()/float
@@ -1371,6 +1389,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "length_quantiles": _q_length_quantiles,
         "fetch_schedule": _q_fetch_schedule,
         "tile_trend": _q_tile_trend,
+        "resolve_redirects": _q_resolve_redirects,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1582,6 +1601,20 @@ WITH {_PTS_CTE},
 {hilbert_ctes_duck('pts', 'px', 'py', DEFAULT_BOUNDS)}
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
+"""
+
+
+def _resolve_redirects_oracle() -> str:
+    from linear_quadtree_spark.operators.redirects import resolve_redirects_sql_duck
+
+    return f"""
+WITH RECURSIVE rsrc AS (
+  SELECT 'https://r.example/u' || CAST(doc_id AS VARCHAR) AS src_url,
+         'https://r.example/u' || CAST(doc_id - 1 AS VARCHAR) AS dst_url
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL SELECT 'https://r.example/loop-a', 'https://r.example/loop-b'
+  UNION ALL SELECT 'https://r.example/loop-b', 'https://r.example/loop-a'),
+{resolve_redirects_sql_duck('rsrc')}
 """
 
 
@@ -1862,6 +1895,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "length_quantiles": _length_quantiles_oracle(),
         "fetch_schedule": _fetch_schedule_oracle(),
         "tile_trend": _tile_trend_oracle(),
+        "resolve_redirects": _resolve_redirects_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
