@@ -373,6 +373,22 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+def _q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-structure pyramid: page counts at every path-prefix depth,
+    one exploded pass + one aggregate (the URL analog of tile_pyramid)."""
+    from linear_quadtree_spark.operators.pathroll import path_rollup
+
+    pages = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://example.org/"), F.col("source"),
+            F.lit("/sec"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/page-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return path_rollup(pages, host_col="host", max_depth=3)
+
+
 def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution over a deterministic fixture: chains
     id -> id-1 ending at multiples of 8, plus one 2-cycle — pointer
@@ -1390,6 +1406,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fetch_schedule": _q_fetch_schedule,
         "tile_trend": _q_tile_trend,
         "resolve_redirects": _q_resolve_redirects,
+        "path_rollup": _q_path_rollup,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1601,6 +1618,20 @@ WITH {_PTS_CTE},
 {hilbert_ctes_duck('pts', 'px', 'py', DEFAULT_BOUNDS)}
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
+"""
+
+
+def _path_rollup_oracle() -> str:
+    from linear_quadtree_spark.operators.pathroll import path_rollup_sql_duck
+
+    inner = path_rollup_sql_duck("prpages", host_col="host", max_depth=3)
+    return f"""
+WITH prpages AS (
+  SELECT source AS host,
+         'https://example.org/' || source || '/sec' || CAST(doc_id % 7 AS VARCHAR)
+           || '/page-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+{inner}
 """
 
 
@@ -1896,6 +1927,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "fetch_schedule": _fetch_schedule_oracle(),
         "tile_trend": _tile_trend_oracle(),
         "resolve_redirects": _resolve_redirects_oracle(),
+        "path_rollup": _path_rollup_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),
