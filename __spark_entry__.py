@@ -373,6 +373,37 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.kmv_overlap(a, b, "token", k=KMV_K)
 
 
+N_RJ_SITES = 64
+RJ_RADIUS = 2.5
+
+
+def _rj_sites_df(spark: SparkSession) -> DataFrame:
+    """64 deterministic sites on an (offset) 8x8 lattice over the domain."""
+    return spark.range(N_RJ_SITES).select(
+        F.col("id").cast("int").alias("site_id"),
+        (1006.0 + (F.col("id") % 8).cast("double") * 12.0).alias("sx"),
+        (1006.0 + F.expr("id div 8").cast("double") * 12.0).alias("sy"),
+    )
+
+
+def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite within-distance join: documents' geotag points tagged
+    with every lattice site within RJ_RADIUS (geofence matching) —
+    grid-bucketed equi-join with the 9x fan-out on the broadcast site
+    side, exact float64 refine."""
+    from linear_quadtree_spark.operators.spatial import distance_join_ab
+
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST({geotag_x_sql('doc_id')} AS DOUBLE)").alias("px"),
+        F.expr(f"CAST({geotag_y_sql('doc_id')} AS DOUBLE)").alias("py"),
+    )
+    return distance_join_ab(
+        pts, _rj_sites_df(spark), RJ_RADIUS,
+        a_id_col="doc_id", b_id_col="site_id", broadcast_b=True,
+    )
+
+
 def _q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-structure pyramid: page counts at every path-prefix depth,
     one exploded pass + one aggregate (the URL analog of tile_pyramid)."""
@@ -1407,6 +1438,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_trend": _q_tile_trend,
         "resolve_redirects": _q_resolve_redirects,
         "path_rollup": _q_path_rollup,
+        "radius_join_sites": _q_radius_join_sites,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -1618,6 +1650,24 @@ WITH {_PTS_CTE},
 {hilbert_ctes_duck('pts', 'px', 'py', DEFAULT_BOUNDS)}
 SELECT hkey, COUNT(*) AS n_points, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM hfin GROUP BY 1
+"""
+
+
+def _radius_join_oracle() -> str:
+    return f"""
+WITH {_PTS_CTE},
+sites AS (
+  SELECT CAST(range AS INTEGER) AS site_id,
+         1006.0e0 + CAST(range % 8 AS DOUBLE) * 12.0e0 AS sx,
+         1006.0e0 + CAST(range // 8 AS DOUBLE) * 12.0e0 AS sy
+  FROM range({N_RJ_SITES}))
+SELECT p.doc_id, s.site_id,
+       (CAST(p.px AS DOUBLE) - s.sx) * (CAST(p.px AS DOUBLE) - s.sx)
+       + (CAST(p.py AS DOUBLE) - s.sy) * (CAST(p.py AS DOUBLE) - s.sy) AS dist2
+FROM pts p JOIN sites s
+  ON (CAST(p.px AS DOUBLE) - s.sx) * (CAST(p.px AS DOUBLE) - s.sx)
+     + (CAST(p.py AS DOUBLE) - s.sy) * (CAST(p.py AS DOUBLE) - s.sy)
+     <= {RJ_RADIUS * RJ_RADIUS!r}e0
 """
 
 
@@ -1928,6 +1978,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "tile_trend": _tile_trend_oracle(),
         "resolve_redirects": _resolve_redirects_oracle(),
         "path_rollup": _path_rollup_oracle(),
+        "radius_join_sites": _radius_join_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

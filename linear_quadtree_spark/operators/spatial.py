@@ -529,6 +529,76 @@ def distance_join(
     )
 
 
+def distance_join_ab(
+    a: DataFrame,
+    b: DataFrame,
+    r: float,
+    a_id_col: str = "id_a",
+    b_id_col: str = "id_b",
+    a_xy: tuple[str, str] = ("px", "py"),
+    b_xy: tuple[str, str] = ("sx", "sy"),
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Bipartite within-distance join: every (a, b) pair across TWO
+    point tables with Euclidean distance ≤ r — geofence matching
+    (events × fences), POI tagging (pages × landmarks), sensor-to-site
+    association. Completes the join family next to the self-join
+    `distance_join` (same grid discipline, different pairing rules: the
+    b side explodes over the FULL 9-offset neighborhood — bipartite
+    pairs have no symmetry to halve — and no id canonicalization).
+
+    Plan: both sides bucket into a uniform r-width grid (two floor
+    expressions each); the 9× fan-out rides the SMALLER side (b); one
+    equi-join on the cell — shuffled, or broadcast when ``broadcast_b``
+    says the exploded b side fits (sites/fences usually do, making the
+    whole join map-only); exact float64 refine. Candidates are
+    density-bounded at any scale; AQE splits hot cells.
+    Output: (a_id_col, b_id_col, dist2)."""
+    if r <= 0:
+        raise ValueError("r must be positive")
+    ax, ay = a_xy
+    bx, by = b_xy
+    ga = a.select(
+        F.col(a_id_col),
+        F.col(ax).cast("double").alias("_pax"),
+        F.col(ay).cast("double").alias("_pay"),
+    ).withColumn("jx", F.floor(F.col("_pax") / F.lit(r))).withColumn(
+        "jy", F.floor(F.col("_pay") / F.lit(r))
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    gb = (
+        b.select(
+            F.col(b_id_col),
+            F.col(bx).cast("double").alias("_pbx"),
+            F.col(by).cast("double").alias("_pby"),
+        )
+        .withColumn("o", F.explode(offs))
+        .select(
+            b_id_col,
+            "_pbx",
+            "_pby",
+            (F.floor(F.col("_pbx") / F.lit(r)) + F.col("o.dx")).alias("jx"),
+            (F.floor(F.col("_pby") / F.lit(r)) + F.col("o.dy")).alias("jy"),
+        )
+    )
+    if broadcast_b:
+        gb = F.broadcast(gb)
+    dx = F.col("_pax") - F.col("_pbx")
+    dy = F.col("_pay") - F.col("_pby")
+    return (
+        ga.join(gb, ["jx", "jy"])
+        .withColumn("dist2", dx * dx + dy * dy)
+        .filter(F.col("dist2") <= F.lit(float(r) * float(r)))
+        .select(a_id_col, b_id_col, "dist2")
+    )
+
+
 def occupancy_hist(tbl: LQTTable, level: int) -> DataFrame:
     """Occupancy distribution of the tree at ``level``: for each k, how
     many level-``level`` quadrant cells hold exactly k points. The
