@@ -296,16 +296,26 @@ def main() -> None:
     rast_rows = rasterize_polygons(polygons_df(spark, 16), zoom=8).count()
     timings["rasterize_z8"] = time.time() - t0
 
-    # supercover rasterization of 600k full-domain trajectory hops at
-    # zoom 6 — map-only cell enumeration, one aggregate shuffle
+    # supercover rasterization of 600k GPS-trace-like hops (±3 units,
+    # ~4 cells each at zoom 6) — map-only cell enumeration, one
+    # aggregate shuffle. Full-domain hops are the same plan at ~10x the
+    # cells-per-segment (a workload property, not a plan one).
     t0 = _probe_mark("segment_tiles_z6")
     from linear_quadtree_spark.operators.trajectory import segment_tiles
     segsrc = pts.select(
         F.col("pid").alias("sid"),
         F.col("x").cast("double").alias("x1"),
         F.col("y").cast("double").alias("y1"),
-        geotag_x("(pid + 131)").cast("double").alias("x2"),
-        geotag_y("(pid + 131)").cast("double").alias("y2"),
+        F.expr(
+            "least(greatest(CAST(x AS DOUBLE)"
+            " + (CAST((pid * 48271 + 7) % 601 AS DOUBLE) - 300.0) / 100.0,"
+            " 1000.0), 1100.0)"
+        ).alias("x2"),
+        F.expr(
+            "least(greatest(CAST(y AS DOUBLE)"
+            " + (CAST((pid * 69621 + 73) % 601 AS DOUBLE) - 300.0) / 100.0,"
+            " 1000.0), 1100.0)"
+        ).alias("y2"),
     )
     seg_rows = (
         segment_tiles(segsrc, zoom=6).groupBy("tile_id").count().count()
