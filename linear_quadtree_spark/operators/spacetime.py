@@ -132,23 +132,29 @@ def tile_trend(
     Determinism at the heart of it: ``exp()`` is NOT exactly rounded
     and float SUM order is engine/partition-dependent, so a float
     implementation could never be hash-exact (or even run-to-run
-    stable). Instead the decay is quantized to half-life buckets and
-    each event contributes the INTEGER 2^(frac_bits - k) (zero once
-    k ≥ frac_bits) — ``trend_fp`` is an exact fixed-point sum with
-    frac_bits fractional bits, associative and order-free. Overflow
-    ceiling: per-tile events × 2^frac_bits < 2^63 — at 10^9 events per
-    tile use frac_bits≈28; ANSI mode turns violations into errors, not
-    silent wrap.
+    stable). Instead the decay is quantized to ABSOLUTE half-life
+    buckets — ``b(t) = epoch(t) div half_life_s``, ``k = b(ref) − b(t)``
+    — and each event contributes the INTEGER 2^(frac_bits − k) (zero
+    once k ≥ frac_bits): ``trend_fp`` is an exact fixed-point sum with
+    frac_bits fractional bits, associative and order-free. Absolute
+    bucketing (rather than event age) keeps per-bucket counts mergeable
+    across batches, which is what the streaming twin
+    (streaming/trend.py) maintains as bounded state under an exact
+    equivalence law. Overflow ceiling: per-tile events × 2^frac_bits
+    < 2^63 — at 10^9 events per tile use frac_bits≈28; ANSI mode turns
+    violations into errors, not silent wrap.
 
     Plan: one 1-row aggregate for the reference time (broadcast back),
     then ONE map-side-combined hash aggregate on tile. Output:
     (tile, n_events, recent_events, trend_fp)."""
     keyed = _with_keys(events, zoom, bounds, id_col, ts_col)
     ref = events.agg(
-        F.max(F.unix_timestamp(F.col(ts_col))).alias("_ref_epoch")
+        F.max(
+            F.expr(f"unix_timestamp({ts_col}) div {half_life_s}")
+        ).alias("_ref_bucket")
     )
     k = (
-        f"least((_ref_epoch - unix_timestamp({ts_col})) div {half_life_s}, "
+        f"least(_ref_bucket - (unix_timestamp({ts_col}) div {half_life_s}), "
         f"CAST({frac_bits} AS BIGINT))"
     )
     w = (
@@ -156,10 +162,7 @@ def tile_trend(
         f"THEN shiftleft(CAST(1 AS BIGINT), CAST({frac_bits} - ({k}) AS INT)) "
         f"ELSE CAST(0 AS BIGINT) END"
     )
-    recent = (
-        f"CASE WHEN _ref_epoch - unix_timestamp({ts_col}) < {half_life_s} "
-        "THEN 1 ELSE 0 END"
-    )
+    recent = f"CASE WHEN ({k}) = 0 THEN 1 ELSE 0 END"
     return (
         keyed.crossJoin(F.broadcast(ref))
         .groupBy("tile")
@@ -181,24 +184,20 @@ def tile_trend_sql_duck(
     frac_bits: int = 40,
 ) -> str:
     """DuckDB twin: scalar-subquery reference time, same integer decay."""
-    k = (
-        f"least((_ref_epoch - CAST(epoch({ts_col}) AS BIGINT)) // {half_life_s}, "
-        f"CAST({frac_bits} AS BIGINT))"
-    )
+    b = f"(CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {half_life_s})"
+    k = f"least(_ref_bucket - {b}, CAST({frac_bits} AS BIGINT))"
     w = (
         f"CASE WHEN ({k}) < {frac_bits} "
         f"THEN (CAST(1 AS BIGINT) << CAST({frac_bits} - ({k}) AS INTEGER)) "
         f"ELSE CAST(0 AS BIGINT) END"
     )
-    recent = (
-        f"CASE WHEN _ref_epoch - CAST(epoch({ts_col}) AS BIGINT) < {half_life_s} "
-        "THEN 1 ELSE 0 END"
-    )
+    recent = f"CASE WHEN ({k}) = 0 THEN 1 ELSE 0 END"
     return f"""
 WITH trkeyed AS (
   SELECT {geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, zoom)} AS tile,
          {ts_col},
-         (SELECT MAX(CAST(epoch({ts_col}) AS BIGINT)) FROM {src}) AS _ref_epoch
+         (SELECT MAX(CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {half_life_s})
+          FROM {src}) AS _ref_bucket
   FROM {src})
 SELECT tile, COUNT(*) AS n_events,
        CAST(SUM({recent}) AS BIGINT) AS recent_events,

@@ -23,18 +23,23 @@ def _events(spark, ages_s):
 
 
 def test_decay_buckets_exact(spark):
-    # ages (s): 0, 1800 (same bucket), 3600 (k=1), 7200 (k=2), huge (k>=bits)
-    ages = [0, 1800, 3600, 7200, 3600 * 50]
-    df = _events(spark, ages)
+    # Absolute half-life buckets: bucket(t) = epoch(t) div half_life,
+    # k = bucket(ref) - bucket(t).  t0 sits 600 s past an hour boundary,
+    # so an event only 1200 s old already falls in the previous bucket
+    # (k=1) — absolute bucketing, NOT event age (the property that makes
+    # per-bucket counts mergeable across streaming batches).
+    t0 = dt.datetime(2026, 1, 1, 12, 10, 0)  # UTC epoch % 3600 == 600
+    ages = [0, 300, 1200, 3600, 3600 * 50]
+    rows = [(7, t0 - dt.timedelta(seconds=a), 1.0) for a in ages]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    ks = [(e0 // 3600) - ((e0 - a) // 3600) for a in ages]
+    assert ks == [0, 0, 1, 1, 50]  # the boundary straddle is the point
     r = tile_trend(df, zoom=4, bounds=B, half_life_s=3600, frac_bits=40).collect()[0]
-    exp_fp = sum(
-        (1 << (40 - min(a // 3600, 40))) if a // 3600 < 40 else 0 for a in ages
-    )
+    exp_fp = sum((1 << (40 - k)) if k < 40 else 0 for k in ks)
     assert r.n_events == 5
-    assert r.recent_events == 2  # age 0 and 1800
+    assert r.recent_events == 2  # the two k==0 events
     assert r.trend_fp == exp_fp
-    # the k>=frac_bits event contributed exactly zero
-    assert exp_fp % (1 << (40 - 2)) in (0, (1 << 39) + (1 << 38))
 
 
 def test_recency_dominates(spark):
