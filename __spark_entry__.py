@@ -1088,6 +1088,50 @@ def _q_slippy_tile_stats(spark, sf_dir):
     )
 
 
+GEOHASH_PRECISION = 4
+
+
+def _q_geohash_stats(spark, sf_dir):
+    """Geohash interchange cells (round-3, functions/geohash.py):
+    synthetic WGS84 lon/lat from doc ids → base32 geohash at precision
+    4 (pure int64 bit plumbing after ONE rendered float quantization —
+    byte-identical across engines, fuzz-checked against an independent
+    bisection encoder in tests/test_geohash.py), per-cell rollup.
+    Map-only projection + one hash aggregate."""
+    from linear_quadtree_spark.functions.geohash import (
+        geohash_from_grid_expr,
+        geohash_grid_exprs,
+    )
+    from linear_quadtree_spark.functions.mercator import lonlat_from_id_exprs
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = lonlat_from_id_exprs(_S, "doc_id")
+    gx, gy = geohash_grid_exprs(_S, lon, lat, GEOHASH_PRECISION)
+    gh = geohash_from_grid_expr(_S, "_ghx", "_ghy", GEOHASH_PRECISION)
+    return (
+        docs.select("doc_id", F.expr(gx).alias("_ghx"), F.expr(gy).alias("_ghy"))
+        .withColumn("gh", F.expr(gh))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_id"))
+    )
+
+
+def _geohash_oracle() -> str:
+    from linear_quadtree_spark.functions.geohash import geohash_select_sql_duck
+    from linear_quadtree_spark.functions.mercator import lonlat_from_id_exprs
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    inner = geohash_select_sql_duck(
+        "documents", lon, lat, GEOHASH_PRECISION, extra_cols="doc_id"
+    )
+    return (
+        f"SELECT gh, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id "
+        f"FROM ({inner}) GROUP BY gh"
+    )
+
+
 def _crawl_surt_oracle() -> str:
     from linear_quadtree_spark.operators.crawl import surt_canonical_sql_duck
 
@@ -1500,6 +1544,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
+        "geohash_stats": _q_geohash_stats,
         "surt_canonical": _q_surt_canonical,
         "cdx_range_scan": _q_cdx_range_scan,
         "haversine_sites": _q_haversine_sites,
@@ -2095,6 +2140,7 @@ WHERE px >= {HILBERT_RECT[0]!r} AND px <= {HILBERT_RECT[1]!r}
 """,
         "hex_focal_smooth": _hex_focal_oracle(),
         "slippy_tile_stats": _slippy_oracle(),
+        "geohash_stats": _geohash_oracle(),
         "surt_canonical": _crawl_surt_oracle(),
         "cdx_range_scan": _cdx_oracle(),
         "haversine_sites": _haversine_oracle(),

@@ -424,6 +424,22 @@ def main() -> None:
     )
     timings["slippy_quadkey_z8"] = time.time() - t0
 
+    t0 = _probe_mark("geohash_p6")
+    from linear_quadtree_spark.functions.geohash import (
+        geohash_from_grid_expr,
+        geohash_grid_exprs,
+    )
+
+    _ggx, _ggy = geohash_grid_exprs(_SENG, _lon, _lat, 6)
+    geohash_rows = (
+        pts.select("pid", F.expr(_ggx).alias("_ghx"), F.expr(_ggy).alias("_ghy"))
+        .withColumn("gh", F.expr(geohash_from_grid_expr(_SENG, "_ghx", "_ghy", 6)))
+        .groupBy("gh")
+        .count()
+        .count()
+    )
+    timings["geohash_p6"] = time.time() - t0
+
     t0 = _probe_mark("haversine_sites")
     _sites = spark.createDataFrame(
         [
@@ -648,6 +664,7 @@ def main() -> None:
             "compact_quadrants": compact_rows,
             "hex_focal_rows": hexf_rows,
             "slippy_quadkey_rows": slippy_rows,
+            "geohash_rows": geohash_rows,
             "haversine_site_groups": hav_rows,
             "cdx_rows": cdx_rows,
             "pagerank_hosts": pr_rows,
