@@ -47,6 +47,9 @@ __all__ = [
     "geohash_from_grid_expr",
     "with_geohash",
     "geohash_select_sql_duck",
+    "geohash_decode_grid_exprs",
+    "geohash_center_exprs",
+    "geohash_neighbors_expr",
 ]
 
 #: Standard geohash base32 (no a, i, l, o).
@@ -115,6 +118,92 @@ def with_geohash(
         .withColumn(out, F.expr(geohash_from_grid_expr(SPARK, "_ghx", "_ghy", precision)))
         .drop("_ghx", "_ghy")
     )
+
+
+def _char_val(e: Eng, gh_col: str, c: int) -> str:
+    """0-based alphabet index of character c (0-based) of a geohash
+    column — `instr`/`strpos` against the constant alphabet, minus 1.
+    Invalid characters yield -1 (callers on trusted engine output never
+    see it; it keeps garbage input finite rather than NULL-poisoning)."""
+    sub = "substring" if e.name == "spark" else "substr"
+    pos = "instr" if e.name == "spark" else "strpos"
+    return (
+        f"(CAST({pos}('{GEOHASH_ALPHABET}', {sub}({gh_col}, {c + 1}, 1)) AS BIGINT)"
+        f" - 1)"
+    )
+
+
+def geohash_decode_grid_exprs(e: Eng, gh_col: str, precision: int) -> tuple[str, str]:
+    """(gx, gy) BIGINT grid cells decoded from a geohash string column —
+    the exact inverse of geohash_from_grid_expr (pure integer bit
+    plumbing, unrolled per character; precision is compile-time).
+
+    CONTRACT (the hilbert.py clustering-key rule, measured here too):
+    `gh_col` must be a MATERIALIZED column — read from storage, or
+    persist()+count() first if just computed. Catalyst collapses
+    projections, so decoding a freshly-built geohash chain inlines the
+    entire encode expression into each of the 5·precision character
+    probes (and 8× again under neighbors) — a combinatorial expression
+    blow-up that OOMs the driver. Real decode reads stored strings,
+    which is a natural barrier."""
+    nlon, nlat = _nbits(precision)
+    xs, ys = [], []
+    for c in range(precision):
+        v = _char_val(e, gh_col, c)
+        for t in range(5):
+            j = 5 * c + t  # stream bit, 0 = MSB
+            bit = f"({e.shiftr(v, str(4 - t))} % 2)"
+            if j % 2 == 0:
+                xs.append(e.shiftl(bit, str(nlon - 1 - j // 2)))
+            else:
+                ys.append(e.shiftl(bit, str(nlat - 1 - (j - 1) // 2)))
+    return f"({' + '.join(xs)})", f"({' + '.join(ys)})"
+
+
+def geohash_center_exprs(e: Eng, gx_col: str, gy_col: str, precision: int) -> tuple[str, str]:
+    """(lon, lat) DOUBLE cell-center expressions from named grid
+    columns. The center is strictly interior to the cell, so
+    re-encoding it returns the same geohash (round-trip law, tested)."""
+    nlon, nlat = _nbits(precision)
+
+    def axis(col: str, scale: int, span: str, offset: str) -> str:
+        return (
+            f"(CAST(-{offset} AS DOUBLE) + CAST({span} AS DOUBLE)"
+            f" * ((CAST({col} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            f" / CAST({scale} AS DOUBLE)))"
+        )
+
+    return (
+        axis(gx_col, 1 << nlon, "360.0", "180.0"),
+        axis(gy_col, 1 << nlat, "180.0", "90.0"),
+    )
+
+
+def geohash_neighbors_expr(e: Eng, gx_col: str, gy_col: str, precision: int) -> str:
+    """Array of the ≤8 neighboring geohash strings around named grid
+    columns: longitude WRAPS (the antimeridian is adjacency, not an
+    edge), latitude CLAMPS (cells at the poles have no north/south
+    neighbor — those candidates drop out via list de-duplication of the
+    self cell, matching how a radius probe over geohash buckets should
+    behave). Pure expressions; fan-out is a constant 8."""
+    nlon, nlat = _nbits(precision)
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            # wrap lon: (gx + dx + 2^nlon) % 2^nlon ; clamp lat
+            nx = f"(({gx_col} + {dx} + {1 << nlon}) % {1 << nlon})"
+            ny = (
+                f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({(1 << nlat) - 1} AS BIGINT), "
+                f"{gy_col} + {dy}))"
+            )
+            cells.append(geohash_from_grid_expr(e, nx, ny, precision))
+    arr = f"array({', '.join(cells)})" if e.name == "spark" else f"[{', '.join(cells)}]"
+    self_gh = geohash_from_grid_expr(e, gx_col, gy_col, precision)
+    # drop duplicates (lat clamp collapses off-pole candidates onto
+    # in-row cells) and never include the center cell itself
+    return e.adistinct(e.filt(arr, "g", f"g <> {self_gh}"))
 
 
 def geohash_select_sql_duck(

@@ -101,6 +101,127 @@ def test_duckdb_lockstep(spark):
     assert got == exp
 
 
+def _spark_decode(spark, ghs, precision):
+    from linear_quadtree_spark.functions.geohash import (
+        geohash_center_exprs,
+        geohash_decode_grid_exprs,
+        geohash_from_grid_expr,
+        geohash_neighbors_expr,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    df = spark.createDataFrame([(g,) for g in ghs], "gh: string")
+    gx, gy = geohash_decode_grid_exprs(_S, "gh", precision)
+    d = df.select("gh", F.expr(gx).alias("gx"), F.expr(gy).alias("gy"))
+    lon, lat = geohash_center_exprs(_S, "gx", "gy", precision)
+    rows = d.select(
+        "gh", "gx", "gy",
+        F.expr(lon).alias("clon"), F.expr(lat).alias("clat"),
+        F.expr(geohash_from_grid_expr(_S, "gx", "gy", precision)).alias("back"),
+        F.expr(geohash_neighbors_expr(_S, "gx", "gy", precision)).alias("nbrs"),
+    ).collect()
+    return {r.gh: r for r in rows}
+
+
+def test_decode_center_roundtrip(spark):
+    rng = random.Random(31)
+    pts = [(i, rng.uniform(-180, 180), rng.uniform(-90, 90)) for i in range(80)]
+    enc = _spark_gh(spark, pts, 6)
+    dec = _spark_decode(spark, sorted(set(enc.values())), 6)
+    for i, lon, lat in pts:
+        r = dec[enc[i]]
+        # decode is the exact inverse: re-encoding the decoded grid
+        # gives the same string, and the center re-encodes to it too
+        assert r.back == enc[i]
+        assert _bisect_geohash(r.clat, r.clon, 6) == enc[i]
+        # the original point lies inside the decoded cell
+        assert abs(lon - r.clon) <= 360.0 / (1 << 15) / 2 + 1e-9
+        assert abs(lat - r.clat) <= 180.0 / (1 << 15) / 2 + 1e-9
+
+
+def _py_neighbors(gh, precision):
+    """Independent reference: decode via bisection midpoints is
+    overkill — reconstruct the grid from the bit spec, then wrap/clamp."""
+    n = 5 * precision
+    nlon, nlat = (n + 1) // 2, n // 2
+    gx = gy = 0
+    for c, ch in enumerate(gh):
+        v = GEOHASH_ALPHABET.index(ch)
+        for t in range(5):
+            j = 5 * c + t
+            b = (v >> (4 - t)) & 1
+            if j % 2 == 0:
+                gx |= b << (nlon - 1 - j // 2)
+            else:
+                gy |= b << (nlat - 1 - (j - 1) // 2)
+    out = set()
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nx = (gx + dx) % (1 << nlon)
+            ny = max(0, min((1 << nlat) - 1, gy + dy))
+            out.add((nx, ny))
+    out.discard((gx, gy))
+    ghs = set()
+    for nx, ny in out:
+        s = []
+        for c in range(precision):
+            v = 0
+            for t in range(5):
+                j = 5 * c + t
+                if j % 2 == 0:
+                    b = (nx >> (nlon - 1 - j // 2)) & 1
+                else:
+                    b = (ny >> (nlat - 1 - (j - 1) // 2)) & 1
+                v = v * 2 + b
+            s.append(GEOHASH_ALPHABET[v])
+        ghs.add("".join(s))
+    return ghs
+
+
+def test_neighbors(spark):
+    rng = random.Random(55)
+    pts = [(i, rng.uniform(-180, 180), rng.uniform(-90, 90)) for i in range(40)]
+    # include the antimeridian wrap and both pole clamps explicitly
+    pts += [(100, -179.99999, 0.0), (101, 179.99999, 0.0),
+            (102, 0.0, 89.99999), (103, 0.0, -89.99999)]
+    enc = _spark_gh(spark, pts, 5)
+    dec = _spark_decode(spark, sorted(set(enc.values())), 5)
+    for gh, r in dec.items():
+        got = set(r.nbrs)
+        exp = _py_neighbors(gh, 5)
+        assert got == exp, gh
+        assert gh not in got
+        assert 5 <= len(got) <= 8
+
+
+def test_decode_duckdb_lockstep(spark):
+    from linear_quadtree_spark.functions.geohash import (
+        geohash_decode_grid_exprs,
+        geohash_neighbors_expr,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D
+
+    rng = random.Random(77)
+    pts = [(i, rng.uniform(-180, 180), rng.uniform(-90, 90)) for i in range(60)]
+    ghs = sorted(set(_spark_gh(spark, pts, 5).values()))
+    dec = _spark_decode(spark, ghs, 5)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(gh VARCHAR)")
+    con.executemany("INSERT INTO g VALUES (?)", [(g,) for g in ghs])
+    gx, gy = geohash_decode_grid_exprs(_D, "gh", 5)
+    nb = geohash_neighbors_expr(_D, "gx", "gy", 5)
+    rows = con.execute(
+        f"SELECT gh, gx, gy, {nb} AS nbrs FROM "
+        f"(SELECT gh, {gx} AS gx, {gy} AS gy FROM g)"
+    ).fetchall()
+    for gh, gx_v, gy_v, nbrs in rows:
+        r = dec[gh]
+        assert (gx_v, gy_v) == (r.gx, r.gy)
+        assert set(nbrs) == set(r.nbrs)
+
+
 def test_map_only_plan(spark):
     df = spark.createDataFrame([(0, 1.0, 2.0)], "i: long, lon: double, lat: double")
     plan = (
