@@ -1002,6 +1002,24 @@ def _q_quadtree_compact(spark, sf_dir):
     return quadtree_compact(geotagged_docs(spark, sf_dir), level=COMPACT_LEVEL)
 
 
+ADAPT_CAP = 8
+ADAPT_LEVEL = 6
+
+
+def _q_adaptive_tiling(spark, sf_dir):
+    """Top-down adaptive quadtree refinement (operators/cluster.py):
+    the minimal variable-depth leaf set where every leaf holds ≤ cap
+    points (or sits at max_level) and every leaf's parent exceeds cap —
+    dense regions split deep, sparse regions stay coarse (the adaptive
+    tile-server / shard-balancer structure). One corpus shuffle; all
+    refinement logic runs on cached cell-count relations."""
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling
+
+    return adaptive_tiling(
+        geotagged_docs(spark, sf_dir), cap=ADAPT_CAP, max_level=ADAPT_LEVEL
+    )
+
+
 def _q_hilbert_stats(spark, sf_dir):
     """Hilbert-curve alternate clustering key (functions/hilbert.py):
     unrolled rotate-and-flip integer transform, map-only; per-cell
@@ -1537,6 +1555,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # spatial analysis
         "grid_dbscan": _q_grid_dbscan,
         "quadtree_compact": _q_quadtree_compact,
+        "adaptive_tiling": _q_adaptive_tiling,
         # alternate index
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
@@ -1885,6 +1904,16 @@ def _quadtree_compact_oracle() -> str:
     )
 
 
+def _adaptive_tiling_oracle() -> str:
+    """DuckDB twin of _q_adaptive_tiling — the count-capped top-down
+    recurrence unrolled as one CTE per level."""
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling_sql_duck
+
+    return f"WITH {_PTS_CTE},\n" + adaptive_tiling_sql_duck(
+        "pts", ADAPT_CAP, ADAPT_LEVEL, DEFAULT_BOUNDS
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     x0, x1, y0, y1 = BBOX
     return {
@@ -2120,6 +2149,7 @@ GROUP BY 1, 2
         # ---- spatial analysis
         "grid_dbscan": _grid_dbscan_oracle(),
         "quadtree_compact": _quadtree_compact_oracle(),
+        "adaptive_tiling": _adaptive_tiling_oracle(),
         # ---- alternate index
         "geocell_stats": f"""
 WITH {_PTS_CTE}

@@ -407,6 +407,12 @@ def main() -> None:
     compact_rows = quadtree_compact(pts, level=8).count()
     timings["quadtree_compact_l8"] = time.time() - t0
 
+    t0 = _probe_mark("adaptive_tiling_l8")
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling
+
+    adapt_rows = adaptive_tiling(pts, cap=64, max_level=8).count()
+    timings["adaptive_tiling_l8"] = time.time() - t0
+
     t0 = _probe_mark("hex_focal_r8")
     hexf_rows = hex_focal_smooth(pts, "x", "y", res=8).count()
     timings["hex_focal_r8"] = time.time() - t0
@@ -662,6 +668,7 @@ def main() -> None:
             "hilbert_rows": hilb_rows,
             "dbscan_clusters": dbscan_rows,
             "compact_quadrants": compact_rows,
+            "adaptive_leaves": adapt_rows,
             "hex_focal_rows": hexf_rows,
             "slippy_quadkey_rows": slippy_rows,
             "geohash_rows": geohash_rows,

@@ -2,7 +2,7 @@
 compaction — spatial ANALYSIS operators on top of the engine's cell
 indexes.
 
-The reference stops at key range scans (SURVEY §2.9); these are the two
+The reference stops at key range scans (SURVEY §2.9); these are the
 classic aggregate consumers of a linear quadtree's cell structure:
 
 * :func:`grid_dbscan` — density-based clustering of the geotagged corpus
@@ -16,6 +16,10 @@ classic aggregate consumers of a linear quadtree's cell structure:
   stored as ONE key at its level instead of 4^d leaves. This is the
   compaction the reference's linear-key layout (lqt.cpp:54-58) makes
   possible but never implements.
+* :func:`adaptive_tiling` — the top-down complement: count-capped
+  quadtree refinement (Samet's point-region quadtree, linearized),
+  emitting the minimal variable-depth leaf set where every leaf holds
+  ≤ cap points — dense regions split deep, sparse regions stay coarse.
 
 Scale shapes
 ------------
@@ -64,6 +68,8 @@ __all__ = [
     "grid_dbscan_sql_duck",
     "quadtree_compact",
     "quadtree_compact_sql_duck",
+    "adaptive_tiling",
+    "adaptive_tiling_sql_duck",
 ]
 
 #: 8-neighborhood stencil (dx, dy) — shared by both engines' adjacency.
@@ -256,4 +262,114 @@ def quadtree_compact_sql_duck(
         f"SELECT CAST(0 AS INTEGER) AS level, cell, "
         f"CAST({4 ** level} AS BIGINT) AS n_leaves FROM f0"
     )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def adaptive_tiling(
+    pts: DataFrame,
+    cap: int = 64,
+    max_level: int = 8,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Top-down adaptive quadtree refinement: the variable-depth tiling
+    where every emitted leaf holds at most ``cap`` points (or sits at
+    ``max_level``), and every emitted leaf's PARENT holds more than
+    ``cap`` — i.e. the minimal refinement satisfying the occupancy
+    bound. Output ``(level, cell, n_points)`` PARTITIONS the occupied
+    space: every occupied max_level cell has exactly ONE emitting
+    ancestor-or-self (property-tested), and leaf counts sum to the
+    input row count.
+
+    This is the structure an adaptive tile server / shard balancer
+    derives per region — dense city blocks split deep, open ocean stays
+    one coarse quadrant. It complements :func:`quadtree_compact`
+    (bottom-up merge of FULL occupancy quadrants) with the count-capped
+    top-down split; both are pure consumers of the engine's prefix
+    algebra (a parent id is its child id shifted by 2).
+
+    Scale shape: the raw points shuffle exactly ONCE (the max_level
+    cell count, map-side combined, output ≤ 4^max_level rows); every
+    coarser count is a prefix-shift rollup of the level below
+    (geometric total ≈ 4/3 of the leaf relation), and leaf selection is
+    a semi join against the (tiny, >cap-filtered) parent relation per
+    level. Nothing after the first aggregate touches the corpus.
+    """
+    if max_level < 1:
+        raise ValueError("max_level must be >= 1")
+    base = track(
+        pts.withColumn("cell", geocell_col(x_col, y_col, bounds, max_level))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    counts: dict[int, DataFrame] = {max_level: base}
+    for lvl in range(max_level - 1, -1, -1):
+        counts[lvl] = track(
+            counts[lvl + 1]
+            .groupBy(F.shiftrightunsigned(F.col("cell"), 2).alias("cell"))
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+    emits = [
+        counts[0]
+        .filter(F.col("n_points") <= cap)
+        .select(
+            F.lit(0).cast("int").alias("level"), "cell", "n_points"
+        )
+    ]
+    for lvl in range(1, max_level + 1):
+        leaf_here = (
+            (F.col("n_points") <= cap)
+            if lvl < max_level
+            else F.lit(True)  # max_level cells cannot split further
+        )
+        over_cap_parents = (
+            counts[lvl - 1]
+            .filter(F.col("n_points") > cap)
+            .select(F.col("cell").alias("p"))
+        )
+        emits.append(
+            counts[lvl]
+            .filter(leaf_here)
+            .withColumn("p", F.shiftrightunsigned(F.col("cell"), 2))
+            .join(over_cap_parents, "p", "left_semi")
+            .select(F.lit(lvl).cast("int").alias("level"), "cell", "n_points")
+        )
+    out = emits[0]
+    for e in emits[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def adaptive_tiling_sql_duck(
+    pts_cte: str,
+    cap: int = 64,
+    max_level: int = 8,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "px",
+    y_col: str = "py",
+) -> str:
+    """DuckDB twin — the same recurrence unrolled, one CTE per level
+    (level count is a plan constant in both engines)."""
+    cell = geocell_sql_duck(x_col, y_col, bounds, max_level)
+    parts = [
+        f"c{max_level} AS (SELECT {cell} AS cell, COUNT(*) AS n_points "
+        f"FROM {pts_cte} GROUP BY 1)"
+    ]
+    for lvl in range(max_level - 1, -1, -1):
+        parts.append(
+            f"c{lvl} AS (SELECT (cell >> 2) AS cell, "
+            f"CAST(SUM(n_points) AS BIGINT) AS n_points FROM c{lvl + 1} GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT CAST(0 AS INTEGER) AS level, cell, n_points FROM c0 "
+        f"WHERE n_points <= {cap}"
+    ]
+    for lvl in range(1, max_level + 1):
+        leaf = f"n_points <= {cap} AND " if lvl < max_level else ""
+        selects.append(
+            f"SELECT CAST({lvl} AS INTEGER) AS level, cell, n_points FROM c{lvl} "
+            f"WHERE {leaf}(cell >> 2) IN "
+            f"(SELECT cell FROM c{lvl - 1} WHERE n_points > {cap})"
+        )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

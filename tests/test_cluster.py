@@ -147,3 +147,110 @@ ORDER BY level, cell
     assert len(got) == len(exp) > 0
     for c in ("level", "cell", "n_leaves"):
         assert (got[c].values == exp[c].values).all(), c
+
+
+# ------------------------------------------------------- adaptive tiling
+def test_adaptive_splits_dense_keeps_sparse(spark):
+    """9 points in one level-4 cell force splits down to max_level under
+    cap=2; a sparse lone point stays in the coarsest quadrant that
+    isolates it from the dense mass."""
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling
+
+    pts = _pts(spark, {(0, 0): 9, (9, 9): 1})
+    got = {
+        (r["level"], r["cell"], r["n_points"])
+        for r in adaptive_tiling(pts, cap=2, max_level=LEVEL4, bounds=GRID).collect()
+    }
+    # all 9 dense points share ONE level-4 cell -> a single max-level
+    # leaf carrying 9 (cap is unreachable at max_level; emitted anyway)
+    assert (LEVEL4, _cell(0, 0), 9) in got
+    # the lone point separates from the dense mass at the FIRST level
+    # where their ancestors diverge: cell(9,9) -> quadrant 3 at level 1
+    assert (1, _cell(9, 9) >> 6, 1) in got
+    assert len(got) == 2
+
+
+def test_adaptive_partition_and_cap_laws(spark, sf_dir):
+    """Every occupied max-level cell has exactly ONE emitting
+    ancestor-or-self; every non-max-level leaf holds <= cap; every
+    leaf's parent (when it exists) holds > cap; counts sum to rows."""
+    from linear_quadtree_spark.functions.geocell import with_geocell
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    max_level, cap = 6, 8
+    pts = geotagged_docs(spark, sf_dir)
+    leaves = adaptive_tiling(pts, cap=cap, max_level=max_level).collect()
+    occ = (
+        with_geocell(pts, level=max_level)
+        .groupBy("geocell")
+        .count()
+        .collect()
+    )
+    occ_counts = {r["geocell"]: r["count"] for r in occ}
+    # partition law: each occupied max-level cell covered exactly once
+    owner = {}
+    for r in leaves:
+        shift = 2 * (max_level - r["level"])
+        for c in occ_counts:
+            if (c >> shift) == r["cell"]:
+                assert c not in owner, "double-covered leaf cell"
+                owner[c] = r
+    assert set(owner) == set(occ_counts)
+    # count law + cap law + minimality law
+    assert sum(r["n_points"] for r in leaves) == sum(occ_counts.values())
+    parent_count = {}
+    for c, n in occ_counts.items():
+        for lvl in range(0, max_level + 1):
+            p = c >> (2 * (max_level - lvl))
+            parent_count[(lvl, p)] = parent_count.get((lvl, p), 0) + n
+    for r in leaves:
+        assert r["n_points"] == parent_count[(r["level"], r["cell"])]
+        if r["level"] < max_level:
+            assert r["n_points"] <= cap
+        if r["level"] > 0:
+            assert parent_count[(r["level"] - 1, r["cell"] >> 2)] > cap
+
+
+def test_adaptive_lockstep(spark, sf_dir, duck):
+    from linear_quadtree_spark.operators.cluster import (
+        adaptive_tiling,
+        adaptive_tiling_sql_duck,
+    )
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    got = (
+        adaptive_tiling(geotagged_docs(spark, sf_dir), cap=8, max_level=6)
+        .toPandas()
+        .sort_values(["level", "cell"], ignore_index=True)
+    )
+    exp = duck.execute(f"""
+WITH pts AS (SELECT doc_id,
+        CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents),
+{adaptive_tiling_sql_duck('pts', 8, 6, DEFAULT_BOUNDS)}
+ORDER BY level, cell
+""").fetch_df()
+    assert len(got) == len(exp) > 0
+    for c in ("level", "cell", "n_points"):
+        assert (got[c].values == exp[c].values).all(), c
+
+
+def test_adaptive_single_data_shuffle(spark, sf_dir):
+    """The corpus shuffles once (max-level aggregate); everything above
+    runs on cached cell relations (InMemoryTableScan inputs)."""
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.cluster import adaptive_tiling
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    max_level = 5
+    out = adaptive_tiling(geotagged_docs(spark, sf_dir), cap=8, max_level=max_level)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every union branch reads CACHED cell counts (leaf side + filtered
+    # parent side per level, plus the level-0 branch): the corpus
+    # aggregate materializes once inside the tracked cache, and no
+    # Python evaluation appears anywhere
+    assert plan.count("InMemoryTableScan") >= 2 * max_level + 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    release_caches()
