@@ -257,6 +257,59 @@ def _q_tile_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TILE_TOPK_LEVEL = 4
+TILE_TOPK_K = 3
+
+
+def _q_tile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile serving: the top-k documents per raster tile by quality
+    (ties → lowest doc_id) — what a tile server actually renders for a
+    viewport. Plan: map-only quality + tile projection in one scan,
+    ONE hash shuffle on tile, and the rank filter sits directly above
+    the window so Spark's WindowGroupLimit forwards ≤ k rows per tile
+    from each map task (CI-asserted in tests/test_plans.py) — the
+    shuffle moves O(tiles·k), not the corpus."""
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.operators.text import quality_score
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .withColumn("x", geotag_x("doc_id"))
+        .withColumn("y", geotag_y("doc_id"))
+        .withColumn("tile", geocell_col("x", "y", DEFAULT_BOUNDS, TILE_TOPK_LEVEL))
+        .drop("x", "y")
+    )
+    w = Window.partitionBy("tile").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TILE_TOPK_K)
+        .select("tile", "rk", "doc_id", "quality")
+    )
+
+
+def _tile_topk_oracle() -> str:
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.text import quality_score_sql_duck
+
+    cell = geocell_sql_duck(
+        geotag_x_sql("doc_id"), geotag_y_sql("doc_id"), DEFAULT_BOUNDS, TILE_TOPK_LEVEL
+    )
+    return f"""
+SELECT tile, rk, doc_id, quality FROM (
+  SELECT tile, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tile
+                                 ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+  FROM (SELECT doc_id, quality, {cell} AS tile
+        FROM ({quality_score_sql_duck('documents')}) qs)
+) WHERE rk <= {TILE_TOPK_K}
+"""
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -1484,6 +1537,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "occupancy_hist": _q_occupancy_hist,
         "geo_tile_stats": _q_geo_tile_stats,
         "tile_quality_rollup": _q_tile_quality_rollup,
+        "tile_topk": _q_tile_topk,
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -1999,6 +2053,7 @@ SELECT CAST(FLOOR((py - 1000.0) * {GEO_ZOOM_CELLS!r} / 100.0) * 16
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM pts GROUP BY 1
 """,
+        "tile_topk": _tile_topk_oracle(),
         "tile_quality_rollup": f"""
 SELECT CAST(FLOOR((CAST({geotag_y_sql('doc_id')} AS DOUBLE) - 1000.0)
                   * {GEO_ZOOM_CELLS!r} / 100.0) * 16

@@ -557,6 +557,10 @@ def main() -> None:
     rollup_rows = _entry.queries()["tile_quality_rollup"](spark, SF_DIR).count()
     timings["tile_quality_rollup"] = time.time() - t0
 
+    t0 = _probe_mark("tile_topk")
+    topk_rows = _entry.queries()["tile_topk"](spark, SF_DIR).count()
+    timings["tile_topk"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -677,6 +681,7 @@ def main() -> None:
             "pagerank_hosts": pr_rows,
             "snapshot_diff_rows": sd_rows,
             "ranked_curation_rows": rc_rows,
+            "tile_topk_rows": topk_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

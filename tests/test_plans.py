@@ -396,3 +396,16 @@ def test_hilbert_bbox_filters_cached_column_not_inlined_chain(spark, sf_dir):
     out = mod.queries()["hilbert_bbox"](spark, sf_dir)
     plan = _plan(out)
     assert "InMemoryTableScan" in plan
+
+
+def test_tile_topk_window_group_limit(spark, sf_dir):
+    """The serving top-k per tile must compile to WindowGroupLimit (each
+    map task forwards <= k rows per tile before the exchange) with no
+    Python evaluation — the shuffle moves O(tiles*k), not the corpus."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["tile_topk"](spark, sf_dir)
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
