@@ -457,6 +457,65 @@ def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RJ_SAMPLE_S = 2
+
+
+def _q_radius_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling pushed BELOW the spatial range join (the retrieved
+    ICDE'25 "random sampling over spatial range joins" shape):
+    candidates rank per grid cell by a deterministic pair hash and cap
+    at s BEFORE the exact refine, so a dense cell contributes ≤ s
+    refined pairs instead of |A|·|B| — WindowGroupLimit forwards ≤ s
+    per cell from each map task (plan CI-asserted). Deterministic and
+    cross-engine identical; the oracle mirrors the grid strata."""
+    from linear_quadtree_spark.operators.spatial import distance_join_ab
+
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST({geotag_x_sql('doc_id')} AS DOUBLE)").alias("px"),
+        F.expr(f"CAST({geotag_y_sql('doc_id')} AS DOUBLE)").alias("py"),
+    )
+    return distance_join_ab(
+        pts, _rj_sites_df(spark), RJ_RADIUS,
+        a_id_col="doc_id", b_id_col="site_id", broadcast_b=True,
+        sample_per_cell=RJ_SAMPLE_S,
+    )
+
+
+def _radius_join_sample_oracle() -> str:
+    from linear_quadtree_spark.operators.spatial import pair_hash_sql
+
+    offs = ",".join(f"({dx},{dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    h = pair_hash_sql("a.doc_id", "b.site_id")
+    d2 = "(a.px - b.sx) * (a.px - b.sx) + (a.py - b.sy) * (a.py - b.sy)"
+    return f"""
+WITH {_PTS_CTE},
+sites AS (
+  SELECT CAST(range AS INTEGER) AS site_id,
+         1006.0e0 + CAST(range % 8 AS DOUBLE) * 12.0e0 AS sx,
+         1006.0e0 + CAST(range // 8 AS DOUBLE) * 12.0e0 AS sy
+  FROM range({N_RJ_SITES})),
+ga AS (
+  SELECT doc_id, CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py,
+         CAST(FLOOR(CAST(px AS DOUBLE) / {RJ_RADIUS!r}e0) AS BIGINT) AS jx,
+         CAST(FLOOR(CAST(py AS DOUBLE) / {RJ_RADIUS!r}e0) AS BIGINT) AS jy
+  FROM pts),
+offs(dx, dy) AS (VALUES {offs}),
+gb AS (
+  SELECT site_id, sx, sy,
+         CAST(FLOOR(sx / {RJ_RADIUS!r}e0) AS BIGINT) + dx AS jx,
+         CAST(FLOOR(sy / {RJ_RADIUS!r}e0) AS BIGINT) + dy AS jy
+  FROM sites CROSS JOIN offs),
+cand AS (
+  SELECT a.doc_id, b.site_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY a.jx, a.jy
+                            ORDER BY {h}, a.doc_id, b.site_id) AS rk
+  FROM ga a JOIN gb b ON a.jx = b.jx AND a.jy = b.jy)
+SELECT doc_id, site_id, dist2 FROM cand
+WHERE rk <= {RJ_SAMPLE_S} AND dist2 <= {RJ_RADIUS * RJ_RADIUS!r}e0
+"""
+
+
 def _q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-structure pyramid: page counts at every path-prefix depth,
     one exploded pass + one aggregate (the URL analog of tile_pyramid)."""
@@ -1555,6 +1614,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "resolve_redirects": _q_resolve_redirects,
         "path_rollup": _q_path_rollup,
         "radius_join_sites": _q_radius_join_sites,
+        "radius_join_sample": _q_radius_join_sample,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2108,6 +2168,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "resolve_redirects": _resolve_redirects_oracle(),
         "path_rollup": _path_rollup_oracle(),
         "radius_join_sites": _radius_join_oracle(),
+        "radius_join_sample": _radius_join_sample_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

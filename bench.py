@@ -561,6 +561,10 @@ def main() -> None:
     topk_rows = _entry.queries()["tile_topk"](spark, SF_DIR).count()
     timings["tile_topk"] = time.time() - t0
 
+    t0 = _probe_mark("radius_join_sample")
+    rjs_rows = _entry.queries()["radius_join_sample"](spark, SF_DIR).count()
+    timings["radius_join_sample"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -682,6 +686,7 @@ def main() -> None:
             "snapshot_diff_rows": sd_rows,
             "ranked_curation_rows": rc_rows,
             "tile_topk_rows": topk_rows,
+            "radius_join_sample_rows": rjs_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

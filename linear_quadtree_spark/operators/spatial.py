@@ -538,6 +538,7 @@ def distance_join_ab(
     a_xy: tuple[str, str] = ("px", "py"),
     b_xy: tuple[str, str] = ("sx", "sy"),
     broadcast_b: bool = False,
+    sample_per_cell: int | None = None,
 ) -> DataFrame:
     """Bipartite within-distance join: every (a, b) pair across TWO
     point tables with Euclidean distance ≤ r — geofence matching
@@ -553,7 +554,22 @@ def distance_join_ab(
     says the exploded b side fits (sites/fences usually do, making the
     whole join map-only); exact float64 refine. Candidates are
     density-bounded at any scale; AQE splits hot cells.
-    Output: (a_id_col, b_id_col, dist2)."""
+    Output: (a_id_col, b_id_col, dist2).
+
+    ``sample_per_cell=s`` pushes SAMPLING BELOW THE JOIN (the "random
+    sampling over spatial range joins" problem — one of the retrieved
+    OLAP papers, ICDE 2025): candidates are ranked per grid cell by a
+    deterministic integer pair hash and capped at s BEFORE the exact
+    distance refine, so a pathologically dense cell contributes at
+    most s refined pairs instead of |A_cell|·|B_cell|. The rank filter
+    sits directly above its window and compiles to WindowGroupLimit —
+    each map task forwards ≤ s candidates per cell before any
+    exchange, so the full candidate set never crosses the wire. Every
+    cell is a disjoint stratum (an a-row buckets into exactly one
+    cell), so the output is a per-stratum uniform-by-hash sample of
+    the join's candidates, refined exactly — deterministic,
+    reproducible, and cross-engine identical (the oracle twin renders
+    the same hash/rank text)."""
     if r <= 0:
         raise ValueError("r must be positive")
     ax, ay = a_xy
@@ -591,12 +607,41 @@ def distance_join_ab(
         gb = F.broadcast(gb)
     dx = F.col("_pax") - F.col("_pbx")
     dy = F.col("_pay") - F.col("_pby")
+    cand = ga.join(gb, ["jx", "jy"])
+    if sample_per_cell is not None:
+        if sample_per_cell < 1:
+            raise ValueError("sample_per_cell must be >= 1")
+        cand = (
+            cand.withColumn(
+                "_h", F.expr(pair_hash_sql(a_id_col, b_id_col))
+            )
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("jx", "jy").orderBy(
+                        "_h", a_id_col, b_id_col
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= sample_per_cell)
+            .drop("_h", "_rk")
+        )
     return (
-        ga.join(gb, ["jx", "jy"])
-        .withColumn("dist2", dx * dx + dy * dy)
+        cand.withColumn("dist2", dx * dx + dy * dy)
         .filter(F.col("dist2") <= F.lit(float(r) * float(r)))
         .select(a_id_col, b_id_col, "dist2")
     )
+
+
+def pair_hash_sql(a_id: str, b_id: str) -> str:
+    """Deterministic 32-bit pair hash as ONE SQL text valid in both
+    engines (Knuth multiplicative family; every intermediate stays
+    under 2^63 by reducing ids to 31 bits and each product mod 2^32
+    before the sum). Used to order candidates within a sampling
+    stratum — reproducible and engine-identical by construction."""
+    ta = f"((({a_id} % 2147483648) * 2654435761) % 4294967296)"
+    tb = f"((({b_id} % 2147483648) * 2246822519) % 4294967296)"
+    return f"(({ta} + {tb}) % 4294967296)"
 
 
 def occupancy_hist(tbl: LQTTable, level: int) -> DataFrame:
