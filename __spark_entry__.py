@@ -457,6 +457,41 @@ def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_LEVEL = 6
+
+
+def _q_spatial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset joinability (retrieved ICDE'25 "Joinable Search Over
+    Multi-Source Spatial Datasets"): footprint overlap/coverage between
+    the page corpus and the user-activity corpus at cell granularity —
+    occupied cells per side, common cells, footprint Jaccard and mutual
+    coverage in exact ppm integers. The corpora are never joined
+    row-to-row: each side reduces map-side to distinct cells inside ONE
+    union aggregate, then a 1-row finalize."""
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.operators.cluster import spatial_overlap
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    a = geotagged_docs(spark, sf_dir)
+    b = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        geotag_x("user_id").alias("x"), geotag_y("user_id").alias("y")
+    )
+    return spatial_overlap(a, b, level=OVERLAP_LEVEL)
+
+
+def _spatial_overlap_oracle() -> str:
+    from linear_quadtree_spark.operators.cluster import spatial_overlap_sql_duck
+
+    epts = (
+        "epts AS (SELECT "
+        f"CAST({geotag_x_sql('user_id')} AS DOUBLE) AS px, "
+        f"CAST({geotag_y_sql('user_id')} AS DOUBLE) AS py FROM events)"
+    )
+    return f"WITH {_PTS_CTE},\n{epts},\n" + spatial_overlap_sql_duck(
+        "pts", "epts", OVERLAP_LEVEL, DEFAULT_BOUNDS
+    )
+
+
 RJ_SAMPLE_S = 2
 
 
@@ -1615,6 +1650,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "path_rollup": _q_path_rollup,
         "radius_join_sites": _q_radius_join_sites,
         "radius_join_sample": _q_radius_join_sample,
+        "spatial_overlap": _q_spatial_overlap,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2169,6 +2205,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "path_rollup": _path_rollup_oracle(),
         "radius_join_sites": _radius_join_oracle(),
         "radius_join_sample": _radius_join_sample_oracle(),
+        "spatial_overlap": _spatial_overlap_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

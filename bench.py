@@ -565,6 +565,10 @@ def main() -> None:
     rjs_rows = _entry.queries()["radius_join_sample"](spark, SF_DIR).count()
     timings["radius_join_sample"] = time.time() - t0
 
+    t0 = _probe_mark("spatial_overlap")
+    ov = _entry.queries()["spatial_overlap"](spark, SF_DIR).collect()[0]
+    timings["spatial_overlap"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -687,6 +691,7 @@ def main() -> None:
             "ranked_curation_rows": rc_rows,
             "tile_topk_rows": topk_rows,
             "radius_join_sample_rows": rjs_rows,
+            "footprint_jaccard_ppm": int(ov.jaccard_ppm),
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -70,6 +70,8 @@ __all__ = [
     "quadtree_compact_sql_duck",
     "adaptive_tiling",
     "adaptive_tiling_sql_duck",
+    "spatial_overlap",
+    "spatial_overlap_sql_duck",
 ]
 
 #: 8-neighborhood stencil (dx, dy) — shared by both engines' adjacency.
@@ -373,3 +375,92 @@ def adaptive_tiling_sql_duck(
             f"(SELECT cell FROM c{lvl - 1} WHERE n_points > {cap})"
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def spatial_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    level: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    a_xy: tuple[str, str] = ("x", "y"),
+    b_xy: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Footprint overlap / coverage between two spatial datasets at cell
+    granularity — the dataset-joinability question (per the retrieved
+    ICDE'25 "Joinable Search Over Multi-Source Spatial Datasets:
+    Overlap, Coverage" line of work): before joining two corpora
+    spatially, measure whether their footprints even intersect.
+
+    Output is ONE row: ``(n_cells_a, n_cells_b, n_common, jaccard_ppm,
+    cover_a_ppm, cover_b_ppm)`` — occupied-cell counts per side, cells
+    occupied by both, footprint Jaccard, and the fraction of each
+    side's footprint the other covers, all exact integers (parts per
+    million via integer division — engine-identical, hash-checkable).
+
+    Scale shape: each side reduces map-side to its DISTINCT cell set
+    inside one union+aggregate (one hash shuffle whose payload is
+    occupied CELLS, ≤ 2·4^level rows, never the corpora), then a 1-row
+    finalize. The two datasets are never joined row-to-row — the same
+    never-join discipline as kmv_overlap, here exact because the cell
+    domain is bounded.
+    """
+    ax, ay = a_xy
+    bx, by = b_xy
+    ca = a.select(geocell_col(ax, ay, bounds, level).alias("cell")).select(
+        "cell", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    cb = b.select(geocell_col(bx, by, bounds, level).alias("cell")).select(
+        "cell", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    cells = (
+        ca.unionByName(cb)
+        .groupBy("cell")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    one = cells.agg(
+        F.sum("in_a").cast("long").alias("n_cells_a"),
+        F.sum("in_b").cast("long").alias("n_cells_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+    )
+    return one.select(
+        "n_cells_a",
+        "n_cells_b",
+        "n_common",
+        F.expr(
+            "(1000000 * n_common) div (n_cells_a + n_cells_b - n_common)"
+        ).alias("jaccard_ppm"),
+        F.expr("(1000000 * n_common) div n_cells_a").alias("cover_a_ppm"),
+        F.expr("(1000000 * n_common) div n_cells_b").alias("cover_b_ppm"),
+    )
+
+
+def spatial_overlap_sql_duck(
+    a_cte: str,
+    b_cte: str,
+    level: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    a_xy: tuple[str, str] = ("px", "py"),
+    b_xy: tuple[str, str] = ("px", "py"),
+) -> str:
+    """DuckDB twin — same cell expressions, same tag-union aggregate.
+    Embed after a ``WITH`` opener and the two input CTEs (house
+    convention, like grid_dbscan_sql_duck)."""
+    ca = geocell_sql_duck(a_xy[0], a_xy[1], bounds, level)
+    cb = geocell_sql_duck(b_xy[0], b_xy[1], bounds, level)
+    return f"""tagged AS (
+  SELECT {ca} AS cell, 1 AS in_a, 0 AS in_b FROM {a_cte}
+  UNION ALL
+  SELECT {cb} AS cell, 0 AS in_a, 1 AS in_b FROM {b_cte}),
+cells AS (
+  SELECT cell, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM tagged GROUP BY 1),
+one AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_cells_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_cells_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+  FROM cells)
+SELECT n_cells_a, n_cells_b, n_common,
+       (1000000 * n_common) // (n_cells_a + n_cells_b - n_common) AS jaccard_ppm,
+       (1000000 * n_common) // n_cells_a AS cover_a_ppm,
+       (1000000 * n_common) // n_cells_b AS cover_b_ppm
+FROM one
+"""

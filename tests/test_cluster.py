@@ -254,3 +254,73 @@ def test_adaptive_single_data_shuffle(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2 * max_level + 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     release_caches()
+
+
+# ------------------------------------------------------- spatial overlap
+def test_overlap_known_fixture(spark):
+    """A occupies cells {(0,0),(1,1),(2,2)}, B occupies {(1,1),(2,2),
+    (3,3),(4,4)} → common=2, jaccard=2/5, coverage 2/3 and 2/4."""
+    from linear_quadtree_spark.operators.cluster import spatial_overlap
+
+    a = _pts(spark, {(0, 0): 2, (1, 1): 1, (2, 2): 3})
+    b = _pts(spark, {(1, 1): 1, (2, 2): 1, (3, 3): 5, (4, 4): 1})
+    r = spatial_overlap(a, b, level=LEVEL4, bounds=GRID).collect()[0]
+    assert (r.n_cells_a, r.n_cells_b, r.n_common) == (3, 4, 2)
+    assert r.jaccard_ppm == 2_000_000 // 5
+    assert r.cover_a_ppm == 2_000_000 // 3
+    assert r.cover_b_ppm == 2_000_000 // 4
+
+
+def test_overlap_identity_and_disjoint(spark):
+    from linear_quadtree_spark.operators.cluster import spatial_overlap
+
+    a = _pts(spark, {(0, 0): 1, (5, 5): 1})
+    same = spatial_overlap(a, a, level=LEVEL4, bounds=GRID).collect()[0]
+    assert same.jaccard_ppm == 1_000_000
+    assert same.cover_a_ppm == same.cover_b_ppm == 1_000_000
+    b = _pts(spark, {(9, 9): 1})
+    disj = spatial_overlap(a, b, level=LEVEL4, bounds=GRID).collect()[0]
+    assert disj.n_common == 0 and disj.jaccard_ppm == 0
+
+
+def test_overlap_lockstep(spark, sf_dir, duck):
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.operators.cluster import (
+        spatial_overlap,
+        spatial_overlap_sql_duck,
+    )
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+    from pyspark.sql import functions as F  # noqa: F811
+
+    a = geotagged_docs(spark, sf_dir)
+    # second corpus: every 3rd doc, re-geotagged through a shifted id
+    b = a.filter(F.col("doc_id") % 3 == 0).select(
+        geotag_x("(doc_id + 17)").alias("x"),
+        geotag_y("(doc_id + 17)").alias("y"),
+    )
+    got = tuple(spatial_overlap(a, b, level=5).collect()[0])
+    duck.execute("DROP VIEW IF EXISTS _ov_b")
+    exp = duck.execute(f"""
+WITH pts AS (SELECT doc_id,
+        CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents),
+bpts AS (SELECT
+        CAST({geotag_x_sql('(doc_id + 17)')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('(doc_id + 17)')} AS DOUBLE) AS py
+        FROM documents WHERE doc_id % 3 = 0),
+{spatial_overlap_sql_duck('pts', 'bpts', 5, DEFAULT_BOUNDS)}
+""").fetchall()[0]
+    assert got == tuple(exp)
+
+
+def test_overlap_single_shuffle_no_row_join(spark, sf_dir):
+    """The corpora must never join row-to-row: one union hash aggregate
+    on cell (plus the 1-row finalize) and NO join operator in the plan."""
+    from linear_quadtree_spark.operators.cluster import spatial_overlap
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    a = geotagged_docs(spark, sf_dir)
+    out = spatial_overlap(a, a, level=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
