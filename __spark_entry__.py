@@ -457,6 +457,27 @@ def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TILE_TERMS_ARGS = dict(level=2, top_k=3, min_df=2)
+
+
+def _q_tile_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-characteristic vocabulary (operators/geotext.py): per-tile
+    top-k terms by presence LIFT vs the corpus rate — the geospatial ×
+    webtext graft at its purest ("what is this region about"). One
+    corpus-sized presence shuffle; vocab and tile-size relations
+    broadcast back; WindowGroupLimit caps the per-tile rank stage."""
+    from linear_quadtree_spark.operators.geotext import tile_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tile_terms(docs, **TILE_TERMS_ARGS)
+
+
+def _tile_terms_oracle() -> str:
+    from linear_quadtree_spark.operators.geotext import tile_terms_sql_duck
+
+    return tile_terms_sql_duck("documents", **TILE_TERMS_ARGS)
+
+
 OVERLAP_LEVEL = 6
 
 
@@ -1651,6 +1672,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "radius_join_sites": _q_radius_join_sites,
         "radius_join_sample": _q_radius_join_sample,
         "spatial_overlap": _q_spatial_overlap,
+        "tile_terms": _q_tile_terms,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2206,6 +2228,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "radius_join_sites": _radius_join_oracle(),
         "radius_join_sample": _radius_join_sample_oracle(),
         "spatial_overlap": _spatial_overlap_oracle(),
+        "tile_terms": _tile_terms_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

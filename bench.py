@@ -569,6 +569,10 @@ def main() -> None:
     ov = _entry.queries()["spatial_overlap"](spark, SF_DIR).collect()[0]
     timings["spatial_overlap"] = time.time() - t0
 
+    t0 = _probe_mark("tile_terms")
+    tt_rows = _entry.queries()["tile_terms"](spark, SF_DIR).count()
+    timings["tile_terms"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -692,6 +696,7 @@ def main() -> None:
             "tile_topk_rows": topk_rows,
             "radius_join_sample_rows": rjs_rows,
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
+            "tile_terms_rows": tt_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

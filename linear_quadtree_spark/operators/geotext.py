@@ -1,0 +1,141 @@
+"""Region-characteristic vocabulary: the purest geospatial × webtext
+graft operator — for each raster tile, the terms whose document
+frequency INSIDE the tile most exceeds their corpus-wide rate (the
+"what is this region about" question a geotagged web corpus answers:
+local place names, regional topics, market-specific vocabulary).
+
+Scoring is presence LIFT, the rational form (no logs — IEEE division
+and multiplication are exactly rounded, so the ranking is bit-identical
+across engines, the tfidf_keywords discipline):
+
+    lift = (tile_df / tile_docs) / (corpus_df / n_docs)
+         = (tile_df · n_docs) / (corpus_df · tile_docs)   (as DOUBLE)
+
+Ubiquitous words have lift ≈ 1 everywhere and never rank; a term all
+of whose occurrences sit in one tile has lift ≈ n_docs/tile_docs
+there. ``min_df`` suppresses hapax noise (a word seen in < min_df
+docs corpus-wide cannot be evidence about a region).
+
+Scale shape: ONE corpus-sized shuffle — the distinct (doc, token)
+presence aggregate (partial aggregation dedups map-side). The tile
+rides into that aggregate as a pure id-derived expression (geotags are
+functions of the doc id), so (tile, token) counts come out of the SAME
+aggregate, not a second pass; corpus df is a token-level rollup of
+that tracked relation; per-tile doc counts are ≤ 4^level rows. Both
+small relations broadcast back. The final per-tile top-k is a
+row_number window whose rank filter compiles to WindowGroupLimit —
+map tasks forward ≤ k rows per tile (CI-asserted), so the window stage
+moves O(tiles·k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.cache import track
+from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geocell import geocell_col, geocell_sql_duck
+from linear_quadtree_spark.functions.geotag import (
+    geotag_x_sql,
+    geotag_y_sql,
+)
+from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
+
+__all__ = ["tile_terms", "tile_terms_sql_duck"]
+
+
+def tile_terms(
+    docs: DataFrame,
+    level: int = 2,
+    top_k: int = 3,
+    min_df: int = 2,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(tile, token, tile_df, tile_docs, corpus_df, lift, rank) — the
+    ``top_k`` highest-lift terms per occupied tile, ties → token asc."""
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    tile = geocell_col(
+        geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level
+    ).alias("tile")
+    toks = F.expr(tokens_expr(_S, text_col))
+    # distinct (tile, doc, token) presence — ONE corpus-sized shuffle;
+    # tile is a function of the doc id so the triple dedups to (doc,
+    # token) granularity with the tile attached for free
+    presence = track(
+        docs.select(F.col(id_col), tile, F.explode(toks).alias("token"))
+        .groupBy("tile", id_col, "token")
+        .agg(F.lit(1).alias("_one"))
+        .select("tile", id_col, "token")
+    )
+    tile_df = track(
+        presence.groupBy("tile", "token").agg(F.count(F.lit(1)).alias("tile_df"))
+    )
+    # a document lives in exactly ONE tile, so distinct (doc, token)
+    # pairs partition by tile and corpus df is a rollup of tile_df —
+    # tiles×vocab input, far below the doc×token presence relation
+    corpus_df = (
+        tile_df.groupBy("token")
+        .agg(F.sum("tile_df").alias("corpus_df"))
+        .filter(F.col("corpus_df") >= min_df)
+    )
+    tile_docs = docs.select(tile).groupBy("tile").agg(
+        F.count(F.lit(1)).alias("tile_docs")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tile_df.join(F.broadcast(corpus_df), "token")
+        .join(F.broadcast(tile_docs), "tile")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "lift",
+            (F.col("tile_df").cast("double") * F.col("n_docs").cast("double"))
+            / (F.col("corpus_df").cast("double") * F.col("tile_docs").cast("double")),
+        )
+    )
+    w = Window.partitionBy("tile").orderBy(F.col("lift").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("tile", "token", "tile_df", "tile_docs", "corpus_df", "lift", "rank")
+    )
+
+
+def tile_terms_sql_duck(
+    src: str = "documents",
+    level: int = 2,
+    top_k: int = 3,
+    min_df: int = 2,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin — same cell/token/lift expression texts."""
+    cell = geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level)
+    return f"""
+WITH t AS (SELECT {id_col}, {cell} AS tile,
+                  {tokens_expr(DUCK, text_col)} AS toks FROM {src}),
+presence AS (
+  SELECT DISTINCT tile, {id_col}, unnest(toks) AS token FROM t),
+tdf AS (SELECT tile, token, CAST(COUNT(*) AS BIGINT) AS tile_df
+        FROM presence GROUP BY 1, 2),
+cdf AS (SELECT token, CAST(SUM(tile_df) AS BIGINT) AS corpus_df
+        FROM tdf GROUP BY 1 HAVING SUM(tile_df) >= {min_df}),
+tdocs AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS tile_docs
+          FROM t GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {src}),
+s AS (
+  SELECT tdf.tile, tdf.token, tdf.tile_df, tdocs.tile_docs, cdf.corpus_df,
+         (CAST(tdf.tile_df AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+           / (CAST(cdf.corpus_df AS DOUBLE) * CAST(tdocs.tile_docs AS DOUBLE)) AS lift
+  FROM tdf JOIN cdf USING (token) JOIN tdocs USING (tile) CROSS JOIN n),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY tile ORDER BY lift DESC, token) AS INTEGER) AS rank
+  FROM s)
+SELECT tile, token, tile_df, tile_docs, corpus_df, lift, rank
+FROM r WHERE rank <= {top_k}
+"""

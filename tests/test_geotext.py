@@ -1,0 +1,111 @@
+"""tile_terms (region-characteristic vocabulary): engineered-corpus
+fixture with a tile-exclusive term, a Python brute-force lift oracle
+on the real corpus, hapax suppression, and the plan shape."""
+
+import collections
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.cache import release_caches
+from linear_quadtree_spark.functions.geocell import geocell_col
+from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+from linear_quadtree_spark.operators.geotext import tile_terms
+
+
+def _tiles_for_ids(spark, ids, level):
+    cell = geocell_col(geotag_x_sql("id"), geotag_y_sql("id"), level=level)
+    rows = (
+        spark.createDataFrame([(i,) for i in ids], "id: long")
+        .select("id", cell.alias("tile"))
+        .collect()
+    )
+    return {r.id: r.tile for r in rows}
+
+
+def test_tile_exclusive_term_ranks_first(spark):
+    level = 2
+    ids = list(range(40))
+    tile_of = _tiles_for_ids(spark, ids, level)
+    by_tile = collections.defaultdict(list)
+    for i in ids:
+        by_tile[tile_of[i]].append(i)
+    # pick the largest tile; give all its docs the marker term
+    marked_tile, marked_ids = max(by_tile.items(), key=lambda kv: len(kv[1]))
+    assert len(marked_ids) >= 2
+    rows = []
+    for i in ids:
+        text = "the quick fox"
+        if i in set(marked_ids):
+            text += " zebra"
+        if i == ids[0]:
+            text += " unicorn"  # hapax: must be suppressed by min_df=2
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = tile_terms(docs, level=level, top_k=2, min_df=2).collect()
+    release_caches()
+    by_tile_rank1 = {r.tile: r for r in got if r.rank == 1}
+    r1 = by_tile_rank1[marked_tile]
+    # the exclusive term wins its tile with lift = N / tile_docs
+    assert r1.token == "zebra"
+    assert r1.tile_df == r1.corpus_df == len(marked_ids)
+    assert r1.lift == (len(ids) * 1.0) / len(marked_ids) * (
+        len(marked_ids) / len(marked_ids)
+    )
+    # ubiquitous terms have lift exactly 1.0 everywhere
+    for r in got:
+        if r.token in ("the", "quick", "fox"):
+            assert r.lift == 1.0
+        assert r.token != "unicorn"  # hapax suppressed
+
+
+def test_bruteforce_lift_oracle(spark, sf_dir):
+    level, top_k, min_df = 2, 3, 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select("doc_id", "text").collect()
+    tile_of = _tiles_for_ids(spark, [r.doc_id for r in raw], level)
+    presence = set()
+    for r in raw:
+        toks = set((r.text or "").lower().split())
+        toks.discard("")
+        for t in toks:
+            presence.add((tile_of[r.doc_id], r.doc_id, t))
+    tile_df = collections.Counter((tl, tk) for tl, _, tk in presence)
+    corpus_df = collections.Counter()
+    for (tl, tk), n in tile_df.items():
+        corpus_df[tk] += n
+    tile_docs = collections.Counter(tile_of.values())
+    n_docs = len(raw)
+    exp = {}
+    for tl in tile_docs:
+        cands = [
+            (
+                (tile_df[(tl, tk)] * float(n_docs))
+                / (corpus_df[tk] * float(tile_docs[tl])),
+                tk,
+            )
+            for (t2, tk) in {(a, c) for a, _, c in presence if a == tl}
+            if corpus_df[tk] >= min_df
+        ]
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        exp[tl] = [(tk, lift) for lift, tk in cands[:top_k]]
+    got = collections.defaultdict(list)
+    for r in sorted(
+        tile_terms(docs, level=level, top_k=top_k, min_df=min_df).collect(),
+        key=lambda r: (r.tile, r.rank),
+    ):
+        got[r.tile].append((r.token, r.lift))
+    release_caches()
+    assert dict(got) == exp
+
+
+def test_plan_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tile_terms(docs, level=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # vocab and tile-size relations ride broadcasts, never reshuffle
+    # the tile_df relation onto them
+    assert plan.count("BroadcastHashJoin") >= 2
