@@ -12,7 +12,10 @@ scheduler can diff day over day:
   joined — stands in for yesterday-vs-today snapshot overlap),
 * per-source document-length quantiles (exact p50/p90/p99),
 * site-structure pyramid depth histogram (path_rollup),
-* decayed event hotspots (tile_trend top 5 tiles).
+* decayed event hotspots (tile_trend top 5 tiles),
+* page-vs-activity footprint overlap (spatial_overlap — is user
+  activity where the pages are?),
+* region-characteristic terms per tile (tile_terms).
 
 Every number is produced by a registry operator with a DuckDB oracle
 twin, so this report is hash-verifiable end to end.
@@ -89,6 +92,20 @@ def main() -> int:
          "recent": r.recent_events, "trend_fp": r.trend_fp}
         for r in trend
     ]
+
+    ov2 = q["spatial_overlap"](spark, args.sf_dir).collect()[0]
+    report["pages_vs_activity_footprint"] = {
+        "page_cells": ov2.n_cells_a, "event_cells": ov2.n_cells_b,
+        "common": ov2.n_common, "jaccard_ppm": ov2.jaccard_ppm,
+        "page_coverage_ppm": ov2.cover_a_ppm,
+    }
+
+    terms = q["tile_terms"](spark, args.sf_dir).collect()
+    report["region_terms"] = {
+        int(r.tile): [t.token for t in sorted(
+            (x for x in terms if x.tile == r.tile), key=lambda x: x.rank)]
+        for r in terms
+    }
 
     from linear_quadtree_spark.cache import release_caches
 
