@@ -87,6 +87,12 @@ class LQTTable:
     tiebreaker: str | None = None
     build_metrics: dict = field(default_factory=dict)
     enc_cache: DataFrame | None = None
+    #: set by load_partitioned: the main relation is Hive-partitioned by
+    #: the level-N quadrant directory, and candidates() adds a
+    #: quad IN (...) predicate so scans prune whole DIRECTORIES before
+    #: row-group stats are even consulted (the parquet stand-in for
+    #: Iceberg partition pruning)
+    quad_level: int | None = None
 
     def unpersist(self) -> None:
         """Release the encoded staging cache and any persisted relations."""
@@ -250,13 +256,75 @@ class LQTTable:
             tiebreaker=tiebreaker,
         )
 
+    def save_partitioned(
+        self, path: str, level: int = 1, mode: str = "overwrite",
+        format: str = "parquet",
+    ) -> None:
+        """Directory-partitioned export: main is written Hive-partitioned
+        by the level-``level`` quadrant (``quad=K/`` directories — 4^level
+        of them), side unpartitioned (it is tiny). A range query over the
+        loaded table then prunes whole directories via a partition-column
+        predicate BEFORE any footer is read — the parquet stand-in for
+        Iceberg's partition pruning, one level above the row-group
+        min/max pruning the unpartitioned path already proves."""
+        q = tile_id_col(F.col("zkey"), level)
+        (
+            self.main.withColumn("quad", q)
+            .write.partitionBy("quad")
+            .format(format).mode(mode).save(f"{path}/main")
+        )
+        self.side.write.format(format).mode(mode).save(f"{path}/side")
+
+    @classmethod
+    def load_partitioned(
+        cls,
+        spark,
+        path: str,
+        level: int = 1,
+        bounds: Bounds = DEFAULT_BOUNDS,
+        x_col: str = "x",
+        y_col: str = "y",
+        tiebreaker: str | None = None,
+        format: str = "parquet",
+    ) -> "LQTTable":
+        return cls(
+            main=spark.read.format(format).load(f"{path}/main"),
+            side=spark.read.format(format).load(f"{path}/side"),
+            bounds=bounds,
+            x_col=x_col,
+            y_col=y_col,
+            tiebreaker=tiebreaker,
+            quad_level=level,
+        )
+
+    @staticmethod
+    def quads_for_ranges(ranges: list[ZRange], level: int) -> list[int]:
+        """Quadrant directories a zs range set can touch: the quadrant id
+        (top 2·level zkey bits) is monotone in zs, so each closed range
+        contributes the contiguous quad run [quad(lo), quad(hi)]."""
+        shift = 64 - 2 * level
+        qs: set[int] = set()
+        for r in ranges:
+            q0 = (r.lo + (1 << 63)) >> shift
+            q1 = (r.hi + (1 << 63)) >> shift
+            qs.update(range(q0, q1 + 1))
+        return sorted(qs)
+
     # ------------------------------------------------------------- candidates
     def candidates(self, ranges: list[ZRange]) -> DataFrame:
         """Conservative candidate rows for a predicate whose cover is
         ``ranges``: range-pruned main scan ∪ full side scan. The range
         predicate is plain comparisons on the sorted zs column → parquet
-        row-group pruning / Iceberg file pruning at scale."""
-        pruned = self.main.filter(ranges_to_predicate(ranges, F.col("zs")))
+        row-group pruning / Iceberg file pruning at scale. On a
+        partitioned table (load_partitioned) a quad IN (...) predicate
+        is added so whole directories prune first."""
+        pred = ranges_to_predicate(ranges, F.col("zs"))
+        if self.quad_level is not None:
+            quads = self.quads_for_ranges(ranges, self.quad_level)
+            pred = F.col("quad").isin(quads) & pred
+        pruned = self.main.filter(pred)
+        if self.quad_level is not None:
+            pruned = pruned.drop("quad")
         return pruned.unionByName(self.side)
 
     def cover(self, x0: float, x1: float, y0: float, y1: float, max_level: int = 10,

@@ -409,3 +409,40 @@ def test_tile_topk_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_table_prunes_directories(spark, tmp_path):
+    """save_partitioned/load_partitioned: a quadrant-confined bbox query
+    over the Hive-partitioned table (1) returns exactly the same rows as
+    the unpartitioned path, (2) carries the quad predicate as a
+    PartitionFilter — whole directories prune BEFORE any parquet footer
+    is read (the Iceberg partition-pruning mechanism on the parquet
+    fallback), and (3) the partition count on disk is the full 4^level."""
+    import glob
+
+    from linear_quadtree_spark.operators.spatial import bbox_query
+
+    pts = spark.range(60_000).select(
+        F.col("id").alias("pid"),
+        geotag_x("pid").alias("x"),
+        geotag_y("pid").alias("y"),
+    )
+    t = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
+    path = str(tmp_path / "lqt_part")
+    t.save_partitioned(path, level=1)
+    assert len(glob.glob(f"{path}/main/quad=*")) == 4
+    loaded = LQTTable.load_partitioned(
+        spark, path, level=1, bounds=DEFAULT_BOUNDS, tiebreaker="pid"
+    )
+    rect = (1020.0, 1025.0, 1030.0, 1035.0)  # wholly inside quadrant 0
+    out = bbox_query(loaded, *rect)
+    plan = _plan(out)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "quad" in seg[1][:300]
+    # the quad set for this rect is a single directory
+    assert loaded.quads_for_ranges(loaded.cover(*rect), 1) == [0]
+    # result parity with the unpartitioned path
+    exp = sorted(r.pid for r in bbox_query(t, *rect).collect())
+    got = sorted(r.pid for r in out.collect())
+    assert got == exp and len(got) > 0
+    t.unpersist()
