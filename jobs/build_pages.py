@@ -48,15 +48,28 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--bbox", default="1020,1045,1030,1070")
+    ap.add_argument(
+        "--partition-level", type=int, default=None,
+        help="Hive-partition main by the level-N quadrant directory "
+        "(directory pruning for range queries; Iceberg-partition analog)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="lqt-build-pages")
     t0 = time.time()
 
     build_id = f"build-{Path(args.out).name}"
+    def _load(path):
+        if args.partition_level is not None:
+            return LQTTable.load_partitioned(
+                spark, path, level=args.partition_level,
+                bounds=DEFAULT_BOUNDS, tiebreaker="doc_id",
+            )
+        return LQTTable.load(spark, path, DEFAULT_BOUNDS, tiebreaker="doc_id")
+
     if stage_done(args.out):
         print(f"stage build: SKIP (resume — {args.out} complete)", file=sys.stderr)
-        tbl = LQTTable.load(spark, args.out, DEFAULT_BOUNDS, tiebreaker="doc_id")
+        tbl = _load(args.out)
         if not metrics_done(args.out):
             # resume at the first incomplete stage: the metrics append
             # (partition ids then describe the durable saved layout —
@@ -73,10 +86,13 @@ def main() -> None:
             salt=args.salt,
             persist=False,
         )
-        tbl.save(args.out)
+        if args.partition_level is not None:
+            tbl.save_partitioned(args.out, level=args.partition_level)
+        else:
+            tbl.save(args.out)
         tbl.log_metrics(f"{args.out}/metrics", build_id)
         print(f"stage build: DONE in {time.time()-t0:.1f}s", file=sys.stderr)
-        tbl = LQTTable.load(spark, args.out, DEFAULT_BOUNDS, tiebreaker="doc_id")
+        tbl = _load(args.out)
 
     x0, x1, y0, y1 = (float(v) for v in args.bbox.split(","))
     rows = bbox_query(tbl, x0, x1, y0, y1).count()
