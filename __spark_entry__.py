@@ -457,6 +457,30 @@ def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLOC_R = 5.0
+COLOC_DT = 86400
+
+
+def _q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location (operators/spacetime.py): pairs of
+    distinct users with events within COLOC_R distance AND COLOC_DT
+    seconds — the contact/co-occurrence workload. Cube-bucketed
+    (r-cell × dt-bucket) equi-join with 27× fan-out on the probe side,
+    exact distance+time refine, one pair aggregate; the anchor side
+    never fans out so each event pair is found exactly once. Oracle is
+    a direct inequality self-join — a different plan family."""
+    from linear_quadtree_spark.operators.spacetime import colocation_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return colocation_pairs(ev, r=COLOC_R, dt_s=COLOC_DT)
+
+
+def _colocation_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import colocation_pairs_sql_duck
+
+    return colocation_pairs_sql_duck("events", r=COLOC_R, dt_s=COLOC_DT)
+
+
 TILE_TERMS_ARGS = dict(level=2, top_k=3, min_df=2)
 
 
@@ -1673,6 +1697,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "radius_join_sample": _q_radius_join_sample,
         "spatial_overlap": _q_spatial_overlap,
         "tile_terms": _q_tile_terms,
+        "colocation_pairs": _q_colocation_pairs,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2229,6 +2254,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "radius_join_sample": _radius_join_sample_oracle(),
         "spatial_overlap": _spatial_overlap_oracle(),
         "tile_terms": _tile_terms_oracle(),
+        "colocation_pairs": _colocation_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

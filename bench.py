@@ -573,6 +573,10 @@ def main() -> None:
     tt_rows = _entry.queries()["tile_terms"](spark, SF_DIR).count()
     timings["tile_terms"] = time.time() - t0
 
+    t0 = _probe_mark("colocation_pairs")
+    coloc_rows = _entry.queries()["colocation_pairs"](spark, SF_DIR).count()
+    timings["colocation_pairs"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -697,6 +701,7 @@ def main() -> None:
             "radius_join_sample_rows": rjs_rows,
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
             "tile_terms_rows": tt_rows,
+            "colocation_rows": coloc_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

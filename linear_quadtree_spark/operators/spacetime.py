@@ -31,7 +31,11 @@ from linear_quadtree_spark.functions.geotag import (
     geotag_y_sql,
 )
 
-__all__ = ["tile_activity", "tile_activity_sql_duck", "tile_activity_stream", "tile_trend", "tile_trend_sql_duck"]
+__all__ = [
+    "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
+    "tile_trend", "tile_trend_sql_duck",
+    "colocation_pairs", "colocation_pairs_sql_duck",
+]
 
 
 def _with_keys(events: DataFrame, zoom: int, bounds: Bounds,
@@ -203,4 +207,127 @@ SELECT tile, COUNT(*) AS n_events,
        CAST(SUM({recent}) AS BIGINT) AS recent_events,
        CAST(SUM({w}) AS BIGINT) AS trend_fp
 FROM trkeyed GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- co-location pairs
+def colocation_pairs(
+    events: DataFrame,
+    r: float,
+    dt_s: int,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Spatio-temporal co-location: pairs of DISTINCT users with events
+    within Euclidean distance ``r`` AND within ``dt_s`` seconds of each
+    other — the contact/co-occurrence workload (who was where together:
+    shared sessions, fraud rings, sensor cross-sightings). Output
+    ``(user_a, user_b, n_meetings)`` with user_a < user_b;
+    ``n_meetings`` counts qualifying EVENT pairs.
+
+    The radius-join grid discipline extended to spacetime: every event
+    buckets into ONE (r-cell-x, r-cell-y, dt-bucket) cube; the probe
+    side fans out over the 9×3 = 27 neighboring cubes. A qualifying
+    event pair meets in exactly the anchor event's own cube (the anchor
+    never fans out), and ``event_id_a < event_id_b`` picks exactly one
+    orientation — so no dedup pass is needed before the pair aggregate.
+
+    Scale shape: ONE equi-join shuffle on the cube key (candidates are
+    density-bounded per cube; AQE splits hot cubes) + ONE map-side-
+    combined pair aggregate. Exact float64 distance refine and integer
+    time refine AFTER the join — closed predicates on both, matching
+    the inequality-join oracle. Skew note: a cube with k events of each
+    side contributes O(k²) candidates — for adversarial density apply
+    the distance_join_ab sample_per_cell pattern (pair-hash rank cap)
+    before the refine; the exact operator keeps every pair.
+    """
+    if r <= 0 or dt_s <= 0:
+        raise ValueError("r and dt_s must be positive")
+    base = events.select(
+        F.col(event_id_col).alias("_eid"),
+        F.col(id_col).alias("_uid"),
+        geotag_x(id_col).cast("double").alias("_px"),
+        geotag_y(id_col).cast("double").alias("_py"),
+        F.expr(f"unix_timestamp({ts_col})").alias("_ep"),
+    )
+    a = (
+        base.withColumnRenamed("_eid", "eid_a")
+        .withColumnRenamed("_uid", "uid_a")
+        .withColumnRenamed("_px", "ax").withColumnRenamed("_py", "ay")
+        .withColumnRenamed("_ep", "aep")
+        .withColumn("jx", F.floor(F.col("ax") / F.lit(r)))
+        .withColumn("jy", F.floor(F.col("ay") / F.lit(r)))
+        .withColumn("jt", F.expr(f"aep div {dt_s}"))
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    b = (
+        base.withColumnRenamed("_eid", "eid_b")
+        .withColumnRenamed("_uid", "uid_b")
+        .withColumnRenamed("_px", "bx").withColumnRenamed("_py", "by")
+        .withColumnRenamed("_ep", "bep")
+        .withColumn("o", F.explode(offs))
+        .select(
+            "eid_b", "uid_b", "bx", "by", "bep",
+            (F.floor(F.col("bx") / F.lit(r)) + F.col("o.dx")).alias("jx"),
+            (F.floor(F.col("by") / F.lit(r)) + F.col("o.dy")).alias("jy"),
+            (F.expr(f"bep div {dt_s}") + F.col("o.dz")).alias("jt"),
+        )
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    pairs = (
+        a.join(b, ["jx", "jy", "jt"])
+        .filter(F.col("eid_a") < F.col("eid_b"))
+        .filter(F.col("uid_a") != F.col("uid_b"))
+        .filter(F.abs(F.col("aep") - F.col("bep")) <= dt_s)
+        .filter(dx * dx + dy * dy <= F.lit(float(r) * float(r)))
+    )
+    return (
+        pairs.select(
+            F.least("uid_a", "uid_b").alias("user_a"),
+            F.greatest("uid_a", "uid_b").alias("user_b"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_meetings"))
+    )
+
+
+def colocation_pairs_sql_duck(
+    src: str = "events",
+    r: float = 2.0,
+    dt_s: int = 3600,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — a direct inequality self-join (deliberately a
+    different plan family from the cube-bucketed equi-join)."""
+    px = f"CAST({geotag_x_sql(id_col)} AS DOUBLE)"
+    py = f"CAST({geotag_y_sql(id_col)} AS DOUBLE)"
+    return f"""
+WITH ev AS (
+  SELECT {event_id_col} AS eid, {id_col} AS uid,
+         {px} AS px, {py} AS py,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep
+  FROM {src})
+SELECT LEAST(a.uid, b.uid) AS user_a,
+       GREATEST(a.uid, b.uid) AS user_b,
+       COUNT(*) AS n_meetings
+FROM ev a JOIN ev b
+  ON a.eid < b.eid
+ AND a.uid <> b.uid
+ AND abs(a.ep - b.ep) <= {dt_s}
+ AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+     <= {r * r!r}e0
+GROUP BY 1, 2
 """

@@ -1,0 +1,99 @@
+"""colocation_pairs: Python brute-force equivalence on real events,
+closed time/distance boundaries, cross-cube pairs, and the no-nested-
+loop plan shape."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+from linear_quadtree_spark.operators.spacetime import colocation_pairs
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _user_coords(spark, uids):
+    rows = (
+        spark.createDataFrame([(u,) for u in uids], "user_id: long")
+        .select(
+            "user_id",
+            F.expr(f"CAST({geotag_x_sql('user_id')} AS DOUBLE)").alias("x"),
+            F.expr(f"CAST({geotag_y_sql('user_id')} AS DOUBLE)").alias("y"),
+        )
+        .collect()
+    )
+    return {r.user_id: (r.x, r.y) for r in rows}
+
+
+def _events_df(spark, evs):
+    # evs: list of (event_id, user_id, offset_seconds)
+    rows = [(e, u, T0 + dt.timedelta(seconds=s)) for e, u, s in evs]
+    return spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+
+
+def _brute(coords, evs, r, dts):
+    out = {}
+    for i, (e1, u1, s1) in enumerate(evs):
+        for e2, u2, s2 in evs[i + 1:]:
+            if u1 == u2 or abs(s1 - s2) > dts:
+                continue
+            (x1, y1), (x2, y2) = coords[u1], coords[u2]
+            if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r:
+                k = (min(u1, u2), max(u1, u2))
+                out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_bruteforce_equivalence(spark):
+    import random
+
+    rng = random.Random(42)
+    uids = list(range(60))
+    coords = _user_coords(spark, uids)
+    evs = [
+        (i, rng.choice(uids), rng.randrange(0, 14 * 86400))
+        for i in range(500)
+    ]
+    r, dts = 6.0, 86400
+    got = {
+        (x.user_a, x.user_b): x.n_meetings
+        for x in colocation_pairs(_events_df(spark, evs), r=r, dt_s=dts).collect()
+    }
+    exp = _brute(coords, evs, r, dts)
+    assert got == exp and len(exp) > 5
+
+
+def test_time_boundary_closed(spark):
+    # two users within r; meetings exactly dt apart count, dt+1 do not
+    coords = _user_coords(spark, list(range(400)))
+    pairs = [
+        (a, b)
+        for a in coords for b in coords if a < b
+        if math.dist(coords[a], coords[b]) <= 4.0
+    ]
+    assert pairs, "fixture needs a close user pair"
+    ua, ub = pairs[0]
+    dts = 3600
+    evs = [
+        (0, ua, 0), (1, ub, dts),          # exactly dt apart -> counts
+        (2, ua, 10 * dts), (3, ub, 11 * dts + 1),  # dt+1 apart -> not
+    ]
+    got = colocation_pairs(_events_df(spark, evs), r=4.0, dt_s=dts).collect()
+    assert len(got) == 1
+    assert (got[0].user_a, got[0].user_b, got[0].n_meetings) == (ua, ub, 1)
+
+
+def test_same_user_never_pairs(spark):
+    evs = [(0, 7, 0), (1, 7, 10), (2, 7, 20)]
+    assert colocation_pairs(_events_df(spark, evs), r=100.0, dt_s=3600).count() == 0
+
+
+def test_plan_no_nested_loop(spark):
+    evs = [(0, 1, 0), (1, 2, 10)]
+    plan = (
+        colocation_pairs(_events_df(spark, evs), r=5.0, dt_s=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
