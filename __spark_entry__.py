@@ -457,6 +457,23 @@ def _q_radius_join_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination flow matrix (operators/trajectory.py): per
+    user, consecutive events contribute one trip between their capture
+    tiles — one lag window on the user key + one tile-pair aggregate,
+    output bounded by the occupied flow graph."""
+    from linear_quadtree_spark.operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return od_flows(ev, zoom=4)
+
+
+def _od_flows_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import od_flows_sql_duck
+
+    return od_flows_sql_duck("events", zoom=4)
+
+
 COLOC_R = 5.0
 COLOC_DT = 86400
 
@@ -1698,6 +1715,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spatial_overlap": _q_spatial_overlap,
         "tile_terms": _q_tile_terms,
         "colocation_pairs": _q_colocation_pairs,
+        "od_flows": _q_od_flows,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2255,6 +2273,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "spatial_overlap": _spatial_overlap_oracle(),
         "tile_terms": _tile_terms_oracle(),
         "colocation_pairs": _colocation_oracle(),
+        "od_flows": _od_flows_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

@@ -577,6 +577,10 @@ def main() -> None:
     coloc_rows = _entry.queries()["colocation_pairs"](spark, SF_DIR).count()
     timings["colocation_pairs"] = time.time() - t0
 
+    t0 = _probe_mark("od_flows")
+    od_rows = _entry.queries()["od_flows"](spark, SF_DIR).count()
+    timings["od_flows"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -702,6 +706,7 @@ def main() -> None:
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
+            "od_flow_rows": od_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -54,6 +54,8 @@ __all__ = [
     "segment_cells_from_stage_expr",
     "segment_tiles",
     "segment_tiles_sql_duck",
+    "od_flows",
+    "od_flows_sql_duck",
 ]
 
 
@@ -173,3 +175,84 @@ def segment_tiles_sql_duck(
         f"segstage AS (\n  SELECT {id_col}, {cols}\n  FROM {src})\n"
         f"SELECT {id_col}, unnest({cells}) AS tile_id FROM segstage"
     )
+
+
+# ----------------------------------------------------------------- OD flows
+def od_flows(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Origin→destination flow matrix: per user, each CONSECUTIVE event
+    pair (ordered by ts, then event id for same-second determinism)
+    contributes one trip from its previous tile to its current tile
+    (each event geotags by its OWN event id — the capture location) —
+    the mobility/flow rollup every movement dashboard draws (commute
+    matrices, crawl-host hop graphs, shipping-lane traffic). Output
+    ``(tile_from, tile_to, n_trips)``; self-loops (no tile change) are
+    excluded unless ``include_self``.
+
+    Scale shape: ONE shuffle on the user key (the lag window — per-user
+    event counts bound partition work, the sessionize discipline), then
+    ONE map-side-combined aggregate on the tile pair (output bounded by
+    4^zoom × 4^zoom, in practice the occupied flow graph). The tile is
+    a pure id-derived expression so no join attaches geometry.
+    """
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(event_id_col),
+        geocell_col(
+            geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+        ).alias("tile_to"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col, event_id_col)
+    trips = keyed.withColumn("tile_from", F.lag("tile_to").over(w)).filter(
+        F.col("tile_from").isNotNull()
+    )
+    if not include_self:
+        trips = trips.filter(F.col("tile_from") != F.col("tile_to"))
+    return trips.groupBy("tile_from", "tile_to").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+def od_flows_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    include_self: bool = False,
+) -> str:
+    """DuckDB twin — identical tile expression, same LAG window."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    self_filter = "" if include_self else "WHERE tile_from <> tile_to"
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {ts_col}, {event_id_col}, {cell} AS tile_to FROM {src}),
+trips AS (
+  SELECT tile_to,
+         LAG(tile_to) OVER (PARTITION BY {id_col}
+                            ORDER BY {ts_col}, {event_id_col}) AS tile_from
+  FROM keyed)
+SELECT tile_from, tile_to, COUNT(*) AS n_trips
+FROM trips
+{self_filter if self_filter else "WHERE tile_from IS NOT NULL"}
+{"AND tile_from IS NOT NULL" if self_filter else ""}
+GROUP BY 1, 2
+"""
