@@ -474,6 +474,44 @@ def _od_flows_oracle() -> str:
     return od_flows_sql_duck("events", zoom=4)
 
 
+def _q_tile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary tile importance: the layers composed — PageRank over
+    the od_flows movement graph (where does traffic concentrate when
+    you follow the flows). Pure composition: the OD edge relation feeds
+    the fixed-point integer pagerank unchanged; the oracle composes the
+    two operators' SQL twins the same way."""
+    from linear_quadtree_spark.operators.graph import pagerank
+    from linear_quadtree_spark.operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flows = od_flows(ev, zoom=4)
+    return pagerank(
+        flows, src_col="tile_from", dst_col="tile_to"
+    ).select(F.col("host").alias("tile"), "rank_fp")
+
+
+def _tile_rank_oracle() -> str:
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.operators.graph import pagerank_unroll_ctes_duck
+
+    cell = geocell_sql_duck(
+        geotag_x_sql("event_id"), geotag_y_sql("event_id"), DEFAULT_BOUNDS, 4
+    )
+    return f"""
+WITH keyed AS (
+  SELECT user_id, ts, event_id, {cell} AS tile_to FROM events),
+trips AS (
+  SELECT tile_to,
+         LAG(tile_to) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS tile_from
+  FROM keyed),
+edges AS (
+  SELECT DISTINCT tile_from AS src, tile_to AS dst FROM trips
+  WHERE tile_from IS NOT NULL AND tile_from <> tile_to),
+{pagerank_unroll_ctes_duck(out_col="tile")}
+"""
+
+
 COLOC_R = 5.0
 COLOC_DT = 86400
 
@@ -1716,6 +1754,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_terms": _q_tile_terms,
         "colocation_pairs": _q_colocation_pairs,
         "od_flows": _q_od_flows,
+        "tile_rank": _q_tile_rank,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2274,6 +2313,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "tile_terms": _tile_terms_oracle(),
         "colocation_pairs": _colocation_oracle(),
         "od_flows": _od_flows_oracle(),
+        "tile_rank": _tile_rank_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

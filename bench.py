@@ -581,6 +581,10 @@ def main() -> None:
     od_rows = _entry.queries()["od_flows"](spark, SF_DIR).count()
     timings["od_flows"] = time.time() - t0
 
+    t0 = _probe_mark("tile_rank")
+    tr_rows = _entry.queries()["tile_rank"](spark, SF_DIR).count()
+    timings["tile_rank"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -707,6 +711,7 @@ def main() -> None:
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,
+            "tile_rank_rows": tr_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -37,6 +37,7 @@ __all__ = [
     "host_link_edges",
     "pagerank",
     "host_pagerank_sql_duck",
+    "pagerank_unroll_ctes_duck",
     "host_link_anchors",
     "anchor_terms",
     "anchor_terms_sql_duck",
@@ -165,31 +166,20 @@ def pagerank(
     return ranks.select("host", "rank_fp")
 
 
-def host_pagerank_sql_duck(
-    src: str = "documents",
+def pagerank_unroll_ctes_duck(
     iters: int = PR_ITERS,
     d_num: int = PR_D_NUM,
     d_den: int = PR_D_DEN,
     scale: int = PR_SCALE,
+    out_col: str = "host",
 ) -> str:
-    """DuckDB twin of host_link_edges + pagerank: the same integer
-    recurrence unrolled as chained CTEs (a different plan family from
-    the Spark loop — relational unroll vs iterative joins — same rows
-    bit for bit). DuckDB SUM(BIGINT) widens to HUGEINT, so every sum is
-    cast back before it meets the int64 arithmetic."""
+    """The generic unrolled integer-PageRank CTE chain over an ``edges``
+    CTE with (src, dst) columns — embed after ``WITH ... edges AS (...)``.
+    Ends with ``SELECT host, rank_fp``; callers alias as needed. DuckDB
+    SUM(BIGINT) widens to HUGEINT, so every sum is cast back before it
+    meets the int64 arithmetic."""
     big = "CAST({v} AS BIGINT)".format
     q = f"""
-WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
-hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
-hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
-edges AS (
-  SELECT DISTINCT d.source AS src, h.host AS dst
-  FROM {src} d CROSS JOIN hn
-  JOIN hosts h ON (
-    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
-     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
-    // hn.n_hosts) = h.idx
-  WHERE d.source <> h.host),
 nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM nodes),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
@@ -210,8 +200,34 @@ r{i} AS (
   FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (host))
 """
         prev = f"r{i}"
-    q += f"SELECT host, rank_fp FROM {prev}"
-    return q
+    alias = "" if out_col == "host" else f" AS {out_col}"
+    return q + f"SELECT host{alias}, rank_fp FROM {prev}"
+
+
+def host_pagerank_sql_duck(
+    src: str = "documents",
+    iters: int = PR_ITERS,
+    d_num: int = PR_D_NUM,
+    d_den: int = PR_D_DEN,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of host_link_edges + pagerank: the same integer
+    recurrence unrolled as chained CTEs (a different plan family from
+    the Spark loop — relational unroll vs iterative joins — same rows
+    bit for bit)."""
+    return f"""
+WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
+hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
+hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
+edges AS (
+  SELECT DISTINCT d.source AS src, h.host AS dst
+  FROM {src} d CROSS JOIN hn
+  JOIN hosts h ON (
+    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
+     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
+    // hn.n_hosts) = h.idx
+  WHERE d.source <> h.host),
+""" + pagerank_unroll_ctes_duck(iters, d_num, d_den, scale)
 
 
 def host_link_anchors(

@@ -144,3 +144,32 @@ def test_anchor_terms_engine_lockstep(spark, sf_dir):
     )
     want = sorted(map(tuple, con.execute(anchor_terms_sql_duck()).fetchall()))
     assert got == want
+
+
+def test_tile_rank_composition(spark, sf_dir):
+    """PageRank over the od_flows edge graph: total mass bounded by
+    scale, every occupied flow node ranked, hubs (high in-degree tiles)
+    outrank leaves."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.trajectory import od_flows
+
+    out = entrymod.queries()["tile_rank"](spark, sf_dir)
+    rows = out.collect()
+    release_caches()
+    assert sum(r.rank_fp for r in rows) <= 10**12
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flows = od_flows(ev, zoom=4)
+    nodes = (
+        flows.select(F.col("tile_from").alias("t"))
+        .union(flows.select(F.col("tile_to").alias("t")))
+        .distinct()
+        .count()
+    )
+    release_caches()
+    assert len(rows) == nodes
+    # a rank above the teleport floor requires inflow
+    floor = (10**12 * 15 // 100) // nodes
+    assert any(r.rank_fp > floor for r in rows)
