@@ -474,6 +474,23 @@ def _od_flows_oracle() -> str:
     return od_flows_sql_duck("events", zoom=4)
 
 
+def _q_covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation tile pairs (operators/trajectory.py): tiles linked
+    by shared visitors — distinct (user, tile) visit relation, one-
+    orientation self equi-join ON THE USER KEY, pair aggregate with a
+    min-support floor."""
+    from linear_quadtree_spark.operators.trajectory import covisit_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return covisit_pairs(ev, zoom=4, min_users=2)
+
+
+def _covisit_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import covisit_pairs_sql_duck
+
+    return covisit_pairs_sql_duck("events", zoom=4, min_users=2)
+
+
 def _q_tile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary tile importance: the layers composed — PageRank over
     the od_flows movement graph (where does traffic concentrate when
@@ -1755,6 +1772,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "colocation_pairs": _q_colocation_pairs,
         "od_flows": _q_od_flows,
         "tile_rank": _q_tile_rank,
+        "covisit_pairs": _q_covisit_pairs,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2314,6 +2332,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "colocation_pairs": _colocation_oracle(),
         "od_flows": _od_flows_oracle(),
         "tile_rank": _tile_rank_oracle(),
+        "covisit_pairs": _covisit_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

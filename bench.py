@@ -585,6 +585,10 @@ def main() -> None:
     tr_rows = _entry.queries()["tile_rank"](spark, SF_DIR).count()
     timings["tile_rank"] = time.time() - t0
 
+    t0 = _probe_mark("covisit_pairs")
+    cv_rows = _entry.queries()["covisit_pairs"](spark, SF_DIR).count()
+    timings["covisit_pairs"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -712,6 +716,7 @@ def main() -> None:
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,
             "tile_rank_rows": tr_rows,
+            "covisit_rows": cv_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -56,6 +56,8 @@ __all__ = [
     "segment_tiles_sql_duck",
     "od_flows",
     "od_flows_sql_duck",
+    "covisit_pairs",
+    "covisit_pairs_sql_duck",
 ]
 
 
@@ -255,4 +257,77 @@ FROM trips
 {self_filter if self_filter else "WHERE tile_from IS NOT NULL"}
 {"AND tile_from IS NOT NULL" if self_filter else ""}
 GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ co-visitation
+def covisit_pairs(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+    min_users: int = 2,
+) -> DataFrame:
+    """Co-visitation: pairs of tiles visited by the same user, weighted
+    by how many distinct users visited both — the "related places"
+    signal (recommendation, catchment analysis; for hosts it is the
+    audience-overlap graph). Output ``(tile_a, tile_b, n_users)`` with
+    tile_a < tile_b and n_users ≥ ``min_users``.
+
+    Scale shape: ONE shuffle builds the distinct (user, tile) visit
+    relation (map-side deduped); the pair fan-out is a self equi-join
+    ON THE USER KEY of that relation against itself (never the raw
+    events), with ``tile_a < tile_b`` keeping one orientation — per-user
+    cost is C(tiles_visited, 2), bounded by per-user activity, the same
+    bound sessionize rides. One final map-side-combined pair aggregate.
+    Skew: a user visiting t tiles contributes t² pairs — cap upstream
+    (visits-per-user limit) for adversarial actors; the aggregate
+    itself is pair-keyed and salts fine under AQE.
+    """
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    visits = (
+        events.select(
+            F.col(id_col).alias("uid"),
+            geocell_col(
+                geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+            ).alias("tile"),
+        )
+        .distinct()
+    )
+    a = visits.withColumnRenamed("tile", "tile_a")
+    b = visits.withColumnRenamed("tile", "tile_b")
+    return (
+        a.join(b, "uid")
+        .filter(F.col("tile_a") < F.col("tile_b"))
+        .groupBy("tile_a", "tile_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+    )
+
+
+def covisit_pairs_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+    min_users: int = 2,
+) -> str:
+    """DuckDB twin — same visit relation, same one-orientation pair join."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    return f"""
+WITH visits AS (
+  SELECT DISTINCT {id_col} AS uid, {cell} AS tile FROM {src})
+SELECT a.tile AS tile_a, b.tile AS tile_b, COUNT(*) AS n_users
+FROM visits a JOIN visits b ON a.uid = b.uid AND a.tile < b.tile
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_users}
 """

@@ -221,3 +221,82 @@ def test_od_flows_conservation(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total_trips == n_events - n_users
+
+
+# ----------------------------------------------------------- co-visitation
+def test_covisit_known_fixture(spark):
+    """Two users sharing two tiles produce one pair with n_users=2; a
+    tile visited by only one of them never pairs above min_users."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.trajectory import covisit_pairs
+
+    cand = (
+        spark.range(300)
+        .select(
+            F.col("id"),
+            geocell_col(geotag_x_sql("id"), geotag_y_sql("id"), level=4).alias("t"),
+        )
+        .collect()
+    )
+    by_tile = {}
+    for r in cand:
+        by_tile.setdefault(r.t, []).append(r.id)
+    tiles = [t for t, ids in by_tile.items()][:3]
+    eA, eB, eC = (by_tile[t][0] for t in tiles)
+    eA2 = by_tile[tiles[0]][1] if len(by_tile[tiles[0]]) > 1 else None
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # users 1 and 2 both visit tiles[0] and tiles[1]
+        (eA, 1, t0), (eB, 1, t0), (eA2 if eA2 is not None else eA, 2, t0),
+        (eB, 2, t0),
+        # only user 1 visits tiles[2]
+        (eC, 1, t0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = {
+        (r.tile_a, r.tile_b): r.n_users
+        for r in covisit_pairs(ev, zoom=4, min_users=2).collect()
+    }
+    a, b = sorted(tiles[:2])
+    assert got == {(a, b): 2}
+
+
+def test_covisit_bruteforce(spark, sf_dir):
+    import collections
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.trajectory import covisit_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    visits = (
+        ev.select(
+            "user_id",
+            geocell_col(
+                geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+            ).alias("t"),
+        )
+        .distinct()
+        .collect()
+    )
+    per_user = collections.defaultdict(set)
+    for r in visits:
+        per_user[r.user_id].add(r.t)
+    exp = collections.Counter()
+    for ts in per_user.values():
+        for a, b in itertools.combinations(sorted(ts), 2):
+            exp[(a, b)] += 1
+    exp = {k: v for k, v in exp.items() if v >= 2}
+    got = {
+        (r.tile_a, r.tile_b): r.n_users
+        for r in covisit_pairs(ev, zoom=4, min_users=2).collect()
+    }
+    assert got == exp and len(got) > 10
