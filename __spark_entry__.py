@@ -474,6 +474,23 @@ def _od_flows_oracle() -> str:
     return od_flows_sql_duck("events", zoom=4)
 
 
+def _q_dwells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/trajectory.py): maximal
+    same-tile runs per user lasting ≥ 1 h — gaps-and-islands on the
+    tile-change indicator, one user-key shuffle shared by both
+    windows, one run aggregate."""
+    from linear_quadtree_spark.operators.trajectory import dwells
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dwells(ev, zoom=4, min_dwell_s=3600)
+
+
+def _dwells_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import dwells_sql_duck
+
+    return dwells_sql_duck("events", zoom=4, min_dwell_s=3600)
+
+
 def _q_covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-visitation tile pairs (operators/trajectory.py): tiles linked
     by shared visitors — distinct (user, tile) visit relation, one-
@@ -1773,6 +1790,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "od_flows": _q_od_flows,
         "tile_rank": _q_tile_rank,
         "covisit_pairs": _q_covisit_pairs,
+        "dwells": _q_dwells,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2333,6 +2351,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "od_flows": _od_flows_oracle(),
         "tile_rank": _tile_rank_oracle(),
         "covisit_pairs": _covisit_oracle(),
+        "dwells": _dwells_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

@@ -589,6 +589,10 @@ def main() -> None:
     cv_rows = _entry.queries()["covisit_pairs"](spark, SF_DIR).count()
     timings["covisit_pairs"] = time.time() - t0
 
+    t0 = _probe_mark("dwells")
+    dw_rows = _entry.queries()["dwells"](spark, SF_DIR).count()
+    timings["dwells"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -717,6 +721,7 @@ def main() -> None:
             "od_flow_rows": od_rows,
             "tile_rank_rows": tr_rows,
             "covisit_rows": cv_rows,
+            "dwell_rows": dw_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

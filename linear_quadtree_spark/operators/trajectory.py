@@ -58,6 +58,8 @@ __all__ = [
     "od_flows_sql_duck",
     "covisit_pairs",
     "covisit_pairs_sql_duck",
+    "dwells",
+    "dwells_sql_duck",
 ]
 
 
@@ -330,4 +332,104 @@ SELECT a.tile AS tile_a, b.tile AS tile_b, COUNT(*) AS n_users
 FROM visits a JOIN visits b ON a.uid = b.uid AND a.tile < b.tile
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_users}
+"""
+
+
+# ------------------------------------------------------------- stay points
+def dwells(
+    events: DataFrame,
+    zoom: int = 4,
+    min_dwell_s: int = 3600,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Stay-point detection: per user, each MAXIMAL run of consecutive
+    events in the same tile lasting at least ``min_dwell_s`` seconds is
+    a dwell — the trajectory-mining primitive behind home/work
+    inference, venue popularity, and crawl-session locality (the public
+    stay-point line of work, Zheng et al.). Output
+    ``(user_id, tile, enter_epoch, exit_epoch, n_events)``.
+
+    Gaps-and-islands on the tile-change indicator — the sessionize
+    window discipline keyed by movement instead of time gaps:
+
+        change = tile != lag(tile)            (first event: change=1)
+        run_id = running sum of change        (per user, ts order)
+        dwell  = per-(user, run_id) aggregate, kept if the run spans
+                 ≥ min_dwell_s
+
+    Scale shape: ONE shuffle on the user key (both windows share the
+    same partitioning — a single Exchange, CI-asserted), then one
+    map-side-combined aggregate on (user, run). Per-user window cost is
+    bounded by per-user event counts, the sessionize bound.
+    """
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col),
+        F.expr(f"unix_timestamp({ts_col})").alias("_ep"),
+        F.col(ts_col),
+        geocell_col(
+            geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+        ).alias("tile"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col, event_id_col)
+    runs = keyed.withColumn(
+        "_chg",
+        F.when(
+            F.lag("tile").over(w).isNull()
+            | (F.lag("tile").over(w) != F.col("tile")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_run", F.sum("_chg").over(w))
+    return (
+        runs.groupBy(id_col, "_run", "tile")
+        .agg(
+            F.min("_ep").alias("enter_epoch"),
+            F.max("_ep").alias("exit_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("exit_epoch") - F.col("enter_epoch") >= min_dwell_s)
+        .select(id_col, "tile", "enter_epoch", "exit_epoch", "n_events")
+    )
+
+
+def dwells_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    min_dwell_s: int = 3600,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same tile expression, same gaps-and-islands."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {event_id_col}, {ts_col},
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep, {cell} AS tile
+  FROM {src}),
+chg AS (
+  SELECT *, CASE WHEN LAG(tile) OVER w IS NULL
+                   OR LAG(tile) OVER w <> tile THEN 1 ELSE 0 END AS c
+  FROM keyed WINDOW w AS (PARTITION BY {id_col} ORDER BY {ts_col}, {event_id_col})),
+runs AS (
+  SELECT *, SUM(c) OVER (PARTITION BY {id_col} ORDER BY {ts_col}, {event_id_col}
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM chg)
+SELECT {id_col}, tile, MIN(ep) AS enter_epoch, MAX(ep) AS exit_epoch,
+       COUNT(*) AS n_events
+FROM runs GROUP BY {id_col}, run_id, tile
+HAVING MAX(ep) - MIN(ep) >= {min_dwell_s}
 """

@@ -300,3 +300,110 @@ def test_covisit_bruteforce(spark, sf_dir):
         for r in covisit_pairs(ev, zoom=4, min_users=2).collect()
     }
     assert got == exp and len(got) > 10
+
+
+# -------------------------------------------------------------- stay points
+def _tiles_by_event(spark, n, level=4):
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cand = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            geocell_col(geotag_x_sql("id"), geotag_y_sql("id"), level=level).alias("t"),
+        )
+        .collect()
+    )
+    by_tile = {}
+    for r in cand:
+        by_tile.setdefault(r.t, []).append(r.id)
+    return by_tile
+
+
+def test_dwells_known_runs(spark):
+    """A stay of 3 events spanning 2 h in tile A is a dwell; a 30-min
+    stay is not; returning to tile A later starts a NEW run (maximal
+    runs, not grouped-by-tile totals)."""
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import dwells
+
+    by_tile = _tiles_by_event(spark, 3000)
+    big = [v for v in by_tile.values() if len(v) >= 4]
+    ta = big[0]               # 4 event ids in one tile
+    tb = next(v for v in by_tile.values() if v[0] not in ta)
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (ta[0], 1, ts(0)), (ta[1], 1, ts(1)), (ta[2], 1, ts(2)),  # dwell 2h
+        (tb[0], 1, ts(3)),                                        # move away
+        (ta[3], 1, ts(4)),                                        # back: 1-event run
+    ]
+    ev = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = dwells(ev, zoom=4, min_dwell_s=3600).collect()
+    assert len(got) == 1
+    r = got[0]
+    e0 = int(ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert (r.user_id, r.n_events) == (1, 3)
+    assert (r.enter_epoch, r.exit_epoch) == (e0, e0 + 7200)
+
+
+def test_dwells_bruteforce(spark, sf_dir):
+    import collections
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import dwells
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            "user_id", "event_id", "ts",
+            geocell_col(
+                geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+            ).alias("t"),
+        )
+        .collect()
+    )
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        ep = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        per_user[r.user_id].append((r.ts, r.event_id, ep, r.t))
+    exp = set()
+    for uid, evs in per_user.items():
+        evs.sort()
+        run = []
+        for e in evs + [(None, None, None, object())]:
+            if run and e[3] != run[-1][3]:
+                lo, hi = run[0][2], run[-1][2]
+                if hi - lo >= 3600:
+                    exp.add((uid, run[0][3], lo, hi, len(run)))
+                run = []
+            run.append(e)
+    got = {
+        (r.user_id, r.tile, r.enter_epoch, r.exit_epoch, r.n_events)
+        for r in dwells(ev, zoom=4, min_dwell_s=3600).collect()
+    }
+    assert got == exp
+    assert len(got) > 3
+
+
+def test_dwells_single_exchange(spark, sf_dir):
+    from linear_quadtree_spark.operators.trajectory import dwells
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        dwells(ev, zoom=4)._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows and the run aggregate reuse ONE user-key exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
