@@ -474,6 +474,25 @@ def _od_flows_oracle() -> str:
     return od_flows_sql_duck("events", zoom=4)
 
 
+def _q_tile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile visitor concentration (operators/spacetime.py):
+    integer-exact Herfindahl index of activity shares — the
+    region-integrity / bot-domination diagnostic. Two map-side-combined
+    aggregates; events touched once."""
+    from linear_quadtree_spark.operators.spacetime import tile_concentration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_concentration(ev, zoom=4)
+
+
+def _tile_concentration_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_concentration_sql_duck,
+    )
+
+    return tile_concentration_sql_duck("events", zoom=4)
+
+
 def _q_dwells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (operators/trajectory.py): maximal
     same-tile runs per user lasting ≥ 1 h — gaps-and-islands on the
@@ -1791,6 +1810,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_rank": _q_tile_rank,
         "covisit_pairs": _q_covisit_pairs,
         "dwells": _q_dwells,
+        "tile_concentration": _q_tile_concentration,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2352,6 +2372,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "tile_rank": _tile_rank_oracle(),
         "covisit_pairs": _covisit_oracle(),
         "dwells": _dwells_oracle(),
+        "tile_concentration": _tile_concentration_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

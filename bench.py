@@ -593,6 +593,10 @@ def main() -> None:
     dw_rows = _entry.queries()["dwells"](spark, SF_DIR).count()
     timings["dwells"] = time.time() - t0
 
+    t0 = _probe_mark("tile_concentration")
+    hhi_rows = _entry.queries()["tile_concentration"](spark, SF_DIR).count()
+    timings["tile_concentration"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -722,6 +726,7 @@ def main() -> None:
             "tile_rank_rows": tr_rows,
             "covisit_rows": cv_rows,
             "dwell_rows": dw_rows,
+            "hhi_rows": hhi_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

@@ -35,6 +35,7 @@ __all__ = [
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
+    "tile_concentration", "tile_concentration_sql_duck",
 ]
 
 
@@ -330,4 +331,86 @@ FROM ev a JOIN ev b
  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
      <= {r * r!r}e0
 GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ visitor concentration
+def tile_concentration(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Per-tile visitor concentration: the Herfindahl–Hirschman index
+    of activity shares — ``hhi_ppm = 10^6 · Σ_u c_u² div (Σ_u c_u)²``
+    (1e6 = one user generated everything, → 1e6/n_users = perfectly
+    spread). The region-integrity diagnostic: a tile whose activity is
+    one actor is a bot farm / spam burst, not a place (same reason the
+    corpus layer computes repetition_stats per document).
+
+    Integer-exact end to end (squares and one integer division — no
+    float sums), hence hash-checkable; ceiling: per-tile events ≤ ~3·10^6
+    keeps 10^6·Σc² inside int64 — shard hotter tiles by time window
+    first (tile_activity gives the per-hour split for free).
+
+    Plan: one shuffle to (tile, user) counts (map-side combined), one
+    rollup of that relation to tiles. Events are touched once; events
+    geotag by their own event id (capture location).
+    Output: (tile, n_events, n_users, top_user_events, hhi_ppm).
+    """
+    from linear_quadtree_spark.functions.geocell import geocell_col
+
+    per_user = (
+        events.select(
+            F.col(id_col).alias("uid"),
+            geocell_col(
+                geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+            ).alias("tile"),
+        )
+        .groupBy("tile", "uid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_user.groupBy("tile")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.max("c").alias("top_user_events"),
+            F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        )
+        .select(
+            "tile",
+            "n_events",
+            "n_users",
+            "top_user_events",
+            F.expr("(1000000 * _ss) div (n_events * n_events)").alias("hhi_ppm"),
+        )
+    )
+
+
+def tile_concentration_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same cell expression, same integer HHI."""
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    return f"""
+WITH per_user AS (
+  SELECT {cell} AS tile, {id_col} AS uid, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+agg AS (
+  SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(MAX(c) AS BIGINT) AS top_user_events,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM per_user GROUP BY 1)
+SELECT tile, n_events, n_users, top_user_events,
+       (1000000 * ss) // (n_events * n_events) AS hhi_ppm
+FROM agg
 """

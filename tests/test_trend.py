@@ -81,3 +81,78 @@ def test_single_data_shuffle(spark):
     # one hash exchange for the tile aggregate; the reference time rides
     # a 1-row broadcast, not a shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------- visitor concentration
+def test_concentration_extremes_and_exactness(spark):
+    """One-user tile pins HHI at exactly 10^6; k users with equal counts
+    give floor(10^6/k); values match a Python integer recomputation."""
+    import collections
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.spacetime import tile_concentration
+    from pyspark.sql import functions as F
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    t0 = dt.datetime(2026, 1, 1)
+    cand = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            geocell_col(geotag_x_sql("id"), geotag_y_sql("id"), level=4).alias("t"),
+        )
+        .collect()
+    )
+    by_tile = collections.defaultdict(list)
+    for r in cand:
+        by_tile[r.t].append(r.id)
+    mono_t, mono_ids = next((t, v) for t, v in by_tile.items() if len(v) >= 3)
+    quad_t, quad_ids = next(
+        (t, v) for t, v in by_tile.items() if len(v) >= 4 and t != mono_t
+    )
+    rows = (
+        # one user owns mono_t entirely (3 events)
+        [(e, 42, t0) for e in mono_ids[:3]]
+        # four users, one event each, share quad_t
+        + [(e, 100 + i, t0) for i, e in enumerate(quad_ids[:4])]
+    )
+    ev = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = {r.tile: r for r in tile_concentration(ev, zoom=4).collect()}
+    m = got[mono_t]
+    assert (m.n_events, m.n_users, m.top_user_events, m.hhi_ppm) == (3, 1, 3, 10**6)
+    q = got[quad_t]
+    assert (q.n_events, q.n_users, q.hhi_ppm) == (4, 4, 10**6 // 4)
+
+
+def test_concentration_bruteforce(spark, sf_dir):
+    import collections
+
+    from linear_quadtree_spark.operators.spacetime import tile_concentration
+    from pyspark.sql import functions as F
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            "user_id",
+            geocell_col(
+                geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+            ).alias("t"),
+        )
+        .collect()
+    )
+    cnt = collections.Counter((r.t, r.user_id) for r in rows)
+    per_tile = collections.defaultdict(list)
+    for (t, _), c in cnt.items():
+        per_tile[t].append(c)
+    exp = {
+        t: (sum(cs), len(cs), max(cs), 10**6 * sum(c * c for c in cs) // sum(cs) ** 2)
+        for t, cs in per_tile.items()
+    }
+    got = {
+        r.tile: (r.n_events, r.n_users, r.top_user_events, r.hhi_ppm)
+        for r in tile_concentration(ev, zoom=4).collect()
+    }
+    assert got == exp and len(got) > 5
