@@ -474,6 +474,23 @@ def _od_flows_oracle() -> str:
     return od_flows_sql_duck("events", zoom=4)
 
 
+def _q_host_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic spread per host (operators/geotext.py): tiles covered
+    + integer-exact footprint HHI — separates local publishers from
+    global ones for a geo-balanced corpus mix. Two map-side-combined
+    aggregates; docs touched once."""
+    from linear_quadtree_spark.operators.geotext import host_spread
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return host_spread(docs, level=2)
+
+
+def _host_spread_oracle() -> str:
+    from linear_quadtree_spark.operators.geotext import host_spread_sql_duck
+
+    return host_spread_sql_duck("documents", level=2)
+
+
 def _q_tile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile visitor concentration (operators/spacetime.py):
     integer-exact Herfindahl index of activity shares — the
@@ -1811,6 +1828,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "covisit_pairs": _q_covisit_pairs,
         "dwells": _q_dwells,
         "tile_concentration": _q_tile_concentration,
+        "host_spread": _q_host_spread,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_topk": _q_bm25_topk,
         "curate_corpus": _q_curate_corpus,
@@ -2373,6 +2391,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "covisit_pairs": _covisit_oracle(),
         "dwells": _dwells_oracle(),
         "tile_concentration": _tile_concentration_oracle(),
+        "host_spread": _host_spread_oracle(),
         "tfidf_keywords": _text.tfidf_keywords_sql_duck(top_k=5),
         "bm25_topk": _text.bm25_topk_sql_duck(BM25_TERMS, top_k=10),
         "curate_corpus": _corpus(_text.curate_corpus_sql_duck("corpus")),

@@ -597,6 +597,10 @@ def main() -> None:
     hhi_rows = _entry.queries()["tile_concentration"](spark, SF_DIR).count()
     timings["tile_concentration"] = time.time() - t0
 
+    t0 = _probe_mark("host_spread")
+    hs_rows = _entry.queries()["host_spread"](spark, SF_DIR).count()
+    timings["host_spread"] = time.time() - t0
+
     t0 = _probe_mark("repetition_stats")
     from linear_quadtree_spark.operators.clean import (
         boilerplate_ngrams,
@@ -727,6 +731,7 @@ def main() -> None:
             "covisit_rows": cv_rows,
             "dwell_rows": dw_rows,
             "hhi_rows": hhi_rows,
+            "host_spread_rows": hs_rows,
             "anchor_term_rows": at_rows,
             "pip_rows": pip_rows,
             "pip_10kpoly_rows": pip10k_rows,

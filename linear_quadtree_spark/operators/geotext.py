@@ -42,7 +42,7 @@ from linear_quadtree_spark.functions.geotag import (
 )
 from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
 
-__all__ = ["tile_terms", "tile_terms_sql_duck"]
+__all__ = ["tile_terms", "tile_terms_sql_duck", "host_spread", "host_spread_sql_duck"]
 
 
 def tile_terms(
@@ -138,4 +138,79 @@ r AS (
   FROM s)
 SELECT tile, token, tile_df, tile_docs, corpus_df, lift, rank
 FROM r WHERE rank <= {top_k}
+"""
+
+
+# ------------------------------------------------------------- host spread
+def host_spread(
+    docs: DataFrame,
+    level: int = 2,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Geographic spread per host — the host-side mirror of the
+    tile-side concentration diagnostic: for each publisher, how many
+    tiles its pages cover and how concentrated that footprint is
+    (``spread_hhi_ppm = 10^6 · Σ_t c_t² div (Σ_t c_t)²``; 10^6 = a
+    purely local host, →10^6/n_tiles = evenly global). Separates local
+    publishers from global ones when weighting a geo-balanced corpus
+    mix (the geographic analog of the language-mixture rebalancer).
+
+    Integer-exact (squares + one integer division), hash-checkable;
+    ceiling: per-host docs ≤ ~3·10^6 per tile keeps 10^6·Σc² in int64.
+    Plan: one shuffle to (host, tile) counts (map-side combined), one
+    host rollup of that relation. Docs touched once.
+    Output: (host, n_docs, n_tiles, top_tile_docs, spread_hhi_ppm).
+    """
+    per_tile = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            geocell_col(
+                geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level
+            ).alias("tile"),
+        )
+        .groupBy("host", "tile")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tile.groupBy("host")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.max("c").alias("top_tile_docs"),
+            F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_tiles",
+            "top_tile_docs",
+            F.expr("(1000000 * _ss) div (n_docs * n_docs)").alias("spread_hhi_ppm"),
+        )
+    )
+
+
+def host_spread_sql_duck(
+    src: str = "documents",
+    level: int = 2,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin — same cell expression, same integer HHI."""
+    cell = geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level)
+    return f"""
+WITH per_tile AS (
+  SELECT {host_col} AS host, {cell} AS tile, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+agg AS (
+  SELECT host, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(MAX(c) AS BIGINT) AS top_tile_docs,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM per_tile GROUP BY 1)
+SELECT host, n_docs, n_tiles, top_tile_docs,
+       (1000000 * ss) // (n_docs * n_docs) AS spread_hhi_ppm
+FROM agg
 """

@@ -109,3 +109,69 @@ def test_plan_shape(spark, sf_dir):
     # vocab and tile-size relations ride broadcasts, never reshuffle
     # the tile_df relation onto them
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# --------------------------------------------------------------- host spread
+def test_host_spread_bruteforce(spark, sf_dir):
+    import collections
+
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.geotext import host_spread
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = (
+        docs.select(
+            "source",
+            geocell_col(geotag_x_sql("doc_id"), geotag_y_sql("doc_id"), level=2)
+            .alias("t"),
+        )
+        .collect()
+    )
+    cnt = collections.Counter((r.source, r.t) for r in rows)
+    per_host = collections.defaultdict(list)
+    for (h, _), c in cnt.items():
+        per_host[h].append(c)
+    exp = {
+        h: (sum(cs), len(cs), max(cs), 10**6 * sum(c * c for c in cs) // sum(cs) ** 2)
+        for h, cs in per_host.items()
+    }
+    got = {
+        r.host: (r.n_docs, r.n_tiles, r.top_tile_docs, r.spread_hhi_ppm)
+        for r in host_spread(docs, level=2).collect()
+    }
+    assert got == exp and len(got) > 3
+
+
+def test_host_spread_local_vs_global(spark):
+    """A host whose docs all land in one tile pins at 10^6; a host
+    spread evenly over k tiles scores floor(10^6/k)."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.geotext import host_spread
+
+    cand = (
+        spark.range(3000)
+        .select(
+            F.col("id"),
+            geocell_col(geotag_x_sql("id"), geotag_y_sql("id"), level=2).alias("t"),
+        )
+        .collect()
+    )
+    by_tile = collections.defaultdict(list)
+    for r in cand:
+        by_tile[r.t].append(r.id)
+    tiles = sorted(by_tile, key=lambda t: -len(by_tile[t]))
+    local_ids = by_tile[tiles[0]][:4]            # 4 docs, one tile
+    global_ids = [by_tile[t][-1] for t in tiles[1:5]]  # 4 docs, 4 tiles
+    rows = [(i, "local.example", "x") for i in local_ids] + [
+        (i, "global.example", "x") for i in global_ids
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = {r.host: r for r in host_spread(docs, level=2).collect()}
+    assert got["local.example"].spread_hhi_ppm == 10**6
+    assert got["local.example"].n_tiles == 1
+    assert got["global.example"].spread_hhi_ppm == 10**6 // 4
+    assert got["global.example"].n_tiles == 4
