@@ -1,0 +1,76 @@
+"""Streaming OD flows: a time-ordered replay's aggregated trip log
+equals batch od_flows, and state carries the per-user tail across
+micro-batches (the cross-batch transition is emitted)."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.operators.trajectory import od_flows
+from linear_quadtree_spark.streaming.flows import flows_ingest
+from linear_quadtree_spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
+    run_available_now,
+)
+
+
+def _write_part(df, out_dir, i):
+    tmp = str(out_dir / f"_stage{i}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    dst = str(out_dir / f"part-{i:03d}.parquet")
+    shutil.copyfile(os.path.join(tmp, src), dst)
+    os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_time_ordered_replay_equals_batch(spark, sf_dir, tmp_path):
+    out = tmp_path / "flows_split"
+    out.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_ep", F.unix_timestamp("ts")
+    )
+    cuts = ev.approxQuantile("_ep", [0.33, 0.66], 0.0)
+    parts = [
+        ev.filter(F.col("_ep") < cuts[0]),
+        ev.filter((F.col("_ep") >= cuts[0]) & (F.col("_ep") < cuts[1])),
+        ev.filter(F.col("_ep") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        _write_part(p.drop("_ep"), out, i)
+    emitted = run_available_now(
+        flows_ingest(_read_stream(spark, str(out)), zoom=4),
+        "flows_stream",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        (r.tile_from, r.tile_to, r.n_trips)
+        for r in emitted.groupBy("tile_from", "tile_to")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .collect()
+    )
+    exp = sorted(
+        (r.tile_from, r.tile_to, r.n_trips)
+        for r in od_flows(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4
+        ).collect()
+    )
+    assert got == exp and len(got) > 10
+    # cross-batch carryover actually happened: more trips than any one
+    # batch could produce alone requires the state tail (every user
+    # whose events span a cut contributes a transition ACROSS it)
+    n_cross = (
+        parts[0].select("user_id").distinct()
+        .join(parts[1].select("user_id").distinct(), "user_id")
+        .count()
+    )
+    assert n_cross > 0
