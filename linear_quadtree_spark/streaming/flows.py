@@ -21,13 +21,13 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from linear_quadtree_spark.config import DEFAULT_BOUNDS, Bounds
 from linear_quadtree_spark.functions.geocell import geocell_col
 from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
 
-__all__ = ["flows_ingest"]
+__all__ = ["flows_ingest", "covisit_ingest"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -93,6 +93,69 @@ def flows_ingest(
         fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ------------------------------------------------------------ co-visitation
+_CV_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("tile_a", LongType()),
+        StructField("tile_b", LongType()),
+    ]
+)
+
+_CV_STATE_SCHEMA = StructType([StructField("tiles", ArrayType(LongType()))])
+
+
+def covisit_ingest(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming co-visitation: state per user is their visited-tile
+    SET (≤ 4^zoom longs); when an event reveals a new tile, one row per
+    (new tile × each previously visited tile) is emitted, canonically
+    ordered — so every (user, tile pair) appears EXACTLY ONCE, ever.
+
+    Because the law is set-based, the equivalence with the batch
+    operator holds under ARBITRARY arrival order (unlike the lag-chain
+    flows): grouping the emission log by pair and counting rows equals
+    covisit_pairs with min_users=1 (apply the min-support filter on
+    top). State is O(users · tiles-visited), the same quantity the
+    batch join materializes per user."""
+    keyed = events.select(
+        F.col(id_col),
+        geocell_col(
+            geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+        ).alias("tile"),
+    )
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for t in pdf["tile"].tolist():
+                t = int(t)
+                if t in seen:
+                    continue
+                for prev in seen:
+                    a, b = (prev, t) if prev < t else (t, prev)
+                    out.append((uid, a, b))
+                seen.add(t)
+        state.update((sorted(seen),))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "tile_a", "tile_b"])
+
+    return keyed.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=_CV_OUT_SCHEMA,
+        stateStructType=_CV_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -74,3 +74,37 @@ def test_time_ordered_replay_equals_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_cross > 0
+
+
+def test_covisit_out_of_order_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Set-based law: the emission log grouped by pair equals batch
+    covisit_pairs under a maximally out-of-order round-robin replay,
+    and every (user, pair) row is unique (exactly-once, ever)."""
+    from linear_quadtree_spark.operators.trajectory import covisit_pairs
+    from linear_quadtree_spark.streaming.flows import covisit_ingest
+
+    out = tmp_path / "cv_split"
+    out.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        _write_part(ev.filter(F.col("event_id") % 3 == i), out, i)
+    emitted = run_available_now(
+        covisit_ingest(_read_stream(spark, str(out)), zoom=4),
+        "covisit_stream",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "cv_ckpt"),
+    )
+    n = emitted.count()
+    assert emitted.distinct().count() == n  # exactly-once per (user, pair)
+    got = sorted(
+        (r.tile_a, r.tile_b, r.n_users)
+        for r in emitted.groupBy("tile_a", "tile_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+        .collect()
+    )
+    exp = sorted(
+        (r.tile_a, r.tile_b, r.n_users)
+        for r in covisit_pairs(ev, zoom=4, min_users=2).collect()
+    )
+    assert got == exp and len(got) > 10
