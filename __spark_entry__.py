@@ -582,14 +582,15 @@ edges AS (
 """
 
 
-COLOC_R = 5.0
-COLOC_DT = 86400
+COLOC_R = 3.0
+COLOC_DT = 3600
 
 
 def _q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal co-location (operators/spacetime.py): pairs of
-    distinct users with events within COLOC_R distance AND COLOC_DT
-    seconds — the contact/co-occurrence workload. Cube-bucketed
+    distinct users whose CAPTURE LOCATIONS (events geotag by their own
+    event id) fall within COLOC_R distance AND COLOC_DT seconds — the
+    contact/co-occurrence workload. Cube-bucketed
     (r-cell × dt-bucket) equi-join with 27× fan-out on the probe side,
     exact distance+time refine, one pair aggregate; the anchor side
     never fans out so each event pair is found exactly once. Oracle is

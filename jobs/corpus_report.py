@@ -101,10 +101,12 @@ def main() -> int:
     }
 
     terms = q["tile_terms"](spark, args.sf_dir).collect()
+    by_tile: dict[int, list] = {}
+    for r in terms:
+        by_tile.setdefault(int(r.tile), []).append(r)
     report["region_terms"] = {
-        int(r.tile): [t.token for t in sorted(
-            (x for x in terms if x.tile == r.tile), key=lambda x: x.rank)]
-        for r in terms
+        t: [x.token for x in sorted(rows, key=lambda x: x.rank)]
+        for t, rows in by_tile.items()
     }
 
     from linear_quadtree_spark.cache import release_caches

@@ -87,12 +87,16 @@ class LQTTable:
     tiebreaker: str | None = None
     build_metrics: dict = field(default_factory=dict)
     enc_cache: DataFrame | None = None
-    #: set by load_partitioned: the main relation is Hive-partitioned by
-    #: the level-N quadrant directory, and candidates() adds a
-    #: quad IN (...) predicate so scans prune whole DIRECTORIES before
-    #: row-group stats are even consulted (the parquet stand-in for
-    #: Iceberg partition pruning)
+    #: set by load_partitioned: the stored main relation is
+    #: Hive-partitioned by the level-N quadrant directory, and
+    #: candidates() adds a quad IN (...) predicate so scans prune whole
+    #: DIRECTORIES before row-group stats are even consulted (the
+    #: parquet stand-in for Iceberg partition pruning). `main` itself
+    #: is exposed WITHOUT the quad column (schema-identical to an
+    #: unpartitioned table — every other consumer is unaffected);
+    #: `main_quad` is the quad-bearing scan candidates() filters.
     quad_level: int | None = None
+    main_quad: DataFrame | None = None
 
     def unpersist(self) -> None:
         """Release the encoded staging cache and any persisted relations."""
@@ -287,14 +291,16 @@ class LQTTable:
         tiebreaker: str | None = None,
         format: str = "parquet",
     ) -> "LQTTable":
+        raw = spark.read.format(format).load(f"{path}/main")
         return cls(
-            main=spark.read.format(format).load(f"{path}/main"),
+            main=raw.drop("quad"),
             side=spark.read.format(format).load(f"{path}/side"),
             bounds=bounds,
             x_col=x_col,
             y_col=y_col,
             tiebreaker=tiebreaker,
             quad_level=level,
+            main_quad=raw,
         )
 
     @staticmethod
@@ -319,12 +325,13 @@ class LQTTable:
         partitioned table (load_partitioned) a quad IN (...) predicate
         is added so whole directories prune first."""
         pred = ranges_to_predicate(ranges, F.col("zs"))
-        if self.quad_level is not None:
+        if self.quad_level is not None and self.main_quad is not None:
             quads = self.quads_for_ranges(ranges, self.quad_level)
-            pred = F.col("quad").isin(quads) & pred
-        pruned = self.main.filter(pred)
-        if self.quad_level is not None:
-            pruned = pruned.drop("quad")
+            pruned = self.main_quad.filter(
+                F.col("quad").isin(quads) & pred
+            ).drop("quad")
+        else:
+            pruned = self.main.filter(pred)
         return pruned.unionByName(self.side)
 
     def cover(self, x0: float, x1: float, y0: float, y1: float, max_level: int = 10,

@@ -418,19 +418,31 @@ def spatial_overlap(
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     one = cells.agg(
-        F.sum("in_a").cast("long").alias("n_cells_a"),
-        F.sum("in_b").cast("long").alias("n_cells_b"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_cells_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_cells_b"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
     )
+    # empty-side guards (review finding): an empty corpus must yield 0,
+    # identically in both engines — Spark's non-ANSI div would NULL
+    # while DuckDB // raises, so the CASE runs BEFORE the division
     return one.select(
         "n_cells_a",
         "n_cells_b",
         "n_common",
         F.expr(
-            "(1000000 * n_common) div (n_cells_a + n_cells_b - n_common)"
+            "CASE WHEN n_cells_a + n_cells_b - n_common = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000000 * n_common) div (n_cells_a + n_cells_b - n_common) END"
         ).alias("jaccard_ppm"),
-        F.expr("(1000000 * n_common) div n_cells_a").alias("cover_a_ppm"),
-        F.expr("(1000000 * n_common) div n_cells_b").alias("cover_b_ppm"),
+        F.expr(
+            "CASE WHEN n_cells_a = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000000 * n_common) div n_cells_a END"
+        ).alias("cover_a_ppm"),
+        F.expr(
+            "CASE WHEN n_cells_b = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000000 * n_common) div n_cells_b END"
+        ).alias("cover_b_ppm"),
     )
 
 
@@ -454,13 +466,17 @@ def spatial_overlap_sql_duck(
 cells AS (
   SELECT cell, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM tagged GROUP BY 1),
 one AS (
-  SELECT CAST(SUM(in_a) AS BIGINT) AS n_cells_a,
-         CAST(SUM(in_b) AS BIGINT) AS n_cells_b,
-         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+  SELECT CAST(COALESCE(SUM(in_a), 0) AS BIGINT) AS n_cells_a,
+         CAST(COALESCE(SUM(in_b), 0) AS BIGINT) AS n_cells_b,
+         CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_common
   FROM cells)
 SELECT n_cells_a, n_cells_b, n_common,
-       (1000000 * n_common) // (n_cells_a + n_cells_b - n_common) AS jaccard_ppm,
-       (1000000 * n_common) // n_cells_a AS cover_a_ppm,
-       (1000000 * n_common) // n_cells_b AS cover_b_ppm
+       CASE WHEN n_cells_a + n_cells_b - n_common = 0 THEN 0
+            ELSE (1000000 * n_common) // (n_cells_a + n_cells_b - n_common)
+       END AS jaccard_ppm,
+       CASE WHEN n_cells_a = 0 THEN 0
+            ELSE (1000000 * n_common) // n_cells_a END AS cover_a_ppm,
+       CASE WHEN n_cells_b = 0 THEN 0
+            ELSE (1000000 * n_common) // n_cells_b END AS cover_b_ppm
 FROM one
 """

@@ -248,8 +248,11 @@ def colocation_pairs(
     base = events.select(
         F.col(event_id_col).alias("_eid"),
         F.col(id_col).alias("_uid"),
-        geotag_x(id_col).cast("double").alias("_px"),
-        geotag_y(id_col).cast("double").alias("_py"),
+        # events geotag by their OWN event id — the capture location
+        # (the sibling mobility operators' convention; a user-level
+        # geotag would make every user permanently stationary)
+        geotag_x(event_id_col).cast("double").alias("_px"),
+        geotag_y(event_id_col).cast("double").alias("_py"),
         F.expr(f"unix_timestamp({ts_col})").alias("_ep"),
     )
     a = (
@@ -313,8 +316,8 @@ def colocation_pairs_sql_duck(
 ) -> str:
     """DuckDB twin — a direct inequality self-join (deliberately a
     different plan family from the cube-bucketed equi-join)."""
-    px = f"CAST({geotag_x_sql(id_col)} AS DOUBLE)"
-    py = f"CAST({geotag_y_sql(id_col)} AS DOUBLE)"
+    px = f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)"
+    py = f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)"
     return f"""
 WITH ev AS (
   SELECT {event_id_col} AS eid, {id_col} AS uid,

@@ -98,14 +98,16 @@ def colocation_ingest(
         horizon_s = 2 * dt_s
     rr = float(r) * float(r)
 
+    # events geotag by their OWN event id — the capture location (the
+    # batch operator's convention after the review fix)
     base = events.select(
         F.col(event_id_col).alias("eid"),
         F.col(id_col).alias("uid"),
-        geotag_x(id_col).cast("double").alias("px"),
-        geotag_y(id_col).cast("double").alias("py"),
+        geotag_x(event_id_col).cast("double").alias("px"),
+        geotag_y(event_id_col).cast("double").alias("py"),
         F.expr(f"unix_timestamp({ts_col})").alias("ep"),
-        F.floor(geotag_x(id_col).cast("double") / F.lit(r)).alias("hx"),
-        F.floor(geotag_y(id_col).cast("double") / F.lit(r)).alias("hy"),
+        F.floor(geotag_x(event_id_col).cast("double") / F.lit(r)).alias("hx"),
+        F.floor(geotag_y(event_id_col).cast("double") / F.lit(r)).alias("hy"),
         F.expr(f"unix_timestamp({ts_col}) div {dt_s}").alias("ht"),
     )
     offs = F.array(

@@ -38,11 +38,11 @@ _OUT_SCHEMA = StructType(
     ]
 )
 
-#: last event per user: tile, epoch, event id (for same-second ties)
+#: last event per user: tile, epoch micros, event id
 _STATE_SCHEMA = StructType(
     [
         StructField("tile", LongType()),
-        StructField("ep", LongType()),
+        StructField("em", LongType()),
         StructField("eid", LongType()),
     ]
 )
@@ -60,10 +60,14 @@ def flows_ingest(
     """Per-arriving-event trip emission. Output rows are the trip LOG
     (user_id, tile_from, tile_to, ep of the arriving event); aggregate
     by (tile_from, tile_to) for the od_flows matrix."""
+    # FULL-precision ordering key: unix_micros matches the batch
+    # operator's orderBy(ts, event_id) exactly (a seconds-truncated key
+    # could permute same-second events differently than batch — review
+    # finding, fixed); the emitted ep stays in seconds.
     keyed = events.select(
         F.col(id_col),
         F.col(event_id_col).alias("eid"),
-        F.expr(f"unix_timestamp({ts_col})").alias("ep"),
+        F.expr(f"unix_micros({ts_col})").alias("em"),
         geocell_col(
             geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
         ).alias("tile"),
@@ -72,18 +76,22 @@ def flows_ingest(
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (uid,) = key
         if state.exists:
-            last_tile, last_ep, last_eid = state.get
+            last_tile, last_em, last_eid = state.get
         else:
             last_tile = None
+        # one sort over the WHOLE micro-batch slice: Arrow delivers a
+        # key's rows as multiple chunks in arbitrary order, so a
+        # per-chunk sort would corrupt the lag chain (review finding)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ep", "eid"])
-            for row in pdf.itertuples(index=False):
-                tile, ep, eid = int(row.tile), int(row.ep), int(row.eid)
+        if chunks:
+            full = pd.concat(chunks, ignore_index=True).sort_values(["em", "eid"])
+            for row in full.itertuples(index=False):
+                tile, em, eid = int(row.tile), int(row.em), int(row.eid)
                 if last_tile is not None and (include_self or tile != last_tile):
-                    out.append((uid, last_tile, tile, ep))
-                last_tile, last_ep, last_eid = tile, ep, eid
-        state.update((last_tile, last_ep, last_eid))
+                    out.append((uid, last_tile, tile, em // 1_000_000))
+                last_tile, last_em, last_eid = tile, em, eid
+        state.update((last_tile, last_em, last_eid))
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "tile_from", "tile_to", "ep"]

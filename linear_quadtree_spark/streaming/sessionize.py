@@ -125,9 +125,16 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         else:
             start, last, count = None, None, 0
         closed: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            eps = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        # one sort over the whole micro-batch slice: Arrow delivers a
+        # key's rows as multiple chunks in arbitrary order, so a
+        # per-chunk sort would corrupt the gap chain for users whose
+        # slice spans chunks (review finding, fixed like flows_ingest)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            eps = (full["ts"].astype("int64") // 1_000_000_000).tolist()
             for ep in eps:
                 if start is None:
                     start, last, count = ep, ep, 1

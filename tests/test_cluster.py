@@ -324,3 +324,17 @@ def test_overlap_single_shuffle_no_row_join(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_overlap_empty_side_yields_zero(spark):
+    """Review finding: an empty corpus must yield 0 metrics, not NULL
+    (Spark) or a division error (DuckDB)."""
+    from linear_quadtree_spark.operators.cluster import spatial_overlap
+
+    a = _pts(spark, {(0, 0): 1})
+    empty = a.filter("doc_id < 0")
+    r = spatial_overlap(a, empty, level=LEVEL4, bounds=GRID).collect()[0]
+    assert (r.n_cells_a, r.n_cells_b, r.n_common) == (1, 0, 0)
+    assert (r.jaccard_ppm, r.cover_a_ppm, r.cover_b_ppm) == (0, 0, 0)
+    both = spatial_overlap(empty, empty, level=LEVEL4, bounds=GRID).collect()[0]
+    assert (both.jaccard_ppm, both.cover_a_ppm, both.cover_b_ppm) == (0, 0, 0)

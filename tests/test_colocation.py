@@ -1,6 +1,6 @@
-"""colocation_pairs: Python brute-force equivalence on real events,
-closed time/distance boundaries, cross-cube pairs, and the no-nested-
-loop plan shape."""
+"""colocation_pairs: Python brute-force equivalence (over the EVENT
+capture-location geotags), closed time/distance boundaries, cross-cube
+pairs, and the no-nested-loop plan shape."""
 
 import datetime as dt
 import math
@@ -13,17 +13,17 @@ from linear_quadtree_spark.operators.spacetime import colocation_pairs
 T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
 
 
-def _user_coords(spark, uids):
+def _event_coords(spark, eids):
     rows = (
-        spark.createDataFrame([(u,) for u in uids], "user_id: long")
+        spark.createDataFrame([(e,) for e in eids], "event_id: long")
         .select(
-            "user_id",
-            F.expr(f"CAST({geotag_x_sql('user_id')} AS DOUBLE)").alias("x"),
-            F.expr(f"CAST({geotag_y_sql('user_id')} AS DOUBLE)").alias("y"),
+            "event_id",
+            F.expr(f"CAST({geotag_x_sql('event_id')} AS DOUBLE)").alias("x"),
+            F.expr(f"CAST({geotag_y_sql('event_id')} AS DOUBLE)").alias("y"),
         )
         .collect()
     )
-    return {r.user_id: (r.x, r.y) for r in rows}
+    return {r.event_id: (r.x, r.y) for r in rows}
 
 
 def _events_df(spark, evs):
@@ -38,7 +38,7 @@ def _brute(coords, evs, r, dts):
         for e2, u2, s2 in evs[i + 1:]:
             if u1 == u2 or abs(s1 - s2) > dts:
                 continue
-            (x1, y1), (x2, y2) = coords[u1], coords[u2]
+            (x1, y1), (x2, y2) = coords[e1], coords[e2]
             if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r:
                 k = (min(u1, u2), max(u1, u2))
                 out[k] = out.get(k, 0) + 1
@@ -50,11 +50,11 @@ def test_bruteforce_equivalence(spark):
 
     rng = random.Random(42)
     uids = list(range(60))
-    coords = _user_coords(spark, uids)
     evs = [
         (i, rng.choice(uids), rng.randrange(0, 14 * 86400))
         for i in range(500)
     ]
+    coords = _event_coords(spark, [e for e, _, _ in evs])
     r, dts = 6.0, 86400
     got = {
         (x.user_a, x.user_b): x.n_meetings
@@ -65,23 +65,24 @@ def test_bruteforce_equivalence(spark):
 
 
 def test_time_boundary_closed(spark):
-    # two users within r; meetings exactly dt apart count, dt+1 do not
-    coords = _user_coords(spark, list(range(400)))
+    # two CAPTURE LOCATIONS within r; meetings exactly dt apart count,
+    # dt+1 do not
+    coords = _event_coords(spark, list(range(400)))
     pairs = [
         (a, b)
         for a in coords for b in coords if a < b
         if math.dist(coords[a], coords[b]) <= 4.0
     ]
-    assert pairs, "fixture needs a close user pair"
-    ua, ub = pairs[0]
+    assert len(pairs) >= 2, "fixture needs close event pairs"
+    (e1, e2), (e3, e4) = pairs[0], pairs[1]
     dts = 3600
     evs = [
-        (0, ua, 0), (1, ub, dts),          # exactly dt apart -> counts
-        (2, ua, 10 * dts), (3, ub, 11 * dts + 1),  # dt+1 apart -> not
+        (e1, 7, 0), (e2, 8, dts),          # exactly dt apart -> counts
+        (e3, 7, 10 * dts), (e4, 8, 11 * dts + 1),  # dt+1 apart -> not
     ]
     got = colocation_pairs(_events_df(spark, evs), r=4.0, dt_s=dts).collect()
     assert len(got) == 1
-    assert (got[0].user_a, got[0].user_b, got[0].n_meetings) == (ua, ub, 1)
+    assert (got[0].user_a, got[0].user_b, got[0].n_meetings) == (7, 8, 1)
 
 
 def test_same_user_never_pairs(spark):

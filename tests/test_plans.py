@@ -446,3 +446,41 @@ def test_partitioned_table_prunes_directories(spark, tmp_path):
     got = sorted(r.pid for r in out.collect())
     assert got == exp and len(got) > 0
     t.unpersist()
+
+
+def test_partitioned_table_full_consumers_unaffected(spark, tmp_path):
+    """Regression (review finding): the quad partition column must not
+    leak into `main` — tiles(), occupancy_hist(), and knn over a
+    load_partitioned table must work and match the unpartitioned path."""
+    from linear_quadtree_spark.operators.spatial import knn_join, occupancy_hist
+
+    pts = spark.range(20_000).select(
+        F.col("id").alias("pid"),
+        geotag_x("pid").alias("x"),
+        geotag_y("pid").alias("y"),
+    )
+    t = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="pid", persist=False)
+    path = str(tmp_path / "lqt_part2")
+    t.save_partitioned(path, level=1)
+    loaded = LQTTable.load_partitioned(
+        spark, path, level=1, bounds=DEFAULT_BOUNDS, tiebreaker="pid"
+    )
+    assert "quad" not in loaded.main.columns
+    exp_tiles = sorted(tuple(r) for r in t.tiles(3).groupBy("tile_id").count().collect())
+    got_tiles = sorted(
+        tuple(r) for r in loaded.tiles(3).groupBy("tile_id").count().collect()
+    )
+    assert got_tiles == exp_tiles
+    exp_occ = sorted(tuple(r) for r in occupancy_hist(t, 3).collect())
+    got_occ = sorted(tuple(r) for r in occupancy_hist(loaded, 3).collect())
+    assert got_occ == exp_occ
+    qs = [(0, 1010.0, 1010.0), (1, 1090.0, 1090.0)]
+    qdf = spark.createDataFrame(qs, "qid: long, qx: double, qy: double")
+    exp_knn = sorted(
+        (r.qid, r.pid) for r in knn_join(t, qdf, k=3).collect()
+    )
+    got_knn = sorted(
+        (r.qid, r.pid) for r in knn_join(loaded, qdf, k=3).collect()
+    )
+    assert got_knn == exp_knn and len(got_knn) == 6
+    t.unpersist()

@@ -16,7 +16,7 @@ from linear_quadtree_spark.streaming.pipeline import (
     run_available_now,
 )
 
-R, DT = 25.0, 14 * 86400
+R, DT = 3.0, 86400
 
 
 def _write_part(df, out_dir, i):
