@@ -188,6 +188,29 @@ def _q_focal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_smooth(tbl, zoom=4)
 
 
+def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of tile density under queen contiguity —
+    integer-exact via scaled deviations d_i = n·x_i − S (decimal128
+    cross-product sums), one shared final double expression. Spark plan
+    is the 8-offset scatter-gather on the TILE relation; the oracle is
+    a BETWEEN neighbourhood self-join over reference-exact prefixes."""
+    from linear_quadtree_spark.operators.hotspot import morans_i
+
+    tbl = _build_table(spark, sf_dir)
+    return morans_i(tbl, zoom=4)
+
+
+def _q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis–Ord Gi* hot/cold-spot z-scores per occupied tile over
+    the full 4^zoom lattice (closed-form window sizes — the lattice is
+    never materialized). Integer moments + one shared double expression
+    → hash-checkable vs the DuckDB BETWEEN-self-join twin."""
+    from linear_quadtree_spark.operators.hotspot import gi_star_hotspots
+
+    tbl = _build_table(spark, sf_dir)
+    return gi_star_hotspots(tbl, zoom=4)
+
+
 PYRAMID_ZOOMS = [2, 4, 6]
 
 
@@ -1902,6 +1925,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # relational joins
         "q3_shipping": _q_q3_shipping,
         "q5_region_revenue": _q_q5_region_revenue,
+        # spatial statistics
+        "morans_i": _q_morans_i,
+        "gi_star_hotspots": _q_gi_star,
     }
 
 
@@ -2026,6 +2052,26 @@ def _focal_smooth_oracle() -> str:
         f"WITH {_PTS_CTE},\n"
         f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
         f"{focal_smooth_sql_duck(4)}"
+    )
+
+
+def _morans_i_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import morans_i_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{morans_i_sql_duck(4)}"
+    )
+
+
+def _gi_star_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import gi_star_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{gi_star_sql_duck(4)}"
     )
 
 
@@ -2550,4 +2596,6 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
 GROUP BY 1
 """,
+        "morans_i": _morans_i_oracle(),
+        "gi_star_hotspots": _gi_star_oracle(),
     }

@@ -334,6 +334,18 @@ def main() -> None:
     focal_rows = focal_smooth(tbl, zoom=8).count()
     timings["focal_smooth_z8"] = time.time() - t0
 
+    t0 = _probe_mark("morans_i_z8")
+    from linear_quadtree_spark.operators.hotspot import gi_star_hotspots, morans_i
+    moran_row = morans_i(tbl, zoom=8).collect()[0]
+    timings["morans_i_z8"] = time.time() - t0
+
+    t0 = _probe_mark("gi_star_z8")
+    gi_hot = (
+        gi_star_hotspots(tbl, zoom=8)
+        .filter(F.abs(F.col("gi_z")) >= 1.96).count()
+    )
+    timings["gi_star_z8"] = time.time() - t0
+
     t0 = _probe_mark("asof_join")
     from linear_quadtree_spark.operators.asof import asof_join
     from linear_quadtree_spark.operators.crawl import captures_table
@@ -724,6 +736,8 @@ def main() -> None:
             "tile_topk_rows": topk_rows,
             "radius_join_sample_rows": rjs_rows,
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
+            "morans_i_z8_ppm": int(moran_row.morans_i * 1_000_000),
+            "gi_star_z8_significant": gi_hot,
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,

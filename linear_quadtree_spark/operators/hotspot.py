@@ -1,0 +1,294 @@
+"""Spatial autocorrelation and hotspot statistics over tile densities.
+
+Two classic geospatial analytics on top of the LQT tile layer (the
+reference provides the key/tiling substrate, SURVEY §2.9; these are the
+statistics a mapping pipeline runs on the resulting raster):
+
+* :func:`morans_i` — GLOBAL Moran's I of the per-tile point counts under
+  queen contiguity (8-neighbour binary weights among OCCUPIED tiles):
+  "is density spatially clustered at this zoom, and how much?".
+* :func:`gi_star_hotspots` — LOCAL Getis–Ord Gi* z-score per occupied
+  tile over the FULL zoom lattice (empty cells contribute x = 0): the
+  hot-spot / cold-spot detector behind every "significant clusters" map.
+
+Exactness discipline (the tile_concentration convention): every sum is
+integer-exact — Moran's I substitutes the scaled deviation
+``d_i = n·x_i − S`` (an integer; the n² factors cancel in the ratio) so
+no float is summed in either engine, and Gi* needs only the integer
+moments (S1 = Σx, S2 = Σx²) plus closed-form boundary-clamped window
+sizes, so the full-lattice statistic never materializes the lattice.
+The single final double expression is written once and evaluated
+verbatim by Spark and DuckDB (IEEE ops + correctly-rounded SQRT), hence
+hash-checkable.
+
+Ceilings: Moran cross-products are summed as decimal(38,0) (Spark) /
+HUGEINT (DuckDB) — exact to 10^38, i.e. |d_i| = |n·x_i − S| up to ~10^19
+per tile, far beyond any real corpus at query zooms. Gi* moments are
+BIGINT: per-tile counts ≤ ~3·10^9 at 4^zoom tiles keeps n·S2 in int64.
+
+Plan shapes (SCALE.md): both statistics aggregate the TILE relation
+(≤ 4^zoom rows), never the data — one map-side-combined shuffle of the
+rows to per-tile counts, then scatter-gather over 8/9 offsets exploded
+from the tile relation with an equi-join gather (the focal_smooth
+shape; no inequality join anywhere on the Spark side). The one-row
+totals relation broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.cache import track
+from linear_quadtree_spark.functions.geocell import cell_axis_expr
+from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+from linear_quadtree_spark.operators.build import LQTTable
+
+__all__ = [
+    "morans_i",
+    "morans_i_sql_duck",
+    "gi_star_hotspots",
+    "gi_star_sql_duck",
+]
+
+
+def _tile_counts(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Occupied-tile relation (tile_id, tx, ty, x = point count)."""
+    return (
+        tbl.tiles(zoom)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0)))
+        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
+    )
+
+
+# ------------------------------------------------------------ Moran's I
+def morans_i(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Global Moran's I of per-tile density under queen contiguity.
+
+    I = (n / W) · Σ_ij w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²  over
+    the occupied tiles at ``zoom``; w_ij = 1 iff Chebyshev-adjacent
+    (ordered pairs, so W counts each unordered neighbour pair twice —
+    the numerator does too, and the convention cancels in I). Positive
+    I → clustered density, ≈E[I] = −1/(n−1) → random, negative →
+    dispersed.
+
+    Integer-exact: with d_i = n·x_i − S (integers), the identities
+    Σ w d_i d_j = n²·Σ w (x_i−x̄)(x_j−x̄) and Σ d_i² = n²·Σ(x_i−x̄)²
+    make I = (n/W)·(Σ w d_i d_j)/(Σ d_i²) with every sum integral;
+    cross-products are summed as decimal(38,0). ONE double expression at
+    the end, identical in the DuckDB twin.
+
+    Output (one row): (n_tiles, w_pairs, sum_points, morans_i,
+    expected_i)."""
+    g = _tile_counts(tbl, zoom)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    d = track(
+        g.crossJoin(F.broadcast(tot)).select(
+            "tx", "ty", (F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+            "n", "s",
+        )
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + "))"
+    )
+    scatter = d.select(
+        "tx", "ty", F.col("dv").alias("da"), offs.alias("o")
+    ).select(
+        (F.col("tx") + F.col("o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("o.dy")).alias("cty"),
+        "da",
+    )
+    pairs = scatter.join(
+        d.select(
+            F.col("tx").alias("ctx"), F.col("ty").alias("cty"),
+            F.col("dv").alias("db"),
+        ),
+        ["ctx", "cty"],
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.col("da").cast("decimal(19,0)") * F.col("db").cast("decimal(19,0)")
+        ).alias("num"),
+    )
+    den = d.agg(
+        F.sum(
+            F.col("dv").cast("decimal(19,0)") * F.col("dv").cast("decimal(19,0)")
+        ).alias("den"),
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+    )
+    out = den.crossJoin(agg).selectExpr(
+        "n AS n_tiles",
+        "w AS w_pairs",
+        "s AS sum_points",
+        _morans_final_expr() + " AS morans_i",
+        "CASE WHEN n <= 1 THEN NULL"
+        " ELSE -1.0 / (CAST(n AS DOUBLE) - 1.0) END AS expected_i",
+    )
+    return out
+
+
+def _morans_final_expr() -> str:
+    """The one shared double expression (verbatim in both engines)."""
+    return (
+        "CASE WHEN den = 0 OR w = 0 OR num IS NULL THEN NULL"
+        " ELSE (CAST(num AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(den AS DOUBLE) * CAST(w AS DOUBLE)) END"
+    )
+
+
+def morans_i_sql_duck(zoom: int) -> str:
+    """DuckDB twin by the DEFINITION: neighbourhood SELF-JOIN with
+    BETWEEN bounds over reference-exact tile prefixes (a different plan
+    family than the Spark scatter-gather), HUGEINT sums, the identical
+    final double expression. Embed after a CTE chain providing
+    refenc(pref)."""
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+g AS (SELECT x,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM g),
+dev AS (SELECT g.tx, g.ty, CAST(tot.n * g.x - tot.s AS HUGEINT) AS dv
+        FROM g, tot),
+prs AS (SELECT a.dv AS da, b.dv AS db
+        FROM dev a JOIN dev b
+          ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+         AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+         AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+pagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS w, SUM(da * db) AS num FROM prs),
+dagg AS (SELECT SUM(dv * dv) AS den FROM dev),
+fin AS (SELECT tot.n AS n, tot.s AS s, pagg.w AS w, pagg.num AS num,
+               dagg.den AS den
+        FROM tot, pagg, dagg)
+SELECT n AS n_tiles, w AS w_pairs, s AS sum_points,
+       {_morans_final_expr()} AS morans_i,
+       CASE WHEN n <= 1 THEN NULL
+            ELSE -1.0 / (CAST(n AS DOUBLE) - 1.0) END AS expected_i
+FROM fin
+"""
+
+
+# --------------------------------------------------------- Getis–Ord Gi*
+def _gi_z_expr(n_lattice: int) -> str:
+    """Gi* z-score from the integer moments — the one shared double
+    expression. Columns: fs (window sum incl. self), w (full clamped
+    3×3 window size), s1 (Σx), s2 (Σx²); n = the FULL lattice size
+    4^zoom (empty cells are x = 0 members). Zero-variance lattices are
+    detected integer-exactly (n·S2 = S1²) → NULL."""
+    n = f"{n_lattice}.0"
+    xb = f"(CAST(s1 AS DOUBLE) / {n})"
+    return (
+        f"CASE WHEN {n_lattice} * s2 = s1 * s1 THEN NULL ELSE "
+        f"(CAST(fs AS DOUBLE) - {xb} * CAST(w AS DOUBLE)) / "
+        f"(SQRT(CAST(s2 AS DOUBLE) / {n} - {xb} * {xb}) * "
+        f"SQRT((CAST(w AS DOUBLE) * ({n} - CAST(w AS DOUBLE))) / ({n} - 1.0)))"
+        f" END"
+    )
+
+
+def gi_star_hotspots(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Local Getis–Ord Gi* hot/cold-spot z-score per occupied tile.
+
+    Gi*_i = (Σ_{j∈win(i)} x_j − x̄·W_i) / (s·sqrt((n·W_i − W_i²)/(n−1)))
+    over the FULL 4^zoom lattice (empty cells count as x = 0), win(i) =
+    the boundary-clamped 3×3 window INCLUDING self, W_i its true cell
+    count. |z| ≳ 1.96 → significant hot (positive) / cold (negative)
+    spot at ~5%. Rows are emitted for OCCUPIED tiles (an empty cell's
+    window sum comes only from occupied neighbours; its z is the
+    map-background value — documented, not emitted).
+
+    Integer-exact moments (S1, S2 over occupied tiles ≡ over the
+    lattice), closed-form W_i — the lattice is never materialized; the
+    window sum is the focal_smooth scatter-gather. One shared double
+    expression → hash-checkable vs the DuckDB twin.
+
+    Output: (tile_id, tx, ty, n_points, focal_sum, window_sz, gi_z)."""
+    m = (1 << zoom) - 1
+    n_lat = 1 << (2 * zoom)
+    g = track(_tile_counts(tbl, zoom))
+    mom = g.agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    contrib = (
+        g.select("tx", "ty", "x", offs.alias("o"))
+        .select(
+            (F.col("tx") + F.col("o.dx")).alias("ctx"),
+            (F.col("ty") + F.col("o.dy")).alias("cty"),
+            "x",
+        )
+        .filter(
+            (F.col("ctx") >= 0) & (F.col("ctx") <= m)
+            & (F.col("cty") >= 0) & (F.col("cty") <= m)
+        )
+    )
+    focal = contrib.groupBy("ctx", "cty").agg(F.sum("x").alias("fs"))
+    wx = F.least(F.col("tx") + 1, F.lit(m)) - F.greatest(F.col("tx") - 1, F.lit(0)) + 1
+    wy = F.least(F.col("ty") + 1, F.lit(m)) - F.greatest(F.col("ty") - 1, F.lit(0)) + 1
+    out = (
+        g.join(
+            focal,
+            (g["tx"] == focal["ctx"]) & (g["ty"] == focal["cty"]),
+        )
+        .withColumn("w", (wx * wy).cast("bigint"))
+        .crossJoin(F.broadcast(mom))
+    )
+    return out.selectExpr(
+        "tile_id",
+        "tx",
+        "ty",
+        "x AS n_points",
+        "fs AS focal_sum",
+        "w AS window_sz",
+        _gi_z_expr(n_lat) + " AS gi_z",
+    )
+
+
+def gi_star_sql_duck(zoom: int) -> str:
+    """DuckDB twin: BETWEEN self-join window sums over reference-exact
+    prefixes, the identical closed-form window size and shared z
+    expression. Embed after a CTE chain providing refenc(pref)."""
+    m = (1 << zoom) - 1
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+g AS (SELECT tile_id, x,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+mom AS (SELECT CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2 FROM g),
+nb AS (SELECT a.tile_id, a.tx, a.ty, a.x,
+              CAST(SUM(b.x) AS BIGINT) AS fs
+       FROM g a JOIN g b
+         ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+        AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+       GROUP BY 1, 2, 3, 4),
+win AS (SELECT nb.*, mom.s1, mom.s2,
+               CAST((LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
+                    * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1)
+                 AS BIGINT) AS w
+        FROM nb, mom)
+SELECT tile_id, tx, ty, x AS n_points, fs AS focal_sum, w AS window_sz,
+       {_gi_z_expr(1 << (2 * zoom))} AS gi_z
+FROM win
+"""

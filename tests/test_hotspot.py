@@ -1,0 +1,94 @@
+"""morans_i / gi_star_hotspots vs Python brute-force computations of the
+definitional statistics over the (independently verified) per-tile
+counts — independent of BOTH the Spark plan and the DuckDB oracle twin
+(registry-level twin equivalence is covered by jobs/check_oracles.py)."""
+
+import math
+
+from linear_quadtree_spark import DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+from linear_quadtree_spark.operators import LQTTable
+from linear_quadtree_spark.operators.hotspot import gi_star_hotspots, morans_i
+from linear_quadtree_spark.operators.spatial import tile_stats
+
+ZOOM = 3
+
+
+def _table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id", geotag_x("doc_id").alias("x"), geotag_y("doc_id").alias("y")
+    )
+    return LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+
+
+def _counts(tbl):
+    counts = {}
+    for r in tile_stats(tbl, ZOOM).collect():
+        t = r.tile_id
+        tx = sum(((t >> (2 * i)) & 1) << i for i in range(ZOOM))
+        ty = sum(((t >> (2 * i + 1)) & 1) << i for i in range(ZOOM))
+        counts[(tx, ty)] = r.n_points
+    return counts
+
+
+def test_morans_i_matches_bruteforce(spark, sf_dir):
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        n = len(counts)
+        xbar = sum(counts.values()) / n
+        num = den = w = 0.0
+        for (ax, ay), xa in counts.items():
+            den += (xa - xbar) ** 2
+            for (bx, by), xb in counts.items():
+                if (ax, ay) != (bx, by) and abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                    w += 1
+                    num += (xa - xbar) * (xb - xbar)
+        expect = (n / w) * (num / den)
+        row = morans_i(tbl, ZOOM).collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r.n_tiles == n
+        assert r.w_pairs == w
+        assert r.sum_points == sum(counts.values())
+        # scaled-deviation identity vs the float definition: agree to
+        # relative 1e-12 (the engine's arithmetic is exact; the brute
+        # force here accumulates float error)
+        assert abs(r.morans_i - expect) <= 1e-9 * max(1.0, abs(expect))
+        assert abs(r.expected_i - (-1.0 / (n - 1))) < 1e-15
+        # sanity: the geotag hash spreads points ~uniformly, so density
+        # should NOT be strongly clustered
+        assert -1.0 <= r.morans_i <= 1.0
+    finally:
+        tbl.unpersist()
+
+
+def test_gi_star_matches_bruteforce(spark, sf_dir):
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        m = (1 << ZOOM) - 1
+        n = (1 << ZOOM) ** 2  # full lattice, empties are x = 0 members
+        s1 = sum(counts.values())
+        s2 = sum(v * v for v in counts.values())
+        xbar = s1 / n
+        s = math.sqrt(s2 / n - xbar * xbar)
+        got = {(r.tx, r.ty): r for r in gi_star_hotspots(tbl, ZOOM).collect()}
+        assert set(got) == set(counts)
+        for (tx, ty), r in got.items():
+            fs = sum(
+                counts.get((x, y), 0)
+                for x in range(max(tx - 1, 0), min(tx + 1, m) + 1)
+                for y in range(max(ty - 1, 0), min(ty + 1, m) + 1)
+            )
+            wsz = (min(tx + 1, m) - max(tx - 1, 0) + 1) * (
+                min(ty + 1, m) - max(ty - 1, 0) + 1
+            )
+            z = (fs - xbar * wsz) / (s * math.sqrt(wsz * (n - wsz) / (n - 1)))
+            assert r.n_points == counts[(tx, ty)]
+            assert r.focal_sum == fs
+            assert r.window_sz == wsz
+            assert abs(r.gi_z - z) <= 1e-9 * max(1.0, abs(z))
+    finally:
+        tbl.unpersist()
