@@ -211,6 +211,21 @@ def _q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star_hotspots(tbl, zoom=4)
 
 
+RIPLEY_RADII = [0.5, 1.0, 2.0, 4.0]
+
+
+def _q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K/L point-pattern statistic at four radii from ONE
+    cell-bucketed distance self-join at max(radii) (density-bounded
+    candidates) + one conditional-count aggregate. Integer pair counts,
+    shared double threshold literals and estimator expressions →
+    hash-exact vs the DuckDB brute-force id-ordered pair twin."""
+    from linear_quadtree_spark.operators.hotspot import ripley_k
+
+    tbl = _build_table(spark, sf_dir)
+    return ripley_k(tbl, RIPLEY_RADII)
+
+
 PYRAMID_ZOOMS = [2, 4, 6]
 
 
@@ -1928,6 +1943,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # spatial statistics
         "morans_i": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
+        "ripley_k": _q_ripley_k,
     }
 
 
@@ -2072,6 +2088,17 @@ def _gi_star_oracle() -> str:
         f"WITH {_PTS_CTE},\n"
         f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
         f"{gi_star_sql_duck(4)}"
+    )
+
+
+def _ripley_k_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import ripley_k_sql_duck
+
+    b = DEFAULT_BOUNDS
+    area = (b.xend - b.xstart) * (b.yend - b.ystart)
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ripley_k_sql_duck(RIPLEY_RADII, area)}"
     )
 
 
@@ -2598,4 +2625,5 @@ GROUP BY 1
 """,
         "morans_i": _morans_i_oracle(),
         "gi_star_hotspots": _gi_star_oracle(),
+        "ripley_k": _ripley_k_oracle(),
     }

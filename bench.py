@@ -346,6 +346,11 @@ def main() -> None:
     )
     timings["gi_star_z8"] = time.time() - t0
 
+    t0 = _probe_mark("ripley_k")
+    from linear_quadtree_spark.operators.hotspot import ripley_k
+    ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
+    timings["ripley_k"] = time.time() - t0
+
     t0 = _probe_mark("asof_join")
     from linear_quadtree_spark.operators.asof import asof_join
     from linear_quadtree_spark.operators.crawl import captures_table
@@ -738,6 +743,7 @@ def main() -> None:
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
             "morans_i_z8_ppm": int(moran_row.morans_i * 1_000_000),
             "gi_star_z8_significant": gi_hot,
+            "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,

@@ -49,6 +49,8 @@ __all__ = [
     "morans_i_sql_duck",
     "gi_star_hotspots",
     "gi_star_sql_duck",
+    "ripley_k",
+    "ripley_k_sql_duck",
 ]
 
 
@@ -261,6 +263,121 @@ def gi_star_hotspots(tbl: LQTTable, zoom: int) -> DataFrame:
         "w AS window_sz",
         _gi_z_expr(n_lat) + " AS gi_z",
     )
+
+
+def _k_thresh(r: float) -> str:
+    """The shared squared-radius literal — repr'd once so Spark and
+    DuckDB parse the identical double constant."""
+    return repr(float(r) * float(r))
+
+
+def ripley_k(tbl: LQTTable, radii: list[float]) -> DataFrame:
+    """Ripley's K point-pattern statistic at multiple radii — "is the
+    point process clustered, random, or dispersed at scale r?".
+
+    Naive (uncorrected) CSR-unbiased estimator over the table's root
+    bounds A: K̂(r) = A · Σ_{i≠j} 1[d_ij ≤ r] / (n·(n−1)); under CSR
+    K̂(r) ≈ πr², so L̂(r) = sqrt(K̂/π) − r > 0 → clustered at scale r,
+    < 0 → dispersed. No edge correction (documented: border-corrected
+    variants weight per point; at web-corpus densities the bias is
+    O(perimeter·r/A)).
+
+    Integer-exact: ONE cell-bucketed distance self-join at max(radii)
+    (the distance_join plan — density-bounded candidates, one shuffle,
+    never all-pairs), then every radius is a conditional COUNT in one
+    aggregate pass over the pair relation — pair counts are integers,
+    thresholds are shared double literals, and K̂/L̂ are one final
+    double expression each, hash-checkable vs the DuckDB brute-force
+    twin. The m radii cost one join, not m.
+
+    Output per radius: (r_index, r, n_pairs, n_points, k_est, l_est)."""
+    from linear_quadtree_spark.operators.spatial import distance_join
+
+    if not radii or sorted(radii) != list(radii):
+        raise ValueError("radii must be a non-empty ascending list")
+    b = tbl.bounds
+    area = (b.xend - b.xstart) * (b.yend - b.ystart)
+    pairs = distance_join(tbl, r=float(radii[-1]))
+    counts = pairs.agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN dist2 <= {_k_thresh(r)} THEN 1 ELSE 0 END")
+            ).alias(f"p{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    n_pts = tbl.main.unionByName(tbl.side, allowMissingColumns=True).count()
+    structs = ", ".join(
+        "named_struct('r_index', {i}, 'r', CAST({r} AS DOUBLE),"
+        " 'n_pairs', coalesce(p{i}, 0L))".format(i=i, r=repr(float(r)))
+        for i, r in enumerate(radii)
+    )
+    return counts.selectExpr(f"inline(array({structs}))").selectExpr(
+        "r_index",
+        "r",
+        "n_pairs",
+        f"CAST({n_pts} AS BIGINT) AS n_points",
+        _ripley_k_expr(area, n_pts) + " AS k_est",
+        _ripley_l_expr(area, n_pts) + " AS l_est",
+    )
+
+
+def _ripley_k_expr(area: float, n: int) -> str:
+    """K̂ from the integer pair count — shared verbatim across engines
+    (Σ_{i≠j} counts ordered pairs = 2 × the canonical unordered count)."""
+    return (
+        f"CASE WHEN {n} <= 1 THEN NULL ELSE "
+        f"(CAST({float(area)!r} AS DOUBLE) * 2.0 * CAST(n_pairs AS DOUBLE))"
+        f" / (CAST({n}.0 AS DOUBLE) * ({n}.0 - 1.0)) END"
+    )
+
+
+def _ripley_l_expr(area: float, n: int) -> str:
+    return (
+        f"CASE WHEN {n} <= 1 THEN NULL ELSE "
+        f"SQRT((CAST({float(area)!r} AS DOUBLE) * 2.0 * CAST(n_pairs AS DOUBLE))"
+        f" / (CAST({n}.0 AS DOUBLE) * ({n}.0 - 1.0)) / 3.141592653589793) END"
+    )
+
+
+def ripley_k_sql_duck(
+    radii: list[float], area: float, pts_src: str = "pts",
+    id_col: str = "doc_id", x_col: str = "px", y_col: str = "py",
+) -> str:
+    """DuckDB twin by the DEFINITION: brute-force id-ordered pair scan
+    (no grid, no bucketing — a different plan family), the identical
+    dist2 expression/threshold literals, the identical final double
+    expressions. Needs the caller to interpolate n via a scalar
+    subquery — n is data-dependent in SQL, so the estimator expressions
+    inline (SELECT COUNT(*) FROM src) instead of a Python-side n."""
+    rmax2 = _k_thresh(radii[-1])
+    cnt = f"(SELECT COUNT(*) FROM {pts_src})"
+    cases = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dist2 <= {_k_thresh(r)} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+        for i, r in enumerate(radii)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS r_index, CAST({float(r)!r} AS DOUBLE) AS r,
+       COALESCE(p{i}, 0) AS n_pairs, CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n <= 1 THEN NULL ELSE
+         (CAST({float(area)!r} AS DOUBLE) * 2.0 * CAST(COALESCE(p{i}, 0) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS k_est,
+       CASE WHEN n <= 1 THEN NULL ELSE
+         SQRT((CAST({float(area)!r} AS DOUBLE) * 2.0 * CAST(COALESCE(p{i}, 0) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 3.141592653589793) END AS l_est
+FROM kagg"""
+        for i, r in enumerate(radii)
+    )
+    return f"""
+kpairs AS (
+  SELECT (a.{x_col} - b.{x_col}) * (a.{x_col} - b.{x_col})
+         + (a.{y_col} - b.{y_col}) * (a.{y_col} - b.{y_col}) AS dist2
+  FROM {pts_src} a JOIN {pts_src} b ON a.{id_col} < b.{id_col}
+  WHERE (a.{x_col} - b.{x_col}) * (a.{x_col} - b.{x_col})
+        + (a.{y_col} - b.{y_col}) * (a.{y_col} - b.{y_col}) <= {rmax2}),
+kagg AS (SELECT {cases}, {cnt} AS n FROM kpairs)
+{sel}
+"""
 
 
 def gi_star_sql_duck(zoom: int) -> str:

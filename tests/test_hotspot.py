@@ -64,6 +64,55 @@ def test_morans_i_matches_bruteforce(spark, sf_dir):
         tbl.unpersist()
 
 
+def test_ripley_k_matches_bruteforce(spark, sf_dir):
+    from linear_quadtree_spark.operators.hotspot import ripley_k
+
+    radii = [1.0, 3.0, 7.0]
+    tbl = _table(spark, sf_dir)
+    try:
+        full = tbl.main.unionByName(tbl.side, allowMissingColumns=True)
+        pts = [(r.x, r.y) for r in full.select("x", "y").collect()]
+        n = len(pts)
+        area = (DEFAULT_BOUNDS.xend - DEFAULT_BOUNDS.xstart) * (
+            DEFAULT_BOUNDS.yend - DEFAULT_BOUNDS.ystart
+        )
+        got = {r.r_index: r for r in ripley_k(tbl, radii).collect()}
+        assert sorted(got) == [0, 1, 2]
+        for i, rad in enumerate(radii):
+            expect_pairs = sum(
+                1
+                for a in range(n)
+                for b in range(a + 1, n)
+                if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                <= rad * rad
+            )
+            r = got[i]
+            assert r.n_pairs == expect_pairs
+            assert r.n_points == n
+            k = area * 2.0 * expect_pairs / (n * (n - 1.0))
+            assert abs(r.k_est - k) <= 1e-9 * max(1.0, k)
+            assert abs(r.l_est - math.sqrt(k / math.pi)) <= 1e-9
+        # monotone in r by construction
+        assert got[0].n_pairs <= got[1].n_pairs <= got[2].n_pairs
+    finally:
+        tbl.unpersist()
+
+
+def test_ripley_k_rejects_bad_radii(spark, sf_dir):
+    from linear_quadtree_spark.operators.hotspot import ripley_k
+
+    import pytest
+
+    tbl = _table(spark, sf_dir)
+    try:
+        with pytest.raises(ValueError):
+            ripley_k(tbl, [])
+        with pytest.raises(ValueError):
+            ripley_k(tbl, [2.0, 1.0])
+    finally:
+        tbl.unpersist()
+
+
 def test_gi_star_matches_bruteforce(spark, sf_dir):
     tbl = _table(spark, sf_dir)
     try:
