@@ -212,6 +212,26 @@ def _q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RIPLEY_RADII = [0.5, 1.0, 2.0, 4.0]
+IDW_ZOOM = 4
+IDW_R = 5.0
+
+
+def _q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW-interpolated text-length surface on the 4^zoom cell-center
+    grid: samples bucket map-only into an r-width grid, the exploded
+    grid-center side broadcasts, and the only shuffle is the per-cell
+    aggregate. Fixed-point integer weights floor(SCALE/(eps+d²)) keep
+    the weighted sums integral (decimal128) → hash-exact vs the DuckDB
+    grid × samples cross-join twin."""
+    from linear_quadtree_spark.operators.interpolate import idw_surface
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        F.expr(geotag_x_sql("doc_id")).cast("double").alias("x"),
+        F.expr(geotag_y_sql("doc_id")).cast("double").alias("y"),
+        F.length("text").alias("v"),
+    )
+    return idw_surface(pts, "v", DEFAULT_BOUNDS, IDW_ZOOM, IDW_R)
 
 
 def _q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,6 +1964,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "morans_i": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
         "ripley_k": _q_ripley_k,
+        "idw_surface": _q_idw_surface,
     }
 
 
@@ -2099,6 +2120,21 @@ def _ripley_k_oracle() -> str:
     return (
         f"WITH {_PTS_CTE},\n"
         f"{ripley_k_sql_duck(RIPLEY_RADII, area)}"
+    )
+
+
+def _idw_surface_oracle() -> str:
+    from linear_quadtree_spark.operators.interpolate import idw_surface_sql_duck
+
+    pts_cte = (
+        "pts AS (SELECT "
+        f"CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px, "
+        f"CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py, "
+        "CAST(LENGTH(text) AS BIGINT) AS v FROM documents)"
+    )
+    return (
+        f"WITH {pts_cte},\n"
+        f"{idw_surface_sql_duck(DEFAULT_BOUNDS, IDW_ZOOM, IDW_R)}"
     )
 
 
@@ -2626,4 +2662,5 @@ GROUP BY 1
         "morans_i": _morans_i_oracle(),
         "gi_star_hotspots": _gi_star_oracle(),
         "ripley_k": _ripley_k_oracle(),
+        "idw_surface": _idw_surface_oracle(),
     }

@@ -351,6 +351,14 @@ def main() -> None:
     ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
     timings["ripley_k"] = time.time() - t0
 
+    t0 = _probe_mark("idw_surface_z6")
+    from linear_quadtree_spark.operators.interpolate import idw_surface
+    idw_pts = bench_points(spark, SF_DIR).selectExpr(
+        "x", "y", "pmod(pid, 1000) AS v"
+    )
+    idw_rows = idw_surface(idw_pts, "v", DEFAULT_BOUNDS, 6, 2.0).count()
+    timings["idw_surface_z6"] = time.time() - t0
+
     t0 = _probe_mark("asof_join")
     from linear_quadtree_spark.operators.asof import asof_join
     from linear_quadtree_spark.operators.crawl import captures_table
@@ -744,6 +752,7 @@ def main() -> None:
             "morans_i_z8_ppm": int(moran_row.morans_i * 1_000_000),
             "gi_star_z8_significant": gi_hot,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
+            "idw_grid_cells": idw_rows,
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,
