@@ -1115,6 +1115,16 @@ def _q_tile_activity(spark, sf_dir):
     return tile_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
 
 
+def _q_mk_trend(spark, sf_dir):
+    """Per-tile Mann–Kendall trend over the zero-densified daily count
+    series (emerging/dying-hotspot detection). Integer S and ×18
+    variance numerator (tie-corrected), one shared z expression —
+    hash-exact vs the DuckDB twin."""
+    from linear_quadtree_spark.operators.spacetime import mk_trend
+
+    return mk_trend(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
+
+
 N_SITES = 10
 
 
@@ -1965,6 +1975,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gi_star_hotspots": _q_gi_star,
         "ripley_k": _q_ripley_k,
         "idw_surface": _q_idw_surface,
+        "mk_trend": _q_mk_trend,
     }
 
 
@@ -2136,6 +2147,12 @@ def _idw_surface_oracle() -> str:
         f"WITH {pts_cte},\n"
         f"{idw_surface_sql_duck(DEFAULT_BOUNDS, IDW_ZOOM, IDW_R)}"
     )
+
+
+def _mk_trend_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import mk_trend_sql_duck
+
+    return mk_trend_sql_duck("events", zoom=4)
 
 
 def _corpus(sql: str) -> str:
@@ -2663,4 +2680,5 @@ GROUP BY 1
         "gi_star_hotspots": _gi_star_oracle(),
         "ripley_k": _ripley_k_oracle(),
         "idw_surface": _idw_surface_oracle(),
+        "mk_trend": _mk_trend_oracle(),
     }

@@ -351,6 +351,14 @@ def main() -> None:
     ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
     timings["ripley_k"] = time.time() - t0
 
+    t0 = _probe_mark("mk_trend")
+    from linear_quadtree_spark.operators.spacetime import mk_trend
+    mk_up = (
+        mk_trend(spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6)
+        .groupBy("trend").count().collect()
+    )
+    timings["mk_trend"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -753,6 +761,7 @@ def main() -> None:
             "gi_star_z8_significant": gi_hot,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "idw_grid_cells": idw_rows,
+            "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,

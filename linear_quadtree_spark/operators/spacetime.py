@@ -36,6 +36,7 @@ __all__ = [
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
     "tile_concentration", "tile_concentration_sql_duck",
+    "mk_trend", "mk_trend_sql_duck",
 ]
 
 
@@ -416,4 +417,172 @@ agg AS (
 SELECT tile, n_events, n_users, top_user_events,
        (1000000 * ss) // (n_events * n_events) AS hhi_ppm
 FROM agg
+"""
+
+
+# ---------------------------------------------------- Mann–Kendall trend
+def _mk_z_expr() -> str:
+    """Mann–Kendall z from the integer statistic and the ×18-scaled
+    integer variance numerator — the one shared double expression
+    (continuity-corrected; zero variance → NULL). Columns: s, varnum."""
+    return (
+        "CASE WHEN varnum <= 0 THEN NULL"
+        " WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+        " / SQRT(CAST(varnum AS DOUBLE) / 18.0)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+        " / SQRT(CAST(varnum AS DOUBLE) / 18.0)"
+        " ELSE 0.0 END"
+    )
+
+
+_MK_TREND_EXPR = (
+    "CASE WHEN mk_z IS NULL THEN 'flat'"
+    " WHEN mk_z >= 1.96 THEN 'up'"
+    " WHEN mk_z <= -1.96 THEN 'down'"
+    " ELSE 'none' END"
+)
+
+
+def mk_trend(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-tile Mann–Kendall monotonic-trend test over the DAILY event
+    count series — the statistic behind "emerging / dying hotspot"
+    space-time-cube analyses: S = Σ_{i<j} sign(c_j − c_i) over day bins,
+    tie-corrected variance, continuity-corrected z, 5% classification.
+
+    The daily series is ZERO-DENSIFIED per occupied tile over the
+    dataset's global [min_day, max_day] span (a tile active only at the
+    end IS increasing — dropping its empty days would erase exactly the
+    signal the test exists to find; standard MK assumes the full
+    series). Events geotag by their own event id (capture location,
+    the mobility convention).
+
+    Integer-exact: S is a sum of signs, the variance numerator
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is ×18-scaled integer arithmetic
+    (tie groups t from a (tile, count) rollup), and z is ONE shared
+    double expression — hash-checkable vs the DuckDB twin.
+
+    Plan/scale shape: one hash aggregate of events to (tile, day)
+    counts; densification explodes a per-tile day SEQUENCE (tile
+    relation × span days, never event-sized); S pairs self-join the
+    DENSIFIED relation on the tile key (C(span_days, 2) rows per tile
+    — span is the bounded knob, ≤ ~10^3 days); tie groups are one more
+    rollup of it. The one-row global span broadcasts.
+    Output: (tile, n_bins, mk_s, varnum, mk_z, trend)."""
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    binned = keyed.groupBy(
+        "tile", day.alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = binned.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    dense = (
+        binned.select("tile").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "tile",
+            F.explode(
+                F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
+            ).alias("d"),
+        )
+        .join(binned, ["tile", "d"], "left")
+        .select("tile", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    from linear_quadtree_spark.cache import track
+
+    dense = track(dense)
+    s_rel = (
+        dense.alias("a")
+        .join(dense.alias("b"), "tile")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .groupBy("tile")
+        .agg(
+            F.sum(
+                F.expr("CAST(SIGN(b.c - a.c) AS BIGINT)")
+            ).alias("s")
+        )
+    )
+    ties = (
+        dense.groupBy("tile", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("tile")
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    return (
+        ties.join(s_rel, "tile", "left")
+        .selectExpr(
+            "tile",
+            "n AS n_bins",
+            "coalesce(s, 0L) AS s",
+            "n * (n - 1) * (2 * n + 5) - tie_term AS varnum",
+        )
+        .selectExpr(
+            "tile", "n_bins", "s AS mk_s", "varnum",
+            _mk_z_expr() + " AS mk_z",
+        )
+        .selectExpr(
+            "tile", "n_bins", "mk_s", "varnum", "mk_z",
+            _MK_TREND_EXPR + " AS trend",
+        )
+    )
+
+
+def mk_trend_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin — the identical relational decomposition rendered
+    definitionally (generate_series densification, SIGN pair join, tie
+    rollup), identical shared z / classification expressions."""
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return f"""
+WITH kb AS (
+  SELECT {cell} AS tile,
+         CAST(epoch(date_trunc('day', {ts_col})) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+kspan AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM kb),
+kdense AS (
+  SELECT t.tile, gs.d, COALESCE(kb.c, 0) AS c
+  FROM (SELECT DISTINCT tile FROM kb) t
+  CROSS JOIN kspan
+  CROSS JOIN LATERAL (
+    SELECT CAST(unnest(generate_series(kspan.dmin, kspan.dmax, 86400))
+                AS BIGINT) AS d) gs
+  LEFT JOIN kb ON kb.tile = t.tile AND kb.d = gs.d),
+ks AS (
+  SELECT a.tile, CAST(SUM(CAST(SIGN(b.c - a.c) AS BIGINT)) AS BIGINT) AS s
+  FROM kdense a JOIN kdense b ON a.tile = b.tile AND a.d < b.d
+  GROUP BY 1),
+kt AS (
+  SELECT tile, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT tile, c, CAST(COUNT(*) AS BIGINT) AS t
+        FROM kdense GROUP BY 1, 2)
+  GROUP BY 1),
+kz AS (
+  SELECT kt.tile, kt.n AS n_bins, COALESCE(ks.s, 0) AS s,
+         kt.n * (kt.n - 1) * (2 * kt.n + 5) - kt.tie_term AS varnum
+  FROM kt LEFT JOIN ks ON kt.tile = ks.tile),
+kf AS (
+  SELECT tile, n_bins, s AS mk_s, varnum, {_mk_z_expr()} AS mk_z
+  FROM kz)
+SELECT tile, n_bins, mk_s, varnum, mk_z, {_MK_TREND_EXPR} AS trend
+FROM kf
 """
