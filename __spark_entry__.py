@@ -1125,6 +1125,15 @@ def _q_mk_trend(spark, sf_dir):
     return mk_trend(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Per-tile Theil-Sen median slope (events/day) over the same
+    densified daily series mk_trend tests — rank-selected median of
+    exact-integer pair slopes, hash-exact vs the DuckDB twin."""
+    from linear_quadtree_spark.operators.spacetime import theil_sen
+
+    return theil_sen(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
+
+
 N_SITES = 10
 
 
@@ -1976,6 +1985,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ripley_k": _q_ripley_k,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
+        "theil_sen": _q_theil_sen,
     }
 
 
@@ -2153,6 +2163,12 @@ def _mk_trend_oracle() -> str:
     from linear_quadtree_spark.operators.spacetime import mk_trend_sql_duck
 
     return mk_trend_sql_duck("events", zoom=4)
+
+
+def _theil_sen_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import theil_sen_sql_duck
+
+    return theil_sen_sql_duck("events", zoom=4)
 
 
 def _corpus(sql: str) -> str:
@@ -2681,4 +2697,5 @@ GROUP BY 1
         "ripley_k": _ripley_k_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
+        "theil_sen": _theil_sen_oracle(),
     }

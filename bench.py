@@ -359,6 +359,14 @@ def main() -> None:
     )
     timings["mk_trend"] = time.time() - t0
 
+    t0 = _probe_mark("theil_sen")
+    from linear_quadtree_spark.operators.spacetime import theil_sen
+    sen_rows = (
+        theil_sen(spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6)
+        .filter("sen_slope IS NOT NULL").count()
+    )
+    timings["theil_sen"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -762,6 +770,7 @@ def main() -> None:
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
+            "theil_sen_tiles": sen_rows,
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,

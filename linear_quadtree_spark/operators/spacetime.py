@@ -37,6 +37,7 @@ __all__ = [
     "colocation_pairs", "colocation_pairs_sql_duck",
     "tile_concentration", "tile_concentration_sql_duck",
     "mk_trend", "mk_trend_sql_duck",
+    "theil_sen", "theil_sen_sql_duck",
 ]
 
 
@@ -443,6 +444,71 @@ _MK_TREND_EXPR = (
 )
 
 
+def _daily_dense(
+    events: DataFrame,
+    zoom: int,
+    bounds: Bounds,
+    geotag_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """The shared substrate of :func:`mk_trend` / :func:`theil_sen`:
+    per-tile DAILY counts zero-densified over the dataset's global
+    [min_day, max_day] span — (tile, d, c) with d in epoch seconds and
+    c = 0 on a tile's empty days. One hash aggregate of events, then a
+    sequence-explode over occupied tiles × span days (never
+    event-sized); the one-row global span broadcasts. Tracked cache —
+    both trend statistics read it twice."""
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    binned = keyed.groupBy(
+        "tile", day.alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = binned.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    from linear_quadtree_spark.cache import track
+
+    return track(
+        binned.select("tile").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "tile",
+            F.explode(
+                F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
+            ).alias("d"),
+        )
+        .join(binned, ["tile", "d"], "left")
+        .select("tile", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+
+
+_DAILY_DENSE_CTES_DUCK = """kb AS (
+  SELECT {cell} AS tile,
+         CAST(epoch(date_trunc('day', {ts_col})) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+kspan AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM kb),
+kdense AS (
+  SELECT t.tile, gs.d, COALESCE(kb.c, 0) AS c
+  FROM (SELECT DISTINCT tile FROM kb) t
+  CROSS JOIN kspan
+  CROSS JOIN LATERAL (
+    SELECT CAST(unnest(generate_series(kspan.dmin, kspan.dmax, 86400))
+                AS BIGINT) AS d) gs
+  LEFT JOIN kb ON kb.tile = t.tile AND kb.d = gs.d)"""
+
+
+def _daily_dense_ctes_duck(src: str, zoom: int, bounds: Bounds,
+                           geotag_col: str, ts_col: str) -> str:
+    """DuckDB twin of :func:`_daily_dense` as a CTE chain ending in
+    kdense(tile, d, c) — generate_series densification by the
+    definition."""
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return _DAILY_DENSE_CTES_DUCK.format(cell=cell, ts_col=ts_col, src=src)
+
+
 def mk_trend(
     events: DataFrame,
     zoom: int = 4,
@@ -474,29 +540,7 @@ def mk_trend(
     — span is the bounded knob, ≤ ~10^3 days); tie groups are one more
     rollup of it. The one-row global span broadcasts.
     Output: (tile, n_bins, mk_s, varnum, mk_z, trend)."""
-    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
-    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
-    binned = keyed.groupBy(
-        "tile", day.alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    span = binned.agg(
-        F.min("d").alias("dmin"), F.max("d").alias("dmax")
-    )
-    dense = (
-        binned.select("tile").distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "tile",
-            F.explode(
-                F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
-            ).alias("d"),
-        )
-        .join(binned, ["tile", "d"], "left")
-        .select("tile", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
-    )
-    from linear_quadtree_spark.cache import track
-
-    dense = track(dense)
+    dense = _daily_dense(events, zoom, bounds, geotag_col, ts_col)
     s_rel = (
         dense.alias("a")
         .join(dense.alias("b"), "tile")
@@ -548,24 +592,8 @@ def mk_trend_sql_duck(
     """DuckDB twin — the identical relational decomposition rendered
     definitionally (generate_series densification, SIGN pair join, tie
     rollup), identical shared z / classification expressions."""
-    cell = geocell_sql_duck(
-        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
-    )
     return f"""
-WITH kb AS (
-  SELECT {cell} AS tile,
-         CAST(epoch(date_trunc('day', {ts_col})) AS BIGINT) AS d,
-         CAST(COUNT(*) AS BIGINT) AS c
-  FROM {src} GROUP BY 1, 2),
-kspan AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM kb),
-kdense AS (
-  SELECT t.tile, gs.d, COALESCE(kb.c, 0) AS c
-  FROM (SELECT DISTINCT tile FROM kb) t
-  CROSS JOIN kspan
-  CROSS JOIN LATERAL (
-    SELECT CAST(unnest(generate_series(kspan.dmin, kspan.dmax, 86400))
-                AS BIGINT) AS d) gs
-  LEFT JOIN kb ON kb.tile = t.tile AND kb.d = gs.d),
+WITH {_daily_dense_ctes_duck(src, zoom, bounds, geotag_col, ts_col)},
 ks AS (
   SELECT a.tile, CAST(SUM(CAST(SIGN(b.c - a.c) AS BIGINT)) AS BIGINT) AS s
   FROM kdense a JOIN kdense b ON a.tile = b.tile AND a.d < b.d
@@ -585,4 +613,115 @@ kf AS (
   FROM kz)
 SELECT tile, n_bins, mk_s, varnum, mk_z, {_MK_TREND_EXPR} AS trend
 FROM kf
+"""
+
+
+# ------------------------------------------------------ Theil–Sen slope
+_SEN_SLOPE_EXPR = (
+    "CASE WHEN vlo IS NULL THEN NULL ELSE (vlo + vhi) / 2.0 END"
+)
+
+
+def theil_sen(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-tile Theil–Sen estimator over the daily event-count series —
+    the MAGNITUDE companion to :func:`mk_trend`'s significance test
+    (the standard pairing in trend analysis): the median of all
+    pairwise slopes (c_j − c_i) / (days between), in events/day,
+    robust to outlier days.
+
+    Shares :func:`_daily_dense`'s zero-densified (tile, day) substrate
+    and its rationale. Each pair's slope is the IEEE double quotient of
+    two exact integers (count diff / whole days apart); the median is
+    selected by rank under the deterministic ordering
+    (val, num, den) — duplicate slope VALUES make rank assignment
+    among them arbitrary but the value at any rank deterministic, and
+    an even pair count averages the two middle doubles in one shared
+    expression — hash-checkable vs the DuckDB twin.
+
+    Plan/scale shape: the same C(span_days, 2)-per-tile pair relation
+    as mk_trend (tile-sized, never event-sized), plus ONE window
+    shuffle partitioned by tile for the rank. A single-day span yields
+    no pairs → NULL slope, tile still emitted.
+    Output: (tile, n_bins, n_pairs, sen_slope)."""
+    from pyspark.sql import Window
+
+    dense = _daily_dense(events, zoom, bounds, geotag_col, ts_col)
+    pairs = (
+        dense.alias("a")
+        .join(dense.alias("b"), "tile")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .selectExpr(
+            "tile",
+            "CAST(b.c - a.c AS BIGINT) AS num",
+            "CAST((b.d - a.d) DIV 86400 AS BIGINT) AS den",
+        )
+        .withColumn(
+            "val", F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")
+        )
+    )
+    ranked = pairs.select(
+        "tile", "val",
+        F.row_number().over(
+            Window.partitionBy("tile").orderBy("val", "num", "den")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("tile")).alias("cnt"),
+    )
+    med = (
+        ranked.filter("rn = (cnt + 1) DIV 2 OR rn = cnt DIV 2 + 1")
+        .groupBy("tile")
+        .agg(
+            F.min("val").alias("vlo"),
+            F.max("val").alias("vhi"),
+            F.max("cnt").alias("n_pairs"),
+        )
+    )
+    base = dense.groupBy("tile").agg(F.count(F.lit(1)).alias("n_bins"))
+    return (
+        base.join(med, "tile", "left")
+        .selectExpr(
+            "tile",
+            "n_bins",
+            "coalesce(n_pairs, 0L) AS n_pairs",
+            _SEN_SLOPE_EXPR + " AS sen_slope",
+        )
+    )
+
+
+def theil_sen_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin — identical densification, pair-slope, deterministic
+    rank ordering, and shared middle-average expression."""
+    return f"""
+WITH {_daily_dense_ctes_duck(src, zoom, bounds, geotag_col, ts_col)},
+kp AS (
+  SELECT a.tile,
+         CAST(b.c - a.c AS BIGINT) AS num,
+         CAST((b.d - a.d) // 86400 AS BIGINT) AS den
+  FROM kdense a JOIN kdense b ON a.tile = b.tile AND a.d < b.d),
+kv AS (SELECT tile, num, den,
+              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS val FROM kp),
+kr AS (SELECT tile, val,
+              ROW_NUMBER() OVER (PARTITION BY tile ORDER BY val, num, den) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY tile) AS BIGINT) AS cnt
+       FROM kv),
+km AS (SELECT tile, MIN(val) AS vlo, MAX(val) AS vhi,
+              CAST(MAX(cnt) AS BIGINT) AS n_pairs
+       FROM kr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+       GROUP BY 1),
+kbase AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_bins
+          FROM kdense GROUP BY 1)
+SELECT kbase.tile, n_bins, COALESCE(n_pairs, 0) AS n_pairs,
+       {_SEN_SLOPE_EXPR} AS sen_slope
+FROM kbase LEFT JOIN km ON kbase.tile = km.tile
 """

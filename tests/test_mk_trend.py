@@ -60,3 +60,49 @@ def test_mk_trend_matches_bruteforce(spark, sf_dir):
                 "up" if z >= 1.96 else "down" if z <= -1.96 else "none"
             )
             assert r.trend == expect_label
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """theil_sen vs a pure-Python median-of-pairwise-slopes over the
+    same (tile, day) counts."""
+    from pyspark.sql import functions as F
+    from linear_quadtree_spark.operators.spacetime import theil_sen, _with_keys
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r.tile: r for r in theil_sen(events, zoom=3).collect()}
+
+    keyed = _with_keys(events, 3, DEFAULT_BOUNDS, "event_id", "ts")
+    rows = (
+        keyed.select(
+            "tile",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("d"),
+        )
+        .collect()
+    )
+    counts = defaultdict(Counter)
+    for r in rows:
+        counts[r.tile][r.d] += 1
+    dmin = min(d for c in counts.values() for d in c)
+    dmax = max(d for c in counts.values() for d in c)
+    days = list(range(dmin, dmax + 1, 86400))
+
+    assert set(got) == set(counts)
+    for tile, cnt in counts.items():
+        series = [cnt.get(d, 0) for d in days]
+        n = len(series)
+        slopes = sorted(
+            (series[j] - series[i]) / (j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        r = got[tile]
+        assert r.n_bins == n
+        assert r.n_pairs == len(slopes)
+        if not slopes:
+            assert r.sen_slope is None
+            continue
+        m = len(slopes)
+        lo, hi = slopes[(m + 1) // 2 - 1], slopes[m // 2]
+        expect = (lo + hi) / 2.0
+        assert abs(r.sen_slope - expect) <= 1e-12 * max(1.0, abs(expect))
