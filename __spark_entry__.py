@@ -1134,6 +1134,18 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
 
 
+def _q_emerging_hotspots(spark, sf_dir):
+    """Space-time-cube emerging-hot-spot analysis: per-day Gi* z over
+    the lattice, Mann-Kendall over each tile's z series, 6-class
+    pattern taxonomy — hash-exact vs the DuckDB twin (per-bin BETWEEN
+    self-join plan family)."""
+    from linear_quadtree_spark.operators.spacetime import emerging_hotspots
+
+    return emerging_hotspots(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4
+    )
+
+
 N_SITES = 10
 
 
@@ -1986,6 +1998,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
+        "emerging_hotspots": _q_emerging_hotspots,
     }
 
 
@@ -2169,6 +2182,14 @@ def _theil_sen_oracle() -> str:
     from linear_quadtree_spark.operators.spacetime import theil_sen_sql_duck
 
     return theil_sen_sql_duck("events", zoom=4)
+
+
+def _emerging_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        emerging_hotspots_sql_duck,
+    )
+
+    return emerging_hotspots_sql_duck("events", zoom=4)
 
 
 def _corpus(sql: str) -> str:
@@ -2698,4 +2719,5 @@ GROUP BY 1
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),
+        "emerging_hotspots": _emerging_oracle(),
     }

@@ -367,6 +367,14 @@ def main() -> None:
     )
     timings["theil_sen"] = time.time() - t0
 
+    t0 = _probe_mark("emerging_hotspots")
+    from linear_quadtree_spark.operators.spacetime import emerging_hotspots
+    emerge = (
+        emerging_hotspots(spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=5)
+        .groupBy("pattern").count().collect()
+    )
+    timings["emerging_hotspots"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -771,6 +779,7 @@ def main() -> None:
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
             "theil_sen_tiles": sen_rows,
+            "emerging_patterns": {r["pattern"]: r["count"] for r in emerge},
             "tile_terms_rows": tt_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,

@@ -38,6 +38,7 @@ __all__ = [
     "tile_concentration", "tile_concentration_sql_duck",
     "mk_trend", "mk_trend_sql_duck",
     "theil_sen", "theil_sen_sql_duck",
+    "emerging_hotspots", "emerging_hotspots_sql_duck",
 ]
 
 
@@ -724,4 +725,273 @@ kbase AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_bins
 SELECT kbase.tile, n_bins, COALESCE(n_pairs, 0) AS n_pairs,
        {_SEN_SLOPE_EXPR} AS sen_slope
 FROM kbase LEFT JOIN km ON kbase.tile = km.tile
+"""
+
+
+# -------------------------------------------------- emerging hotspots
+def _hot_flag_expr(z_hot: float) -> str:
+    """Shared hot-bin indicator (gi_z is engine-identical, so the
+    comparison is too)."""
+    return (
+        f"CASE WHEN gi_z IS NOT NULL AND gi_z >= {float(z_hot)!r}"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+_EMERGING_PATTERN_EXPR = (
+    "CASE WHEN hot_bins = 0 THEN 'never-hot'"
+    " WHEN last_hot = 0 THEN 'former'"
+    " WHEN hot_bins = 1 THEN 'new'"
+    " WHEN 10 * hot_bins >= 9 * n_bins THEN"
+    " CASE trend WHEN 'up' THEN 'intensifying'"
+    " WHEN 'down' THEN 'diminishing'"
+    " ELSE 'persistent' END"
+    " ELSE 'sporadic' END"
+)
+
+
+def emerging_hotspots(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    z_hot: float = 1.96,
+) -> DataFrame:
+    """Space-time-cube emerging-hot-spot analysis — the composition GIS
+    suites ship as their flagship spatio-temporal tool: per DAY bin a
+    LOCAL Getis-Ord Gi* z over the full 4^zoom lattice (hotspot.py's
+    statistic, per time slice), then a Mann-Kendall trend over each
+    tile's z SERIES, then a pattern classification (a documented
+    6-class simplification of the 17-class taxonomy):
+
+    * ``new`` — hot in the latest bin, never before;
+    * ``intensifying`` / ``persistent`` / ``diminishing`` — hot in
+      ≥90% of bins incl. the latest, with MK trend up / none / down;
+    * ``sporadic`` — hot in the latest bin but <90% of bins;
+    * ``former`` — historically hot, not in the latest bin;
+    * ``never-hot`` — occupied but never significant.
+
+    Exactness: per-bin Gi* needs only integer moments + closed-form
+    clamped window sizes (hotspot.py's lattice trick, per slice), so
+    every z is ONE shared double expression over identical integers —
+    engine-identical — and the MK layer's SIGN/tie comparisons on
+    those identical doubles are too. z is computed on the OCCUPIED-EVER
+    tiles × ACTIVE days cube (empty days have no spatial signal and are
+    excluded uniformly, keeping every tile's series aligned; a tile's
+    empty day still gets its true z from neighbour counts and the bin
+    moments).
+
+    Plan/scale shape: one hash aggregate to (tile, day) counts; the
+    scatter-gather fan-out is binned×9; the cube is occupied_tiles ×
+    active_days (never event-sized); per-bin moments broadcast
+    (one row per day); MK pairs are C(days, 2) per tile. No lattice
+    materialization, no inequality join on the Spark side.
+    Output: (tile, tx, ty, n_bins, hot_bins, last_hot, mk_z, trend,
+    pattern)."""
+    from linear_quadtree_spark.cache import track
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import SPARK
+    from linear_quadtree_spark.operators.hotspot import _gi_z_expr
+
+    m = (1 << zoom) - 1
+    n_lat = 1 << (2 * zoom)
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    binned = track(
+        keyed.groupBy("tile", day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile", zoom, 0)))
+        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile", zoom, 1)))
+    )
+    days = binned.select("d").distinct()
+    tiles = binned.select("tile", "tx", "ty").distinct()
+    cube = tiles.crossJoin(F.broadcast(days))
+    mom = binned.groupBy("d").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    contrib = (
+        binned.select("d", "tx", "ty", "c", offs.alias("o"))
+        .select(
+            "d",
+            (F.col("tx") + F.col("o.dx")).alias("ctx"),
+            (F.col("ty") + F.col("o.dy")).alias("cty"),
+            "c",
+        )
+        .filter(
+            (F.col("ctx") >= 0) & (F.col("ctx") <= m)
+            & (F.col("cty") >= 0) & (F.col("cty") <= m)
+        )
+    )
+    focal = contrib.groupBy("d", "ctx", "cty").agg(F.sum("c").alias("fs"))
+    wx = F.least(F.col("tx") + 1, F.lit(m)) - F.greatest(F.col("tx") - 1, F.lit(0)) + 1
+    wy = F.least(F.col("ty") + 1, F.lit(m)) - F.greatest(F.col("ty") - 1, F.lit(0)) + 1
+    z = track(
+        cube.join(
+            focal,
+            (cube["d"] == focal["d"]) & (cube["tx"] == focal["ctx"])
+            & (cube["ty"] == focal["cty"]),
+            "left",
+        )
+        .select(
+            "tile", "tx", "ty", cube["d"].alias("d"),
+            F.coalesce(F.col("fs"), F.lit(0)).cast("bigint").alias("fs"),
+        )
+        .join(F.broadcast(mom), "d")
+        .withColumn("w", (wx * wy).cast("bigint"))
+        .selectExpr(
+            "tile", "tx", "ty", "d",
+            _gi_z_expr(n_lat) + " AS gi_z",
+        )
+    )
+    s_rel = (
+        z.alias("a")
+        .join(z.alias("b"), "tile")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .groupBy("tile")
+        .agg(
+            F.sum(
+                F.expr("CAST(SIGN(b.gi_z - a.gi_z) AS BIGINT)")
+            ).alias("s")
+        )
+    )
+    ties = (
+        z.groupBy("tile", "gi_z")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("tile")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    dmax = days.agg(F.max("d").alias("dmax"))
+    hot = (
+        z.crossJoin(F.broadcast(dmax))
+        .selectExpr(
+            "tile", "tx", "ty",
+            _hot_flag_expr(z_hot) + " AS hot",
+            "CASE WHEN d = dmax THEN " + _hot_flag_expr(z_hot)
+            + " ELSE 0 END AS lh",
+        )
+        .groupBy("tile", "tx", "ty")
+        .agg(
+            F.sum("hot").alias("hot_bins"),
+            F.max("lh").alias("last_hot"),
+        )
+    )
+    mk = (
+        ties.join(s_rel, "tile", "left")
+        .selectExpr(
+            "tile",
+            "n AS n_bins",
+            "coalesce(s, 0L) AS s",
+            "n * (n - 1) * (2 * n + 5) - tie_term AS varnum",
+        )
+        .selectExpr(
+            "tile", "n_bins", "s", "varnum",
+            _mk_z_expr() + " AS mk_z",
+        )
+        .selectExpr(
+            "tile", "n_bins", "mk_z",
+            _MK_TREND_EXPR + " AS trend",
+        )
+    )
+    return (
+        hot.join(mk, "tile")
+        .selectExpr(
+            "tile", "tx", "ty", "n_bins", "hot_bins", "last_hot",
+            "mk_z", "trend",
+            _EMERGING_PATTERN_EXPR + " AS pattern",
+        )
+    )
+
+
+def emerging_hotspots_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    z_hot: float = 1.96,
+) -> str:
+    """DuckDB twin by the DEFINITION: per-bin BETWEEN self-join window
+    sums over the occupied-ever × active-days cube (a different plan
+    family than the Spark scatter-gather), identical shared Gi* z / MK
+    z / hot-flag / pattern expressions."""
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import DUCK
+    from linear_quadtree_spark.operators.hotspot import _gi_z_expr
+
+    m = (1 << zoom) - 1
+    n_lat = 1 << (2 * zoom)
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    hot_e = _hot_flag_expr(z_hot)
+    return f"""
+WITH eb0 AS (
+  SELECT {cell} AS tile,
+         CAST(epoch(date_trunc('day', {ts_col})) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+eb AS (
+  SELECT tile, d, c,
+         {cell_axis_expr(DUCK, 'tile', zoom, 0)} AS tx,
+         {cell_axis_expr(DUCK, 'tile', zoom, 1)} AS ty
+  FROM eb0),
+ed AS (SELECT DISTINCT d FROM eb),
+et AS (SELECT DISTINCT tile, tx, ty FROM eb),
+emom AS (SELECT d, CAST(SUM(c) AS BIGINT) AS s1,
+                CAST(SUM(c * c) AS BIGINT) AS s2
+         FROM eb GROUP BY 1),
+ecube AS (SELECT et.tile, et.tx, et.ty, ed.d FROM et CROSS JOIN ed),
+efs AS (
+  SELECT cu.tile, cu.tx, cu.ty, cu.d,
+         CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS fs
+  FROM ecube cu LEFT JOIN eb b
+    ON b.d = cu.d
+   AND b.tx BETWEEN cu.tx - 1 AND cu.tx + 1
+   AND b.ty BETWEEN cu.ty - 1 AND cu.ty + 1
+  GROUP BY 1, 2, 3, 4),
+ez AS (
+  SELECT f.tile, f.tx, f.ty, f.d,
+         {_gi_z_expr(n_lat)} AS gi_z
+  FROM (SELECT efs.*, emom.s1, emom.s2,
+               CAST((LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
+                    * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1)
+                 AS BIGINT) AS w
+        FROM efs JOIN emom ON efs.d = emom.d) f),
+eks AS (
+  SELECT a.tile, CAST(SUM(CAST(SIGN(b.gi_z - a.gi_z) AS BIGINT)) AS BIGINT) AS s
+  FROM ez a JOIN ez b ON a.tile = b.tile AND a.d < b.d
+  GROUP BY 1),
+ekt AS (
+  SELECT tile, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT tile, gi_z, CAST(COUNT(*) AS BIGINT) AS t
+        FROM ez GROUP BY 1, 2)
+  GROUP BY 1),
+emk AS (
+  SELECT tile, n_bins, mk_z,
+         {_MK_TREND_EXPR} AS trend
+  FROM (SELECT tile, n_bins, s, varnum, {_mk_z_expr()} AS mk_z
+        FROM (SELECT ekt.tile, ekt.n AS n_bins, COALESCE(eks.s, 0) AS s,
+                     ekt.n * (ekt.n - 1) * (2 * ekt.n + 5) - ekt.tie_term AS varnum
+              FROM ekt LEFT JOIN eks ON ekt.tile = eks.tile))),
+ehot AS (
+  SELECT tile, tx, ty,
+         CAST(SUM({hot_e}) AS BIGINT) AS hot_bins,
+         CAST(MAX(CASE WHEN d = (SELECT MAX(d) FROM ed)
+                  THEN {hot_e} ELSE 0 END) AS BIGINT) AS last_hot
+  FROM ez GROUP BY 1, 2, 3)
+SELECT ehot.tile, tx, ty, n_bins, hot_bins, last_hot, mk_z, trend,
+       {_EMERGING_PATTERN_EXPR} AS pattern
+FROM ehot JOIN emk ON ehot.tile = emk.tile
 """

@@ -1,0 +1,241 @@
+"""emerging_hotspots: full Python brute-force equivalence on real data
+(z pipeline, MK layer, classification), plus directed per-class
+fixtures — a dominant spike is the only way a cell-day goes hot under
+the permutation null, so each pattern class gets its own engineered
+spike schedule over a 10-day cube."""
+
+import datetime as dt
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from linear_quadtree_spark.config import DEFAULT_BOUNDS
+from linear_quadtree_spark.functions.geocell import cell_axis_expr, geocell_col
+from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+from linear_quadtree_spark.functions.textexpr import SPARK
+from linear_quadtree_spark.operators.spacetime import emerging_hotspots
+
+T0 = dt.datetime(2026, 1, 1, 0, 30, 0)
+Z3 = 3
+M3 = (1 << Z3) - 1
+
+
+def _brute(rows, zoom, z_hot=1.96):
+    """rows: (tile, tx, ty, day_epoch) per event. Mirrors the engine's
+    shared expressions op-for-op so doubles are bit-identical."""
+    counts = defaultdict(int)
+    txy = {}
+    for tile, tx, ty, d in rows:
+        counts[(tile, d)] += 1
+        txy[tile] = (tx, ty)
+    days = sorted({d for (_, d) in counts})
+    n = float(1 << (2 * zoom))
+    m = (1 << zoom) - 1
+    mom = {
+        d: (
+            sum(c for (t, dd), c in counts.items() if dd == d),
+            sum(c * c for (t, dd), c in counts.items() if dd == d),
+        )
+        for d in days
+    }
+    out = {}
+    for tile, (tx, ty) in txy.items():
+        w = (min(tx + 1, m) - max(tx - 1, 0) + 1) * (
+            min(ty + 1, m) - max(ty - 1, 0) + 1
+        )
+        zs = []
+        for d in days:
+            fs = sum(
+                counts.get((ot, d), 0)
+                for ot, (ox, oy) in txy.items()
+                if abs(ox - tx) <= 1 and abs(oy - ty) <= 1
+            )
+            s1, s2 = mom[d]
+            if n * s2 == s1 * s1:
+                zs.append(None)
+                continue
+            xb = s1 / n
+            zs.append(
+                (fs - xb * w)
+                / (
+                    math.sqrt(s2 / n - xb * xb)
+                    * math.sqrt((w * (n - w)) / (n - 1.0))
+                )
+            )
+        nb = len(zs)
+        s = sum(
+            (zs[j] > zs[i]) - (zs[j] < zs[i])
+            for i in range(nb)
+            for j in range(i + 1, nb)
+        )
+        ties = Counter(zs)
+        varnum = nb * (nb - 1) * (2 * nb + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        if varnum <= 0:
+            mkz, trend = None, "flat"
+        else:
+            sd = math.sqrt(varnum / 18.0)
+            mkz = 0.0 if s == 0 else (s - 1) / sd if s > 0 else (s + 1) / sd
+            trend = "up" if mkz >= 1.96 else "down" if mkz <= -1.96 else "none"
+        hot = [1 if (z is not None and z >= z_hot) else 0 for z in zs]
+        hot_bins, last_hot = sum(hot), hot[-1]
+        if hot_bins == 0:
+            pattern = "never-hot"
+        elif last_hot == 0:
+            pattern = "former"
+        elif hot_bins == 1:
+            pattern = "new"
+        elif 10 * hot_bins >= 9 * nb:
+            pattern = {"up": "intensifying", "down": "diminishing"}.get(
+                trend, "persistent"
+            )
+        else:
+            pattern = "sporadic"
+        out[tile] = (nb, hot_bins, last_hot, mkz, trend, pattern)
+    return out
+
+
+def _check(spark, events, zoom):
+    got = {r.tile: r for r in emerging_hotspots(events, zoom=zoom).collect()}
+    rows = (
+        events.withColumn("_x", geotag_x("event_id"))
+        .withColumn("_y", geotag_y("event_id"))
+        .withColumn("tile", geocell_col("_x", "_y", DEFAULT_BOUNDS, zoom))
+        .selectExpr(
+            "tile",
+            cell_axis_expr(SPARK, "tile", zoom, 0) + " AS tx",
+            cell_axis_expr(SPARK, "tile", zoom, 1) + " AS ty",
+            "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) AS d",
+        )
+        .collect()
+    )
+    exp = _brute([(r.tile, r.tx, r.ty, r.d) for r in rows], zoom)
+    assert set(got) == set(exp)
+    for tile, (nb, hb, lh, mkz, trend, pattern) in exp.items():
+        r = got[tile]
+        assert (r.n_bins, r.hot_bins, r.last_hot) == (nb, hb, lh), tile
+        if mkz is None:
+            assert r.mk_z is None
+        else:
+            assert abs(r.mk_z - mkz) <= 1e-12 * max(1.0, abs(mkz))
+        assert r.trend == trend, tile
+        assert r.pattern == pattern, tile
+    return {t: got[t].pattern for t in got}
+
+
+def test_bruteforce_real_data(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pats = set(_check(spark, events, Z3).values())
+    assert "never-hot" in pats  # uniform data: flat everywhere
+
+
+def _tile_map(spark):
+    """id -> (tile, tx, ty) at zoom 3 for ids 0..20000 (geotag hash)."""
+    rows = (
+        spark.range(20000).selectExpr("id AS event_id")
+        .withColumn("_x", geotag_x("event_id"))
+        .withColumn("_y", geotag_y("event_id"))
+        .withColumn("tile", geocell_col("_x", "_y", DEFAULT_BOUNDS, Z3))
+        .selectExpr(
+            "event_id", "tile",
+            cell_axis_expr(SPARK, "tile", Z3, 0) + " AS tx",
+            cell_axis_expr(SPARK, "tile", Z3, 1) + " AS ty",
+        )
+        .collect()
+    )
+    by_tile = defaultdict(list)
+    txy = {}
+    for r in rows:
+        by_tile[r.tile].append(r.event_id)
+        txy[r.tile] = (r.tx, r.ty)
+    return by_tile, txy
+
+
+def _mk_events(spark, evs):
+    rows = [(e, 1, T0 + dt.timedelta(days=day)) for e, day in evs]
+    return spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp"
+    )
+
+
+class _Fix:
+    """Shared fixture geometry: an interior 3x3 block for the spike
+    schedules, plus two far-apart background tiles (1 event/day each —
+    two equal singletons are never hot, keeping quiet days quiet)."""
+
+    def __init__(self, spark):
+        self.by_tile, txy = _tile_map(spark)
+        inv = {v: k for k, v in txy.items()}
+        # an interior center whose full 3x3 block has ids available
+        self.center = None
+        for tile, (tx, ty) in txy.items():
+            if not (1 <= tx <= M3 - 1 and 1 <= ty <= M3 - 1):
+                continue
+            block = [
+                inv.get((tx + dx, ty + dy))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ]
+            if all(b is not None and self.by_tile[b] for b in block):
+                self.center, self.block = tile, block
+                self.ctx, self.cty = tx, ty
+                break
+        assert self.center is not None
+        far = [
+            t for t, (tx, ty) in txy.items()
+            if abs(tx - self.ctx) > 2 and abs(ty - self.cty) > 2
+            and self.by_tile[t]
+        ]
+        assert len(far) >= 2
+        self.bg = far[:2]
+
+    def events(self, spark, spikes):
+        """spikes: list of (tile, day, k) -> k duplicate events of one
+        of the tile's ids on that day; background added automatically."""
+        evs = []
+        for t in self.bg:
+            evs += [(self.by_tile[t][0], day) for day in range(10)]
+        for tile, day, k in spikes:
+            evs += [(self.by_tile[tile][0], day)] * k
+        return _mk_events(spark, evs)
+
+
+def _pattern_of(spark, fix, spikes, tile):
+    events = fix.events(spark, spikes)
+    pats = _check(spark, events, Z3)  # full brute-force equivalence
+    return pats[tile], set(pats.values())
+
+
+def test_pattern_classes(spark):
+    fix = _Fix(spark)
+    c = fix.center
+
+    p, _ = _pattern_of(spark, fix, [(c, 9, 60)], c)
+    assert p == "new"
+
+    p, _ = _pattern_of(spark, fix, [(c, 0, 60), (c, 1, 60)], c)
+    assert p == "former"
+
+    p, _ = _pattern_of(spark, fix, [(c, d, 60) for d in range(10)], c)
+    assert p == "persistent"
+
+    p, _ = _pattern_of(spark, fix, [(c, d, 60) for d in (0, 1, 9)], c)
+    assert p == "sporadic"
+
+    grow = [
+        (t, d, 60)
+        for d in range(10)
+        for t in fix.block[: min(d + 1, 9)]
+    ]
+    p, pats = _pattern_of(spark, fix, grow, c)
+    assert p == "intensifying"
+    assert "never-hot" in pats
+
+    shrink = [
+        (t, d, 60)
+        for d in range(10)
+        for t in fix.block[: min(10 - d, 9)]
+    ]
+    p, _ = _pattern_of(spark, fix, shrink, c)
+    assert p == "diminishing"
