@@ -211,6 +211,17 @@ def _q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star_hotspots(tbl, zoom=4)
 
 
+def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) per occupied tile with HH/LL/HL/LH
+    cluster/outlier quadrants — integer-exact scaled deviations and
+    neighbour sums, one shared double expression, signs decide the
+    quadrant exactly."""
+    from linear_quadtree_spark.operators.hotspot import local_moran
+
+    tbl = _build_table(spark, sf_dir)
+    return local_moran(tbl, zoom=4)
+
+
 RIPLEY_RADII = [0.5, 1.0, 2.0, 4.0]
 IDW_ZOOM = 4
 IDW_R = 5.0
@@ -1134,6 +1145,18 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen(spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4)
 
 
+def _q_knox_test(spark, sf_dir):
+    """Knox space-time interaction: integer pair counts from bucketed
+    cube joins (space at r, time at dt, both), closed-form C(n,2), one
+    shared Poisson-approx E / z expression — hash-exact vs the
+    brute-force pair-scan twin."""
+    from linear_quadtree_spark.operators.spacetime import knox_test
+
+    return knox_test(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), r=3.0, dt_s=3600
+    )
+
+
 def _q_emerging_hotspots(spark, sf_dir):
     """Space-time-cube emerging-hot-spot analysis: per-day Gi* z over
     the lattice, Mann-Kendall over each tile's z series, 6-class
@@ -1994,11 +2017,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # spatial statistics
         "morans_i": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
+        "local_moran": _q_local_moran,
         "ripley_k": _q_ripley_k,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
         "emerging_hotspots": _q_emerging_hotspots,
+        "knox_test": _q_knox_test,
     }
 
 
@@ -2146,6 +2171,16 @@ def _gi_star_oracle() -> str:
     )
 
 
+def _local_moran_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import local_moran_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{local_moran_sql_duck(4)}"
+    )
+
+
 def _ripley_k_oracle() -> str:
     from linear_quadtree_spark.operators.hotspot import ripley_k_sql_duck
 
@@ -2190,6 +2225,12 @@ def _emerging_oracle() -> str:
     )
 
     return emerging_hotspots_sql_duck("events", zoom=4)
+
+
+def _knox_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import knox_test_sql_duck
+
+    return knox_test_sql_duck("events", r=3.0, dt_s=3600)
 
 
 def _corpus(sql: str) -> str:
@@ -2715,9 +2756,11 @@ GROUP BY 1
 """,
         "morans_i": _morans_i_oracle(),
         "gi_star_hotspots": _gi_star_oracle(),
+        "local_moran": _local_moran_oracle(),
         "ripley_k": _ripley_k_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),
         "emerging_hotspots": _emerging_oracle(),
+        "knox_test": _knox_oracle(),
     }

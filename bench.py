@@ -346,6 +346,14 @@ def main() -> None:
     )
     timings["gi_star_z8"] = time.time() - t0
 
+    t0 = _probe_mark("local_moran_z8")
+    from linear_quadtree_spark.operators.hotspot import local_moran
+    lisa_quads = {
+        r["quadrant"]: r["count"]
+        for r in local_moran(tbl, zoom=8).groupBy("quadrant").count().collect()
+    }
+    timings["local_moran_z8"] = time.time() - t0
+
     t0 = _probe_mark("ripley_k")
     from linear_quadtree_spark.operators.hotspot import ripley_k
     ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
@@ -358,6 +366,13 @@ def main() -> None:
         .groupBy("trend").count().collect()
     )
     timings["mk_trend"] = time.time() - t0
+
+    t0 = _probe_mark("knox_test")
+    from linear_quadtree_spark.operators.spacetime import knox_test
+    knox_row = knox_test(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), r=3.0, dt_s=3600
+    ).collect()[0]
+    timings["knox_test"] = time.time() - t0
 
     t0 = _probe_mark("theil_sen")
     from linear_quadtree_spark.operators.spacetime import theil_sen
@@ -775,6 +790,8 @@ def main() -> None:
             "footprint_jaccard_ppm": int(ov.jaccard_ppm),
             "morans_i_z8_ppm": int(moran_row.morans_i * 1_000_000),
             "gi_star_z8_significant": gi_hot,
+            "lisa_quadrants": lisa_quads,
+            "knox_z": knox_row.knox_z,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

@@ -51,6 +51,8 @@ __all__ = [
     "gi_star_sql_duck",
     "ripley_k",
     "ripley_k_sql_duck",
+    "local_moran",
+    "local_moran_sql_duck",
 ]
 
 
@@ -408,4 +410,130 @@ win AS (SELECT nb.*, mom.s1, mom.s2,
 SELECT tile_id, tx, ty, x AS n_points, fs AS focal_sum, w AS window_sz,
        {_gi_z_expr(1 << (2 * zoom))} AS gi_z
 FROM win
+"""
+
+
+# ------------------------------------------------------- Local Moran's I
+_LISA_I_EXPR = (
+    "CASE WHEN den = 0 OR ns IS NULL THEN NULL"
+    " ELSE (CAST(n AS DOUBLE) * CAST(dv AS DOUBLE) * CAST(ns AS DOUBLE))"
+    " / CAST(den AS DOUBLE) END"
+)
+
+_LISA_QUAD_EXPR = (
+    "CASE WHEN ns IS NULL THEN 'isolate'"
+    " WHEN dv = 0 OR ns = 0 THEN 'zero'"
+    " WHEN dv > 0 AND ns > 0 THEN 'HH'"
+    " WHEN dv < 0 AND ns < 0 THEN 'LL'"
+    " WHEN dv > 0 THEN 'HL'"
+    " ELSE 'LH' END"
+)
+
+
+def local_moran(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Local Moran's I (LISA) per occupied tile — the third member of
+    the classic trio (global Moran's I, Gi*, LISA): which tiles sit in
+    high-high / low-low clusters vs high-low / low-high OUTLIERS, the
+    distinction Gi* (window sums only) cannot make.
+
+    I_i = n · D_i · Σ_j w_ij D_j / Σ_k D_k² with D_i = n·x_i − S (the
+    same ×n-scaled integer deviation morans_i uses; the scale factors
+    cancel against the m2 normalizer, leaving the standard
+    I_i = (x_i−x̄)/m2 · Σ_j w_ij (x_j−x̄)). Same population convention
+    as :func:`morans_i`: OCCUPIED tiles under queen contiguity
+    (Chebyshev-adjacent, binary weights). Σ_i I_i / W = global I — the
+    decomposition law the test asserts. Quadrant labels come from the
+    SIGNS of the integer D_i and neighbour sum (exact, no float
+    compare): HH/LL = cluster core, HL/LH = spatial outlier,
+    ``isolate`` = no occupied neighbour, ``zero`` = deviation exactly
+    zero. Significance is permutation-based in the literature — out of
+    scope, documented (rank by |local_i| within quadrant instead).
+
+    Integer-exact sums (cross-products as decimal(38,0) / HUGEINT),
+    ONE shared double expression — hash-checkable vs the BETWEEN-join
+    DuckDB twin. Plan: the morans_i scatter-gather grouped per tile
+    (one binned×8 fan-out + equi-join gather) — tile-relation-sized
+    throughout. Output: (tile_id, tx, ty, n_points, local_i,
+    quadrant)."""
+    g = _tile_counts(tbl, zoom)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    d = track(
+        g.crossJoin(F.broadcast(tot)).select(
+            "tile_id", "tx", "ty", "x",
+            (F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+            "n",
+        )
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + "))"
+    )
+    scatter = d.select(
+        "tx", "ty", F.col("dv").alias("da"), offs.alias("o")
+    ).select(
+        (F.col("tx") + F.col("o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("o.dy")).alias("cty"),
+        "da",
+    )
+    nsum = scatter.groupBy("ctx", "cty").agg(
+        F.sum(F.col("da").cast("decimal(38,0)")).alias("ns")
+    )
+    den = d.agg(
+        F.sum(
+            F.col("dv").cast("decimal(19,0)") * F.col("dv").cast("decimal(19,0)")
+        ).alias("den")
+    )
+    return (
+        d.join(
+            nsum,
+            (d["tx"] == nsum["ctx"]) & (d["ty"] == nsum["cty"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(den))
+        .selectExpr(
+            "tile_id", "tx", "ty", "x AS n_points", "dv", "ns", "n", "den",
+        )
+        .selectExpr(
+            "tile_id", "tx", "ty", "n_points",
+            _LISA_I_EXPR + " AS local_i",
+            _LISA_QUAD_EXPR + " AS quadrant",
+        )
+    )
+
+
+def local_moran_sql_duck(zoom: int) -> str:
+    """DuckDB twin: BETWEEN neighbourhood self-join over
+    reference-exact tile prefixes, HUGEINT sums, identical shared
+    expressions. Embed after a CTE chain providing refenc(pref)."""
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+g AS (SELECT tile_id, x,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM g),
+dev AS (SELECT g.tile_id, g.tx, g.ty, g.x,
+               CAST(tot.n * g.x - tot.s AS HUGEINT) AS dv, tot.n
+        FROM g, tot),
+nsum AS (SELECT a.tile_id, SUM(b.dv) AS ns
+         FROM dev a JOIN dev b
+           ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+          AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+          AND NOT (a.tx = b.tx AND a.ty = b.ty)
+         GROUP BY 1),
+dagg AS (SELECT SUM(dv * dv) AS den FROM dev),
+fin AS (SELECT dev.tile_id, dev.tx, dev.ty, dev.x AS n_points,
+               dev.dv, nsum.ns, dev.n, dagg.den
+        FROM dev LEFT JOIN nsum ON dev.tile_id = nsum.tile_id, dagg)
+SELECT tile_id, tx, ty, n_points,
+       {_LISA_I_EXPR} AS local_i,
+       {_LISA_QUAD_EXPR} AS quadrant
+FROM fin
 """

@@ -39,6 +39,7 @@ __all__ = [
     "mk_trend", "mk_trend_sql_duck",
     "theil_sen", "theil_sen_sql_duck",
     "emerging_hotspots", "emerging_hotspots_sql_duck",
+    "knox_test", "knox_test_sql_duck",
 ]
 
 
@@ -994,4 +995,180 @@ ehot AS (
 SELECT ehot.tile, tx, ty, n_bins, hot_bins, last_hot, mk_z, trend,
        {_EMERGING_PATTERN_EXPR} AS pattern
 FROM ehot JOIN emk ON ehot.tile = emk.tile
+"""
+
+
+# ------------------------------------------------- Knox space-time test
+_KNOX_E_EXPR = (
+    "CASE WHEN npairs = 0 THEN NULL"
+    " ELSE (CAST(pairs_space AS DOUBLE) * CAST(pairs_time AS DOUBLE))"
+    " / CAST(npairs AS DOUBLE) END"
+)
+
+_KNOX_Z_EXPR = (
+    "CASE WHEN knox_e IS NULL OR knox_e = 0.0 THEN NULL"
+    " ELSE (CAST(pairs_both AS DOUBLE) - knox_e) / SQRT(knox_e) END"
+)
+
+
+def knox_test(
+    events: DataFrame,
+    r: float,
+    dt_s: int,
+    event_id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Knox space-time interaction test — "do events that are close in
+    space also tend to be close in time?", the classic epidemiology /
+    incident-cluster statistic. X = #pairs within BOTH distance ``r``
+    and ``dt_s`` seconds; under no interaction E[X] ≈ Ns·Nt/N (Ns, Nt,
+    N = space-close, time-close, all pairs), and the Poisson
+    approximation z = (X − E)/sqrt(E) flags interaction (documented:
+    the permutation-exact p is out of scope; z > ~2 is the usual flag).
+
+    All four counts are exact integers from bucketed equi-joins (the
+    colocation_pairs cube discipline — anchor keeps its own bucket,
+    probe fans out, ``eid_a < eid_b`` picks one orientation, so every
+    qualifying pair is counted exactly once, no dedup pass): a 9-cell
+    2-D grid join at r for Ns, a 3-bucket 1-D time join at dt_s for
+    Nt, the 27-cube join for X; N = C(n, 2) in closed form. E and z
+    are the only doubles — shared expressions, hash-checkable vs the
+    brute-force inequality-join DuckDB twin.
+
+    Scale: candidates are density-bounded per bucket (AQE splits hot
+    buckets); Nt's bucket population is the events-per-dt_s window —
+    dt_s is the quadratic knob, size it to the question. Output one
+    row: (n_events, npairs, pairs_space, pairs_time, pairs_both,
+    knox_e, knox_z)."""
+    if r <= 0 or dt_s <= 0:
+        raise ValueError("r and dt_s must be positive")
+    base = events.select(
+        F.col(event_id_col).alias("eid"),
+        geotag_x(event_id_col).cast("double").alias("px"),
+        geotag_y(event_id_col).cast("double").alias("py"),
+        F.expr(f"unix_timestamp({ts_col})").alias("ep"),
+    )
+    from linear_quadtree_spark.cache import track
+
+    base = track(base)
+    r2 = F.lit(float(r) * float(r))
+
+    def _pair_count(space: bool, time: bool, alias: str) -> DataFrame:
+        a = base.select(
+            F.col("eid").alias("eid_a"),
+            F.col("px").alias("ax"), F.col("py").alias("ay"),
+            F.col("ep").alias("aep"),
+        )
+        keys = []
+        if space:
+            a = a.withColumn("jx", F.floor(F.col("ax") / F.lit(r)))
+            a = a.withColumn("jy", F.floor(F.col("ay") / F.lit(r)))
+            keys += ["jx", "jy"]
+        if time:
+            a = a.withColumn("jt", F.expr(f"aep div {dt_s}"))
+            keys += ["jt"]
+        soff = [(-1, 0, 1)] * 2 if space else [(0,), (0,)]
+        toff = (-1, 0, 1) if time else (0,)
+        offs = F.array(*[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(dz).alias("dz"),
+            )
+            for dx in soff[0] for dy in soff[1] for dz in toff
+        ])
+        b = base.select(
+            F.col("eid").alias("eid_b"),
+            F.col("px").alias("bx"), F.col("py").alias("by"),
+            F.col("ep").alias("bep"),
+            F.explode(offs).alias("o"),
+        )
+        cols = ["eid_b", "bx", "by", "bep"]
+        if space:
+            b = b.withColumn(
+                "jx", F.floor(F.col("bx") / F.lit(r)) + F.col("o.dx")
+            ).withColumn(
+                "jy", F.floor(F.col("by") / F.lit(r)) + F.col("o.dy")
+            )
+            cols += ["jx", "jy"]
+        if time:
+            b = b.withColumn(
+                "jt", F.expr(f"bep div {dt_s}") + F.col("o.dz")
+            )
+            cols += ["jt"]
+        j = a.join(b.select(*cols), keys).filter(
+            F.col("eid_a") < F.col("eid_b")
+        )
+        if space:
+            dx = F.col("ax") - F.col("bx")
+            dy = F.col("ay") - F.col("by")
+            j = j.filter(dx * dx + dy * dy <= r2)
+        if time:
+            j = j.filter(F.abs(F.col("aep") - F.col("bep")) <= dt_s)
+        return j.agg(F.count(F.lit(1)).alias(alias))
+
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        tot.crossJoin(_pair_count(True, False, "pairs_space"))
+        .crossJoin(_pair_count(False, True, "pairs_time"))
+        .crossJoin(_pair_count(True, True, "pairs_both"))
+        .selectExpr(
+            "n AS n_events",
+            "CAST(n AS BIGINT) * (n - 1) DIV 2 AS npairs",
+            "pairs_space", "pairs_time", "pairs_both",
+        )
+        .selectExpr(
+            "n_events", "npairs", "pairs_space", "pairs_time",
+            "pairs_both", _KNOX_E_EXPR + " AS knox_e",
+        )
+        .selectExpr(
+            "n_events", "npairs", "pairs_space", "pairs_time",
+            "pairs_both", "knox_e", _KNOX_Z_EXPR + " AS knox_z",
+        )
+    )
+    return out
+
+
+def knox_test_sql_duck(
+    src: str = "events",
+    r: float = 2.0,
+    dt_s: int = 3600,
+    event_id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin by the DEFINITION: one brute-force ``eid_a < eid_b``
+    pair scan with three conditional counts (no grid, no bucketing),
+    identical refine predicates and shared E / z expressions."""
+    px = f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)"
+    py = f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)"
+    r2 = repr(float(r) * float(r))
+    return f"""
+WITH kev AS (
+  SELECT {event_id_col} AS eid, {px} AS px, {py} AS py,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep
+  FROM {src}),
+kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kev),
+kp AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN sclose THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS pairs_space,
+    CAST(COALESCE(SUM(CASE WHEN tclose THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS pairs_time,
+    CAST(COALESCE(SUM(CASE WHEN sclose AND tclose THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS pairs_both
+  FROM (
+    SELECT (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) <= {r2} AS sclose,
+           abs(a.ep - b.ep) <= {dt_s} AS tclose
+    FROM kev a JOIN kev b ON a.eid < b.eid)),
+kf AS (
+  SELECT n AS n_events, CAST(n AS BIGINT) * (n - 1) // 2 AS npairs,
+         pairs_space, pairs_time, pairs_both
+  FROM kn, kp),
+kg AS (
+  SELECT n_events, npairs, pairs_space, pairs_time, pairs_both,
+         {_KNOX_E_EXPR} AS knox_e
+  FROM kf)
+SELECT n_events, npairs, pairs_space, pairs_time, pairs_both, knox_e,
+       {_KNOX_Z_EXPR} AS knox_z
+FROM kg
 """

@@ -141,3 +141,48 @@ def test_gi_star_matches_bruteforce(spark, sf_dir):
             assert abs(r.gi_z - z) <= 1e-9 * max(1.0, abs(z))
     finally:
         tbl.unpersist()
+
+
+def test_local_moran_matches_bruteforce(spark, sf_dir):
+    from linear_quadtree_spark.operators.hotspot import local_moran
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        n = len(counts)
+        xbar = sum(counts.values()) / n
+        m2 = sum((x - xbar) ** 2 for x in counts.values()) / n
+        got = {(r.tx, r.ty): r for r in local_moran(tbl, ZOOM).collect()}
+        assert set(got) == set(counts)
+        w = 0
+        total_i = 0.0
+        for (ax, ay), xa in counts.items():
+            nbrs = [
+                xb for (bx, by), xb in counts.items()
+                if (ax, ay) != (bx, by)
+                and abs(ax - bx) <= 1 and abs(ay - by) <= 1
+            ]
+            r = got[(ax, ay)]
+            assert r.n_points == xa
+            if not nbrs:
+                assert r.local_i is None and r.quadrant == "isolate"
+                continue
+            ns = sum(xb - xbar for xb in nbrs)
+            expect = ((xa - xbar) / m2) * ns
+            assert abs(r.local_i - expect) <= 1e-9 * max(1.0, abs(expect))
+            da = xa - xbar
+            if abs(da) < 1e-12 or abs(ns) < 1e-12:
+                # integer-exact zero on the engine side
+                assert r.quadrant in ("zero", "HH", "LL", "HL", "LH")
+            else:
+                lab = ("HH" if da > 0 and ns > 0 else
+                       "LL" if da < 0 and ns < 0 else
+                       "HL" if da > 0 else "LH")
+                assert r.quadrant == lab
+            w += len(nbrs)
+            total_i += expect
+        # decomposition law: sum_i I_i / W == global Moran's I
+        gi = morans_i(tbl, ZOOM).collect()[0]
+        assert abs(total_i / w - gi.morans_i) <= 1e-9 * max(1.0, abs(gi.morans_i))
+    finally:
+        tbl.unpersist()
