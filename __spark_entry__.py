@@ -222,6 +222,26 @@ def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(tbl, zoom=4)
 
 
+def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G: global high-value clustering ratio — integer
+    scatter-gather numerator, closed-form S²−Σx² denominator, one shared
+    double expression."""
+    from linear_quadtree_spark.operators.hotspot import general_g
+
+    tbl = _build_table(spark, sf_dir)
+    return general_g(tbl, zoom=4)
+
+
+def _q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR test: index of dispersion over the full 4^zoom
+    lattice in closed form (empties never materialized), normal-approx
+    z — one aggregate of the tile relation."""
+    from linear_quadtree_spark.operators.hotspot import quadrat_test
+
+    tbl = _build_table(spark, sf_dir)
+    return quadrat_test(tbl, zoom=4)
+
+
 RIPLEY_RADII = [0.5, 1.0, 2.0, 4.0]
 IDW_ZOOM = 4
 IDW_R = 5.0
@@ -1157,6 +1177,23 @@ def _q_knox_test(spark, sf_dir):
     )
 
 
+def _q_segment_crossings(spark, sf_dir):
+    """Proper crossings between user trip segments (1-in-20 users —
+    long random hops cross a lot; the sample keeps the oracle's
+    brute-force pair scan honest-sized). Supercover cell join + strict
+    orientation refine + one distinct; point values are identical IEEE
+    arithmetic in both engines."""
+    from linear_quadtree_spark.operators.trajectory import (
+        segment_crossings,
+        user_segments,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "user_id % 20 = 0"
+    )
+    return segment_crossings(user_segments(ev), zoom=5)
+
+
 def _q_emerging_hotspots(spark, sf_dir):
     """Space-time-cube emerging-hot-spot analysis: per-day Gi* z over
     the lattice, Mann-Kendall over each tile's z series, 6-class
@@ -2018,12 +2055,15 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "morans_i": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
         "local_moran": _q_local_moran,
+        "general_g": _q_general_g,
+        "quadrat_test": _q_quadrat_test,
         "ripley_k": _q_ripley_k,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
         "emerging_hotspots": _q_emerging_hotspots,
         "knox_test": _q_knox_test,
+        "segment_crossings": _q_segment_crossings,
     }
 
 
@@ -2181,6 +2221,26 @@ def _local_moran_oracle() -> str:
     )
 
 
+def _general_g_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import general_g_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{general_g_sql_duck(4)}"
+    )
+
+
+def _quadrat_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import quadrat_test_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{quadrat_test_sql_duck(4)}"
+    )
+
+
 def _ripley_k_oracle() -> str:
     from linear_quadtree_spark.operators.hotspot import ripley_k_sql_duck
 
@@ -2231,6 +2291,18 @@ def _knox_oracle() -> str:
     from linear_quadtree_spark.operators.spacetime import knox_test_sql_duck
 
     return knox_test_sql_duck("events", r=3.0, dt_s=3600)
+
+
+def _segment_crossings_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        segment_crossings_sql_duck,
+        user_segments_sql_duck,
+    )
+
+    segs = user_segments_sql_duck(
+        "(SELECT * FROM events WHERE user_id % 20 = 0)"
+    )
+    return f"WITH {segs}\n{segment_crossings_sql_duck('segs')}"
 
 
 def _corpus(sql: str) -> str:
@@ -2757,10 +2829,13 @@ GROUP BY 1
         "morans_i": _morans_i_oracle(),
         "gi_star_hotspots": _gi_star_oracle(),
         "local_moran": _local_moran_oracle(),
+        "general_g": _general_g_oracle(),
+        "quadrat_test": _quadrat_oracle(),
         "ripley_k": _ripley_k_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),
         "emerging_hotspots": _emerging_oracle(),
         "knox_test": _knox_oracle(),
+        "segment_crossings": _segment_crossings_oracle(),
     }

@@ -390,6 +390,30 @@ def main() -> None:
     )
     timings["emerging_hotspots"] = time.time() - t0
 
+    t0 = _probe_mark("general_g_z8")
+    from linear_quadtree_spark.operators.hotspot import general_g, quadrat_test
+    gg_row = general_g(tbl, zoom=8).collect()[0]
+    timings["general_g_z8"] = time.time() - t0
+
+    t0 = _probe_mark("quadrat_test_z8")
+    quad_row = quadrat_test(tbl, zoom=8).collect()[0]
+    timings["quadrat_test_z8"] = time.time() - t0
+
+    t0 = _probe_mark("segment_crossings")
+    from linear_quadtree_spark.operators.trajectory import (
+        segment_crossings,
+        user_segments,
+    )
+    cross_rows = segment_crossings(
+        user_segments(
+            spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+                "user_id % 100 = 0"
+            )
+        ),
+        zoom=6,
+    ).count()
+    timings["segment_crossings"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -792,6 +816,9 @@ def main() -> None:
             "gi_star_z8_significant": gi_hot,
             "lisa_quadrants": lisa_quads,
             "knox_z": knox_row.knox_z,
+            "general_g": gg_row.general_g,
+            "quadrat_z": quad_row.quadrat_z,
+            "segment_crossing_pairs": cross_rows,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

@@ -53,6 +53,10 @@ __all__ = [
     "ripley_k_sql_duck",
     "local_moran",
     "local_moran_sql_duck",
+    "general_g",
+    "general_g_sql_duck",
+    "quadrat_test",
+    "quadrat_test_sql_duck",
 ]
 
 
@@ -536,4 +540,187 @@ SELECT tile_id, tx, ty, n_points,
        {_LISA_I_EXPR} AS local_i,
        {_LISA_QUAD_EXPR} AS quadrant
 FROM fin
+"""
+
+
+# ------------------------------------------------------ General G / quadrat
+_GENERAL_G_EXPR = (
+    "CASE WHEN den IS NULL OR den = 0 OR num IS NULL THEN NULL"
+    " ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"
+)
+
+
+def general_g(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Getis–Ord General G — the GLOBAL companion to Gi*: is the
+    overall concentration of HIGH values clustered? G = Σ_ij w_ij
+    x_i x_j / Σ_{i≠j} x_i x_j over occupied tiles under queen
+    contiguity (ordered pairs both ways, the morans_i convention —
+    the symmetry cancels in the ratio). G > E[G] = W/(n(n−1)) →
+    high values cluster; unlike Moran's I it is sensitive to
+    clustering of HIGHS specifically (x is non-negative here).
+
+    Integer-exact: numerator from the 8-offset scatter-gather
+    (decimal(38,0) product sums), denominator in closed form
+    S² − Σx² (no pair join), ONE shared double expression — hash-
+    checkable vs the BETWEEN-join DuckDB twin. Tile-relation-sized.
+    Output one row: (n_tiles, w_pairs, general_g, expected_g)."""
+    g = _tile_counts(tbl, zoom)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("s"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sq"),
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + "))"
+    )
+    scatter = g.select(
+        "tx", "ty", F.col("x").alias("xa"), offs.alias("o")
+    ).select(
+        (F.col("tx") + F.col("o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("o.dy")).alias("cty"),
+        "xa",
+    )
+    pairs = scatter.join(
+        g.select(
+            F.col("tx").alias("ctx"), F.col("ty").alias("cty"),
+            F.col("x").alias("xb"),
+        ),
+        ["ctx", "cty"],
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.col("xa").cast("decimal(19,0)") * F.col("xb").cast("decimal(19,0)")
+        ).alias("num"),
+    )
+    return (
+        tot.crossJoin(agg)
+        .selectExpr(
+            "n AS n_tiles", "w AS w_pairs", "num", "s * s - sq AS den",
+        )
+        .selectExpr(
+            "n_tiles", "w_pairs",
+            _GENERAL_G_EXPR + " AS general_g",
+            "CASE WHEN n_tiles <= 1 THEN NULL"
+            " ELSE CAST(w_pairs AS DOUBLE)"
+            " / (CAST(n_tiles AS DOUBLE) * (CAST(n_tiles AS DOUBLE) - 1.0))"
+            " END AS expected_g",
+        )
+    )
+
+
+def general_g_sql_duck(zoom: int) -> str:
+    """DuckDB twin: BETWEEN neighbourhood self-join, HUGEINT sums,
+    identical shared expressions. Embed after refenc(pref)."""
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+g AS (SELECT x,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq
+        FROM g),
+prs AS (SELECT a.x AS xa, b.x AS xb
+        FROM g a JOIN g b
+          ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+         AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+         AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+pagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                SUM(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS num
+         FROM prs),
+fin AS (SELECT tot.n AS n_tiles, pagg.w AS w_pairs, pagg.num AS num,
+               tot.s * tot.s - tot.sq AS den
+        FROM tot, pagg)
+SELECT n_tiles, w_pairs,
+       {_GENERAL_G_EXPR} AS general_g,
+       CASE WHEN n_tiles <= 1 THEN NULL
+            ELSE CAST(w_pairs AS DOUBLE)
+            / (CAST(n_tiles AS DOUBLE) * (CAST(n_tiles AS DOUBLE) - 1.0))
+            END AS expected_g
+FROM fin
+"""
+
+
+def _quadrat_exprs(m: int) -> tuple[str, str]:
+    """chi2 and its normal-approximation z as shared expressions over
+    integer columns (sq = Σc², n = Σc); m = the full 4^zoom lattice
+    size (empty cells are real quadrats with c = 0 — their Σc²
+    contribution is 0, so the occupied rollup IS the lattice rollup).
+    chi2 = Σ(c − n/m)²/(n/m) = (m·Σc² − n²)/n, integer-exactly."""
+    chi2 = (
+        f"CASE WHEN n = 0 THEN NULL ELSE "
+        f"(CAST({m} AS DOUBLE) * CAST(sq AS DOUBLE)"
+        f" - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) END"
+    )
+    df = m - 1
+    z = (
+        f"CASE WHEN n = 0 THEN NULL ELSE "
+        f"((chi2) - {float(df)!r}) / SQRT({float(2 * df)!r}) END"
+    )
+    return chi2, z
+
+
+def quadrat_test(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Quadrat-count test of complete spatial randomness: the index of
+    dispersion chi² = Σ_cells (c − n/m)²/(n/m) over the FULL 4^zoom
+    lattice (m quadrats, empties included in closed form — the lattice
+    is never materialized), with the normal approximation
+    z = (chi² − df)/sqrt(2·df), df = m−1: z ≫ 0 → clustered,
+    z ≪ 0 → regular/dispersed, |z| ≲ 2 → consistent with CSR.
+
+    Integer-exact moments from ONE aggregate of the tile relation;
+    chi² and z are shared double expressions (hash-checkable).
+    Output one row: (n_points, n_quadrats, occupied_quadrats, chi2,
+    dof, quadrat_z)."""
+    m = 1 << (2 * zoom)
+    chi2_e, z_e = _quadrat_exprs(m)
+    g = _tile_counts(tbl, zoom)
+    return (
+        g.agg(
+            F.sum("x").alias("n"),
+            F.sum(F.col("x") * F.col("x")).alias("sq"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .selectExpr(
+            "n AS n_points",
+            f"CAST({m} AS BIGINT) AS n_quadrats",
+            "occ AS occupied_quadrats",
+            chi2_e + " AS chi2",
+            f"CAST({m - 1} AS BIGINT) AS dof",
+            "n", "sq",
+        )
+        .selectExpr(
+            "n_points", "n_quadrats", "occupied_quadrats", "chi2", "dof",
+            z_e + " AS quadrat_z",
+        )
+    )
+
+
+def quadrat_test_sql_duck(zoom: int) -> str:
+    """DuckDB twin: the same closed-form moments over refenc(pref)."""
+    m = 1 << (2 * zoom)
+    chi2_e, z_e = _quadrat_exprs(m)
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+mq AS (SELECT CAST(SUM(x) AS BIGINT) AS n,
+              CAST(SUM(x * x) AS BIGINT) AS sq,
+              CAST(COUNT(*) AS BIGINT) AS occ
+       FROM occ),
+fq AS (SELECT n AS n_points, CAST({m} AS BIGINT) AS n_quadrats,
+              occ AS occupied_quadrats, {chi2_e} AS chi2,
+              CAST({m - 1} AS BIGINT) AS dof, n, sq
+       FROM mq)
+SELECT n_points, n_quadrats, occupied_quadrats, chi2, dof,
+       {z_e} AS quadrat_z
+FROM fq
 """

@@ -462,14 +462,17 @@ def _daily_dense(
     both trend statistics read it twice."""
     day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
     keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
-    binned = keyed.groupBy(
+    from linear_quadtree_spark.cache import track
+
+    # binned feeds THREE consumers inside this one materialization
+    # (distinct tiles, the global span, the left join) — cache it or
+    # the event scan + aggregate reruns per consumer
+    binned = track(keyed.groupBy(
         "tile", day.alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")))
     span = binned.agg(
         F.min("d").alias("dmin"), F.max("d").alias("dmax")
     )
-    from linear_quadtree_spark.cache import track
-
     return track(
         binned.select("tile").distinct()
         .crossJoin(F.broadcast(span))

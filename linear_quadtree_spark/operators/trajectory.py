@@ -60,6 +60,10 @@ __all__ = [
     "covisit_pairs_sql_duck",
     "dwells",
     "dwells_sql_duck",
+    "user_segments",
+    "user_segments_sql_duck",
+    "segment_crossings",
+    "segment_crossings_sql_duck",
 ]
 
 
@@ -432,4 +436,164 @@ SELECT {id_col}, tile, MIN(ep) AS enter_epoch, MAX(ep) AS exit_epoch,
        COUNT(*) AS n_events
 FROM runs GROUP BY {id_col}, run_id, tile
 HAVING MAX(ep) - MIN(ep) >= {min_dwell_s}
+"""
+
+
+# ------------------------------------------------------ segment crossings
+def user_segments(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive-hop trip segments per user (the od_flows lag
+    discipline on raw capture coordinates): (sid, user_id, x1, y1,
+    x2, y2), sid = the DESTINATION event id — unique, since each event
+    is the destination of at most one hop. One shuffle on the user
+    key."""
+    from pyspark.sql import Window
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+
+    keyed = events.select(
+        F.col(id_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(event_id_col).alias("sid"),
+        geotag_x(event_id_col).cast("double").alias("x2"),
+        geotag_y(event_id_col).cast("double").alias("y2"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_ts", "sid")
+    return (
+        keyed.select(
+            "sid", "user_id", "x2", "y2",
+            F.lag("x2").over(w).alias("x1"),
+            F.lag("y2").over(w).alias("y1"),
+        )
+        .filter(F.col("x1").isNotNull())
+        .select("sid", "user_id", "x1", "y1", "x2", "y2")
+    )
+
+
+def user_segments_sql_duck(
+    src: str = "events",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin CTE chain ending in segs(sid, user_id, x1..y2)."""
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    px = f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)"
+    py = f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)"
+    return f"""segk AS (
+  SELECT {id_col} AS user_id, {ts_col} AS _ts, {event_id_col} AS sid,
+         {px} AS x2, {py} AS y2
+  FROM {src}),
+segs AS (
+  SELECT sid, user_id,
+         LAG(x2) OVER (PARTITION BY user_id ORDER BY _ts, sid) AS x1,
+         LAG(y2) OVER (PARTITION BY user_id ORDER BY _ts, sid) AS y1,
+         x2, y2
+  FROM segk
+  QUALIFY x1 IS NOT NULL)"""
+
+
+def _cross_exprs() -> dict[str, str]:
+    """Shared proper-crossing predicate and intersection point over
+    columns (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) — plain IEEE
+    arithmetic, identical text in both engines. Proper = the two
+    orientation sign products are both strictly negative (touches and
+    collinear overlaps excluded, deliberately: zero-measure contact is
+    not a crossing, and the strict predicate needs no epsilon)."""
+    d1 = "((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))"
+    d2 = "((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1))"
+    d3 = "((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))"
+    d4 = "((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1))"
+    t = f"({d3}) / (({d3}) - ({d4}))"
+    return {
+        "proper": f"({d1}) * ({d2}) < 0.0 AND ({d3}) * ({d4}) < 0.0",
+        "px": f"ax1 + ({t}) * (ax2 - ax1)",
+        "py": f"ay1 + ({t}) * (ay2 - ay1)",
+    }
+
+
+def segment_crossings(
+    segs: DataFrame,
+    zoom: int = 5,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "sid",
+    coord_cols: tuple[str, str, str, str] = ("x1", "y1", "x2", "y2"),
+) -> DataFrame:
+    """All PROPER crossings between segments — the conflict/encounter
+    join (route conflicts, shipping-lane crossings, trajectory
+    encounters). Output one row per unordered crossing pair:
+    (sid_a, sid_b, cross_x, cross_y) with sid_a < sid_b.
+
+    Plan: supercover cell fan-out on both sides (segment_tiles'
+    crossing-parameter expressions — a pair can only cross inside a
+    cell BOTH segments overlap), equi-join on the cell, strict
+    orientation refine, then ONE distinct on the output pair (a pair
+    sharing k cells survives the refine k times; the crossing point
+    and ids are identical in every copy, so distinct is exact). zoom
+    is the density knob: cells per segment ~ its length in cells,
+    candidates per cell ~ local segment density². The intersection
+    point t = d3/(d3 − d4) is the standard orientation-ratio form —
+    IEEE-identical in both engines, hash-checkable vs the brute-force
+    pair-scan DuckDB twin."""
+    x1, y1, x2, y2 = coord_cols
+    stage = segment_stage_exprs(SPARK, x1, y1, x2, y2, zoom, bounds)
+    staged = segs.select(
+        F.col(id_col).alias("_sid"),
+        F.col(x1).alias("_x1"), F.col(y1).alias("_y1"),
+        F.col(x2).alias("_x2"), F.col(y2).alias("_y2"),
+        *[F.expr(ex).alias(name) for name, ex in stage.items()],
+    )
+    cells = segment_cells_from_stage_expr(SPARK, zoom)
+    covered = staged.select(
+        "_sid", "_x1", "_y1", "_x2", "_y2",
+        F.explode(F.expr(cells)).alias("tile_id"),
+    )
+    a = covered.select(
+        F.col("_sid").alias("sid_a"),
+        F.col("_x1").alias("ax1"), F.col("_y1").alias("ay1"),
+        F.col("_x2").alias("ax2"), F.col("_y2").alias("ay2"),
+        "tile_id",
+    )
+    b = covered.select(
+        F.col("_sid").alias("sid_b"),
+        F.col("_x1").alias("bx1"), F.col("_y1").alias("by1"),
+        F.col("_x2").alias("bx2"), F.col("_y2").alias("by2"),
+        "tile_id",
+    )
+    ce = _cross_exprs()
+    return (
+        a.join(b, "tile_id")
+        .filter(F.col("sid_a") < F.col("sid_b"))
+        .filter(F.expr(ce["proper"]))
+        .selectExpr(
+            "sid_a", "sid_b",
+            ce["px"] + " AS cross_x",
+            ce["py"] + " AS cross_y",
+        )
+        .distinct()
+    )
+
+
+def segment_crossings_sql_duck(
+    segs_src: str = "segs",
+    id_col: str = "sid",
+    coord_cols: tuple[str, str, str, str] = ("x1", "y1", "x2", "y2"),
+) -> str:
+    """DuckDB twin by the DEFINITION: one brute-force sid_a < sid_b
+    pair scan (no grid), identical predicate and point expressions.
+    Embed after a CTE exposing segs(sid, x1, y1, x2, y2)."""
+    x1, y1, x2, y2 = coord_cols
+    ce = _cross_exprs()
+    return f"""
+SELECT sid_a, sid_b, {ce['px']} AS cross_x, {ce['py']} AS cross_y
+FROM (
+  SELECT a.{id_col} AS sid_a, b.{id_col} AS sid_b,
+         a.{x1} AS ax1, a.{y1} AS ay1, a.{x2} AS ax2, a.{y2} AS ay2,
+         b.{x1} AS bx1, b.{y1} AS by1, b.{x2} AS bx2, b.{y2} AS by2
+  FROM {segs_src} a JOIN {segs_src} b ON a.{id_col} < b.{id_col})
+WHERE {ce['proper']}
 """

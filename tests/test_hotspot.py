@@ -186,3 +186,55 @@ def test_local_moran_matches_bruteforce(spark, sf_dir):
         assert abs(total_i / w - gi.morans_i) <= 1e-9 * max(1.0, abs(gi.morans_i))
     finally:
         tbl.unpersist()
+
+
+def test_general_g_matches_bruteforce(spark, sf_dir):
+    from linear_quadtree_spark.operators.hotspot import general_g
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        num = den = w = 0
+        for (ax, ay), xa in counts.items():
+            for (bx, by), xb in counts.items():
+                if (ax, ay) == (bx, by):
+                    continue
+                den += xa * xb
+                if abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                    w += 1
+                    num += xa * xb
+        r = general_g(tbl, ZOOM).collect()[0]
+        n = len(counts)
+        assert r.n_tiles == n and r.w_pairs == w
+        assert abs(r.general_g - num / den) <= 1e-12 * max(1.0, num / den)
+        assert abs(r.expected_g - w / (n * (n - 1))) <= 1e-15
+        # uniform hash data: G should sit near its CSR expectation
+        assert 0.0 < r.general_g < 1.0
+    finally:
+        tbl.unpersist()
+
+
+def test_quadrat_test_matches_bruteforce(spark, sf_dir):
+    from linear_quadtree_spark.operators.hotspot import quadrat_test
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        m = 1 << (2 * ZOOM)
+        n = sum(counts.values())
+        mean = n / m
+        chi2 = (
+            sum((c - mean) ** 2 for c in counts.values())
+            + (m - len(counts)) * mean * mean
+        ) / mean
+        r = quadrat_test(tbl, ZOOM).collect()[0]
+        assert r.n_points == n
+        assert r.n_quadrats == m
+        assert r.occupied_quadrats == len(counts)
+        assert r.dof == m - 1
+        assert abs(r.chi2 - chi2) <= 1e-9 * max(1.0, chi2)
+        import math
+        z = (r.chi2 - (m - 1)) / math.sqrt(2.0 * (m - 1))
+        assert abs(r.quadrat_z - z) <= 1e-12 * max(1.0, abs(z))
+    finally:
+        tbl.unpersist()
