@@ -1069,6 +1069,16 @@ def _q_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(corpus_docs(spark, sf_dir))
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Directional n-gram containment (quote/subset detection — high
+    containment at low Jaccard is the signal Jaccard dedup misses):
+    same inverted-index plan, two directional filters on one pair
+    aggregate."""
+    return _dedup.ngram_containment_pairs(
+        corpus_docs(spark, sf_dir), tau_pct=80
+    )
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact duplicated-substring spans (round-3): maximal token runs
     whose word-8-grams repeat across documents — the span-level cut the
@@ -2002,6 +2012,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_containment_pairs": _q_ngram_containment,
         "dup_spans": _q_dup_spans,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -2699,6 +2710,9 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "simhash": _dedup.simhash_sketch_sql_duck(),
         "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),
         "ngram_jaccard_pairs": _corpus(_dedup.ngram_jaccard_pairs_sql_duck("corpus")),
+        "ngram_containment_pairs": _corpus(
+            _dedup.ngram_containment_pairs_sql_duck("corpus", tau_pct=80)
+        ),
         "dup_spans": _corpus(_dedup.dup_spans_sql_duck("corpus")),
         # ---- similarity
         "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),

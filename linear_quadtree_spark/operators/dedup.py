@@ -48,6 +48,8 @@ __all__ = [
     "simhash_pairs_sql_duck",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_sql_duck",
+    "ngram_containment_pairs",
+    "ngram_containment_pairs_sql_duck",
     "dup_spans",
     "dup_spans_sql_duck",
 ]
@@ -440,4 +442,105 @@ SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS start_tok,
        CAST(MAX(pos) + {k - 1} AS BIGINT) AS end_tok,
        COUNT(*) AS n_grams
 FROM isl GROUP BY {id_col}, i
+"""
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 90,
+    max_doc_freq: int | None = MAX_DOC_FREQ,
+) -> DataFrame:
+    """DIRECTIONAL containment C(sub ⊆ sup) = |sub ∩ sup| / |sub| over
+    word-3-gram sets — the quote/subset detector Jaccard misses: a
+    short doc fully embedded in a long one has tiny Jaccard but
+    containment 1. Emits (id_sub, id_sup, inter, n_sub, n_sup) for
+    EVERY ordered pair with containment ≥ tau_pct% (a mutual near-dup
+    appears twice, once per direction — deliberate: direction is the
+    payload).
+
+    Same sparse inverted-index plan as :func:`ngram_jaccard_pairs`
+    (shared `max_doc_freq` posting cap and its documented recall
+    trade: intersections count sub-cap shingles only — mirrored by the
+    twin); the two directional filters read ONE pair-intersection
+    aggregate."""
+    sets = track(with_shingles(docs, text_col).select(id_col, "shd"))
+    sizes = sets.select(
+        F.col(id_col), F.expr(SPARK.size("shd")).cast("long").alias("nsh")
+    )
+    post = sets.select(id_col, F.explode("shd").alias("s"))
+    if max_doc_freq is not None:
+        hot = (
+            post.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        post = post.join(F.broadcast(hot), "s", "left_anti")
+    pa = post.select(F.col(id_col).alias("id_a"), "s")
+    pb = post.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    joined = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb")),
+            "id_b",
+        )
+    )
+    ab = joined.filter(
+        F.col("inter") * 100 >= F.lit(tau_pct) * F.col("na")
+    ).select(
+        F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_sup"),
+        "inter", F.col("na").alias("n_sub"), F.col("nb").alias("n_sup"),
+    )
+    ba = joined.filter(
+        F.col("inter") * 100 >= F.lit(tau_pct) * F.col("nb")
+    ).select(
+        F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_sup"),
+        "inter", F.col("nb").alias("n_sub"), F.col("na").alias("n_sup"),
+    )
+    return ab.unionByName(ba)
+
+
+def ngram_containment_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_pct: int = 90,
+    max_doc_freq: int | None = MAX_DOC_FREQ,
+) -> str:
+    cap_cte = (
+        f"""hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {max_doc_freq}),
+capped AS (SELECT p.* FROM post p ANTI JOIN hot h ON p.s = h.s),"""
+        if max_doc_freq is not None
+        else "capped AS (SELECT * FROM post),"
+    )
+    return f"""
+WITH {_duck_shd_cte(src, text_col, id_col)},
+sizes AS (SELECT {id_col}, CAST(len(shd) AS BIGINT) AS nsh FROM shd),
+post AS (SELECT {id_col}, unnest(shd) AS s FROM shd),
+{cap_cte}
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS inter
+  FROM capped a JOIN capped b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2),
+joined AS (
+  SELECT i.id_a, i.id_b, i.inter, sa.nsh AS na, sb.nsh AS nb
+  FROM inter i
+  JOIN sizes sa ON sa.{id_col} = i.id_a
+  JOIN sizes sb ON sb.{id_col} = i.id_b)
+SELECT id_a AS id_sub, id_b AS id_sup, inter, na AS n_sub, nb AS n_sup
+FROM joined WHERE inter * 100 >= {tau_pct} * na
+UNION ALL
+SELECT id_b AS id_sub, id_a AS id_sup, inter, nb AS n_sub, na AS n_sup
+FROM joined WHERE inter * 100 >= {tau_pct} * nb
 """

@@ -268,3 +268,27 @@ def test_dup_spans_lockstep(spark, sf_dir, duck):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_ngram_containment_lockstep(spark, sf_dir, duck):
+    corp = corpus_docs(spark, sf_dir)
+    sql = _on_corpus(D.ngram_containment_pairs_sql_duck("corpus", tau_pct=80))
+    got = _assert_match(
+        D.ngram_containment_pairs(corp, tau_pct=80), duck, sql
+    )
+    # EXACT duplicates are mutually contained: both directions present
+    n_exact = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 7 = 0"
+    ).fetchone()[0]
+    fwd = got[
+        (got["id_sub"] < NEAR_DUP_OFFSET)
+        & (got["id_sup"] - got["id_sub"] == EXACT_DUP_OFFSET)
+    ]
+    rev = got[
+        (got["id_sup"] < NEAR_DUP_OFFSET)
+        & (got["id_sub"] - got["id_sup"] == EXACT_DUP_OFFSET)
+    ]
+    assert len(fwd) >= n_exact and len(rev) >= n_exact
+    # containment is directional: n_sub is always the contained side's
+    # set size and the threshold binds on IT
+    assert (got["inter"] * 100 >= 80 * got["n_sub"]).all()
