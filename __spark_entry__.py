@@ -1187,6 +1187,18 @@ def _q_knox_test(spark, sf_dir):
     )
 
 
+def _q_spacetime_scan(spark, sf_dir):
+    """Simplified SaTScan: top-20 (tile, day-window) cylinders by exact
+    relative risk obs·N/(tile_total·win_total), windows anchored at
+    occupied days, deterministic tiebreaks — hash-exact vs the
+    BETWEEN-join DuckDB twin."""
+    from linear_quadtree_spark.operators.spacetime import spacetime_scan
+
+    return spacetime_scan(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=4
+    )
+
+
 def _q_segment_crossings(spark, sf_dir):
     """Proper crossings between user trip segments (1-in-20 users —
     long random hops cross a lot; the sample keeps the oracle's
@@ -2075,6 +2087,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "emerging_hotspots": _q_emerging_hotspots,
         "knox_test": _q_knox_test,
         "segment_crossings": _q_segment_crossings,
+        "spacetime_scan": _q_spacetime_scan,
     }
 
 
@@ -2302,6 +2315,14 @@ def _knox_oracle() -> str:
     from linear_quadtree_spark.operators.spacetime import knox_test_sql_duck
 
     return knox_test_sql_duck("events", r=3.0, dt_s=3600)
+
+
+def _spacetime_scan_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        spacetime_scan_sql_duck,
+    )
+
+    return spacetime_scan_sql_duck("events", zoom=4)
 
 
 def _segment_crossings_oracle() -> str:
@@ -2852,4 +2873,5 @@ GROUP BY 1
         "emerging_hotspots": _emerging_oracle(),
         "knox_test": _knox_oracle(),
         "segment_crossings": _segment_crossings_oracle(),
+        "spacetime_scan": _spacetime_scan_oracle(),
     }

@@ -414,6 +414,13 @@ def main() -> None:
     ).count()
     timings["segment_crossings"] = time.time() - t0
 
+    t0 = _probe_mark("spacetime_scan")
+    from linear_quadtree_spark.operators.spacetime import spacetime_scan
+    scan_top = spacetime_scan(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).collect()
+    timings["spacetime_scan"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -819,6 +826,7 @@ def main() -> None:
             "general_g": gg_row.general_g,
             "quadrat_z": quad_row.quadrat_z,
             "segment_crossing_pairs": cross_rows,
+            "scan_top_rr": scan_top[0].rel_risk if scan_top else None,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

@@ -40,6 +40,7 @@ __all__ = [
     "theil_sen", "theil_sen_sql_duck",
     "emerging_hotspots", "emerging_hotspots_sql_duck",
     "knox_test", "knox_test_sql_duck",
+    "spacetime_scan", "spacetime_scan_sql_duck",
 ]
 
 
@@ -1174,4 +1175,158 @@ kg AS (
 SELECT n_events, npairs, pairs_space, pairs_time, pairs_both, knox_e,
        {_KNOX_Z_EXPR} AS knox_z
 FROM kg
+"""
+
+
+# ------------------------------------------------- space-time scan (top-k)
+_RR_EXPR = (
+    "CASE WHEN tile_total = 0 OR win_total = 0 THEN NULL"
+    " ELSE (CAST(obs AS DOUBLE) * CAST(n_total AS DOUBLE))"
+    " / (CAST(tile_total AS DOUBLE) * CAST(win_total AS DOUBLE)) END"
+)
+
+
+def spacetime_scan(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    max_len_days: int = 7,
+    min_obs: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Space-time scan over (tile × day-window) cylinders — the
+    simplified SaTScan shape: rank every cylinder (tile, window start,
+    window length ≤ max_len_days) by its exact RELATIVE RISK
+    rr = obs·N / (tile_total · window_total) under the margin
+    independence null, keep the top k with obs ≥ min_obs. The full
+    Kulldorff statistic ranks by Poisson LLR — a monotone function of
+    rr at fixed obs; rr is log-free, so it stays a rational of exact
+    integers and hash-checks (documented simplification).
+
+    Plan/scale shape: one hash aggregate to (tile, day) counts; each
+    binned row fans out to the ≤ L(L+1)/2 windows containing its day
+    (L = max_len_days — the bounded knob, 28 copies at L = 7) and ONE
+    aggregate forms cylinder observations; day margins fan identically
+    on the days-sized relation; tile margins and N broadcast. Ranking
+    is a global top-k (TakeOrderedAndProject — never a full sort) by
+    (rr, obs, tile, start, len) — rr ties break on exact integers, so
+    the k rows are deterministic. Nothing event-sized past the first
+    aggregate. Output: (tile, win_start, win_len_days, obs, tile_total,
+    win_total, n_total, rel_risk)."""
+    if max_len_days < 1 or k < 1:
+        raise ValueError("max_len_days and k must be >= 1")
+    from linear_quadtree_spark.cache import track
+
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    binned = track(
+        keyed.groupBy("tile", day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    L = max_len_days
+    wins = F.expr(
+        "explode(flatten(transform(sequence(0, {km}), k -> "
+        "transform(sequence(k + 1, {L}), l -> "
+        "named_struct('s', d - k * 86400L, 'l', l)))))".format(km=L - 1, L=L)
+    )
+    # windows are anchored at OCCUPIED days (the scan convention:
+    # cylinders start at case times) — the day-shift fan-out also
+    # produces starts that precede the first occupied day of a run,
+    # and those must be dropped IDENTICALLY to the twin's
+    # distinct-days x lengths enumeration
+    starts = binned.select(F.col("d").alias("win_start")).distinct()
+    cyl = (
+        binned.select("tile", "c", wins.alias("w"))
+        .groupBy("tile", F.col("w.s").alias("win_start"),
+                 F.col("w.l").alias("win_len_days"))
+        .agg(F.sum("c").alias("obs"))
+        .filter(F.col("obs") >= min_obs)
+        .join(F.broadcast(starts), "win_start", "left_semi")
+    )
+    md = binned.groupBy("d").agg(F.sum("c").alias("mc"))
+    wm = (
+        md.select("mc", wins.alias("w"))
+        .groupBy(F.col("w.s").alias("win_start"),
+                 F.col("w.l").alias("win_len_days"))
+        .agg(F.sum("mc").alias("win_total"))
+        .join(F.broadcast(starts), "win_start", "left_semi")
+    )
+    mt = binned.groupBy("tile").agg(F.sum("c").alias("tile_total"))
+    tot = binned.agg(F.sum("c").alias("n_total"))
+    ranked = (
+        cyl.join(F.broadcast(wm), ["win_start", "win_len_days"])
+        .join(F.broadcast(mt), "tile")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "tile", "win_start",
+            "CAST(win_len_days AS BIGINT) AS win_len_days", "obs",
+            "tile_total", "win_total", "n_total",
+            _RR_EXPR + " AS rel_risk",
+        )
+    )
+    return ranked.orderBy(
+        F.desc("rel_risk"), F.desc("obs"),
+        "tile", "win_start", "win_len_days",
+    ).limit(k)
+
+
+def spacetime_scan_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    max_len_days: int = 7,
+    min_obs: int = 5,
+    k: int = 20,
+) -> str:
+    """DuckDB twin by the DEFINITION: windows enumerated from the
+    distinct-day relation × lengths, cylinder sums via a BETWEEN join
+    (a different plan family than the Spark fan-out), identical rr
+    expression and deterministic ORDER BY ... LIMIT k."""
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    L = max_len_days
+    return f"""
+WITH sb AS (
+  SELECT {cell} AS tile,
+         CAST(epoch(date_trunc('day', {ts_col})) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY 1, 2),
+sw AS (
+  SELECT d AS win_start, CAST(l AS BIGINT) AS win_len_days
+  FROM (SELECT DISTINCT d FROM sb)
+  CROSS JOIN (SELECT unnest(generate_series(1, {L})) AS l)),
+scyl AS (
+  SELECT sb.tile, sw.win_start, sw.win_len_days,
+         CAST(SUM(sb.c) AS BIGINT) AS obs
+  FROM sw JOIN sb
+    ON sb.d BETWEEN sw.win_start
+   AND sw.win_start + (sw.win_len_days - 1) * 86400
+  GROUP BY 1, 2, 3
+  HAVING SUM(sb.c) >= {min_obs}),
+swm AS (
+  SELECT sw.win_start, sw.win_len_days, CAST(SUM(sb.c) AS BIGINT) AS win_total
+  FROM sw JOIN sb
+    ON sb.d BETWEEN sw.win_start
+   AND sw.win_start + (sw.win_len_days - 1) * 86400
+  GROUP BY 1, 2),
+smt AS (SELECT tile, CAST(SUM(c) AS BIGINT) AS tile_total FROM sb GROUP BY 1),
+stot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM sb),
+sfin AS (
+  SELECT scyl.tile, scyl.win_start, scyl.win_len_days, scyl.obs,
+         smt.tile_total, swm.win_total, stot.n_total
+  FROM scyl
+  JOIN swm ON scyl.win_start = swm.win_start
+          AND scyl.win_len_days = swm.win_len_days
+  JOIN smt ON scyl.tile = smt.tile
+  CROSS JOIN stot)
+SELECT tile, win_start, win_len_days, obs, tile_total, win_total, n_total,
+       {_RR_EXPR} AS rel_risk
+FROM sfin
+ORDER BY rel_risk DESC, obs DESC, tile, win_start, win_len_days
+LIMIT {k}
 """
