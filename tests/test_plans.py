@@ -484,3 +484,82 @@ def test_partitioned_table_full_consumers_unaffected(spark, tmp_path):
     )
     assert got_knn == exp_knn and len(got_knn) == 6
     t.unpersist()
+
+
+def test_spacetime_scan_topk_not_full_sort(spark, sf_dir):
+    from linear_quadtree_spark.operators.spacetime import spacetime_scan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(spacetime_scan(ev, zoom=3, k=10))
+    # ranking must compile to a top-k, never a global sort of all
+    # cylinders
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0  # top-k never plans a full sort
+    # margins are broadcast equi-joins; the single nested-loop allowed
+    # is the broadcast of the 1-row n_total scalar onto the cylinders
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_knox_no_nested_loop_joins(spark, sf_dir):
+    from linear_quadtree_spark.operators.spacetime import knox_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(knox_test(ev, r=3.0, dt_s=3600))
+    # the three pair counts are bucketed equi-joins; nested-loop
+    # shapes may appear ONLY as 1-row scalar combiners (n_pairs /
+    # n_close_* are single-row aggregates crossed together), never on
+    # the event-pair side
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        >= 2
+    )
+
+
+def test_emerging_hotspots_no_inequality_join(spark, sf_dir):
+    from linear_quadtree_spark.operators.spacetime import emerging_hotspots
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(emerging_hotspots(ev, zoom=3))
+    # the dense cube is tiles x broadcast(days) and dmax is a 1-row
+    # scalar — those are the only nested-loop shapes, and both must
+    # build the broadcast (small) side; never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    import re
+
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert re.search(r"Build(Right|Left), Cross", ln), ln
+    # the focal gather and MK pair join are true equi-joins
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        >= 2
+    )
+
+
+def test_local_moran_broadcasts_denominator(spark, tbl):
+    from linear_quadtree_spark.operators.hotspot import local_moran
+
+    plan = _plan(local_moran(tbl, zoom=3))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_segment_crossings_equijoin_on_cell(spark):
+    from linear_quadtree_spark.operators.trajectory import segment_crossings
+
+    segs = spark.createDataFrame(
+        [(1, 1001.0, 1001.0, 1099.0, 1099.0), (2, 1001.0, 1099.0, 1099.0, 1001.0)],
+        "sid: long, x1: double, y1: double, x2: double, y2: double",
+    )
+    plan = _plan(segment_crossings(segs, zoom=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dedup of multi-cell survivors is one aggregate, not a sort-distinct
+    assert "HashAggregate" in plan
