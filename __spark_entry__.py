@@ -1199,6 +1199,45 @@ def _q_spacetime_scan(spark, sf_dir):
     )
 
 
+def _q_radius_of_gyration(spark, sf_dir):
+    """Radius of gyration per user (operators/trajectory.py) — the
+    mobility-scale statistic on the integer cell grid: every column an
+    exact integer (rog2 = rog2_num/n², cell² units), ONE map-side-
+    combined aggregate on the user key, events touched once."""
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+
+    return radius_of_gyration(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), zoom=10
+    )
+
+
+def _rog_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        radius_of_gyration_sql_duck,
+    )
+
+    return radius_of_gyration_sql_duck("events", zoom=10)
+
+
+def _q_speed_flags(spark, sf_dir):
+    """Teleport detection (operators/trajectory.py): consecutive hops
+    whose implied speed exceeds vmax, via the division-free predicate
+    d2 > vmax²·dt² (same-second hops flag; no NaN reaches a
+    comparison). One lag window on the user key, then a map-local
+    filter — output is the anomaly set only."""
+    from linear_quadtree_spark.operators.trajectory import speed_flags
+
+    return speed_flags(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), vmax=0.05
+    )
+
+
+def _speed_flags_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import speed_flags_sql_duck
+
+    return speed_flags_sql_duck("events", vmax=0.05)
+
+
 def _q_segment_crossings(spark, sf_dir):
     """Proper crossings between user trip segments (1-in-20 users —
     long random hops cross a lot; the sample keeps the oracle's
@@ -2088,6 +2127,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knox_test": _q_knox_test,
         "segment_crossings": _q_segment_crossings,
         "spacetime_scan": _q_spacetime_scan,
+        "radius_of_gyration": _q_radius_of_gyration,
+        "speed_flags": _q_speed_flags,
     }
 
 
@@ -2874,4 +2915,6 @@ GROUP BY 1
         "knox_test": _knox_oracle(),
         "segment_crossings": _segment_crossings_oracle(),
         "spacetime_scan": _spacetime_scan_oracle(),
+        "radius_of_gyration": _rog_oracle(),
+        "speed_flags": _speed_flags_oracle(),
     }

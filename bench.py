@@ -421,6 +421,20 @@ def main() -> None:
     ).collect()
     timings["spacetime_scan"] = time.time() - t0
 
+    t0 = _probe_mark("radius_of_gyration")
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+    rog_rows = radius_of_gyration(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=10
+    ).count()
+    timings["radius_of_gyration"] = time.time() - t0
+
+    t0 = _probe_mark("speed_flags")
+    from linear_quadtree_spark.operators.trajectory import speed_flags
+    speed_rows = speed_flags(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), vmax=0.05
+    ).count()
+    timings["speed_flags"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(

@@ -64,6 +64,10 @@ __all__ = [
     "user_segments_sql_duck",
     "segment_crossings",
     "segment_crossings_sql_duck",
+    "radius_of_gyration",
+    "radius_of_gyration_sql_duck",
+    "speed_flags",
+    "speed_flags_sql_duck",
 ]
 
 
@@ -596,4 +600,223 @@ FROM (
          b.{x1} AS bx1, b.{y1} AS by1, b.{x2} AS bx2, b.{y2} AS by2
   FROM {segs_src} a JOIN {segs_src} b ON a.{id_col} < b.{id_col})
 WHERE {ce['proper']}
+"""
+
+
+# ----------------------------------------------------- radius of gyration
+def radius_of_gyration(
+    events: DataFrame,
+    zoom: int = 10,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Radius of gyration per actor — the canonical mobility-scale
+    statistic (Gonzalez/Hidalgo/Barabasi 2008: how far a user's
+    activity spreads around its own centroid; for hosts it is the
+    geographic reach of a publisher's audience). Computed on the
+    INTEGER cell grid at ``zoom`` so every emitted column is an exact
+    integer — no float accumulation order to disagree across engines:
+
+        rog2 = (1/n) * sum((ix - mx)^2 + (iy - my)^2)     (cell^2 units)
+             = (n * sum(ix^2 + iy^2) - sum(ix)^2 - sum(iy)^2) / n^2
+
+    Output ``(user_id, n_events, sx, sy, ssq, rog2_num, rog2_cells)``:
+    ``sx, sy`` the coordinate sums, ``ssq = sum(ix^2+iy^2)``,
+    ``rog2_num`` the exact numerator above (rog2 = rog2_num / n^2 in
+    cell^2 units, one cell = extent/2^zoom coordinate units), and
+    ``rog2_cells = rog2_num div n^2`` its integer part. int64 ceiling:
+    rog2_num <= n^2 * 2^(2*zoom+1), so zoom=10 is exact to ~2^21
+    events per actor — shard hotter actors by epoch first (the
+    tile_concentration discipline).
+
+    Scale shape: ONE map-side-combined aggregate on the actor key;
+    events are touched exactly once, the cell indexes are pure
+    id-derived projections (no join attaches geometry), and the output
+    is one row per actor. Skew: a single hot actor is one combiner
+    chain — AQE handles moderate skew; beyond that, pre-aggregate by
+    (actor, epoch-bucket) and re-fold (the sums are associative).
+    """
+    from linear_quadtree_spark.functions.geocell import axis_index_expr
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    ix = axis_index_expr(
+        SPARK, geotag_x_sql(event_id_col), bounds.xstart, bounds.xend, zoom
+    )
+    iy = axis_index_expr(
+        SPARK, geotag_y_sql(event_id_col), bounds.ystart, bounds.yend, zoom
+    )
+    g = (
+        events.select(
+            F.col(id_col),
+            F.expr(ix).alias("_ix"),
+            F.expr(iy).alias("_iy"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_ix").alias("sx"),
+            F.sum("_iy").alias("sy"),
+            F.sum(
+                F.col("_ix") * F.col("_ix") + F.col("_iy") * F.col("_iy")
+            ).alias("ssq"),
+        )
+    )
+    num = (
+        F.col("n_events") * F.col("ssq")
+        - F.col("sx") * F.col("sx")
+        - F.col("sy") * F.col("sy")
+    )
+    return g.select(
+        id_col,
+        "n_events",
+        "sx",
+        "sy",
+        "ssq",
+        num.alias("rog2_num"),
+        F.expr(
+            "CAST((n_events * ssq - sx * sx - sy * sy)"
+            " DIV (n_events * n_events) AS BIGINT)"
+        ).alias("rog2_cells"),
+    )
+
+
+def radius_of_gyration_sql_duck(
+    src: str = "events",
+    zoom: int = 10,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — identical integer cell-index expressions, same
+    exact-integer identity (DuckDB's SUM widens to HUGEINT; explicit
+    BIGINT casts restore the shared schema)."""
+    from linear_quadtree_spark.functions.geocell import axis_index_expr
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    ix = axis_index_expr(
+        DUCK, geotag_x_sql(event_id_col), bounds.xstart, bounds.xend, zoom
+    )
+    iy = axis_index_expr(
+        DUCK, geotag_y_sql(event_id_col), bounds.ystart, bounds.yend, zoom
+    )
+    return f"""
+WITH cells AS (
+  SELECT {id_col}, {ix} AS ix, {iy} AS iy FROM {src}),
+g AS (
+  SELECT {id_col},
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(ix) AS BIGINT) AS sx,
+         CAST(SUM(iy) AS BIGINT) AS sy,
+         CAST(SUM(ix * ix + iy * iy) AS BIGINT) AS ssq
+  FROM cells GROUP BY 1)
+SELECT {id_col}, n_events, sx, sy, ssq,
+       n_events * ssq - sx * sx - sy * sy AS rog2_num,
+       CAST((n_events * ssq - sx * sx - sy * sy)
+            // (n_events * n_events) AS BIGINT) AS rog2_cells
+FROM g
+"""
+
+
+# ------------------------------------------------------- speed anomalies
+def speed_flags(
+    events: DataFrame,
+    vmax: float = 0.05,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Teleport detection: per actor, consecutive event pairs (ts then
+    event-id order, the od_flows discipline) whose implied speed
+    exceeds ``vmax`` coordinate-units/second — the GPS/geotag integrity
+    filter every mobility pipeline runs before trusting a trajectory
+    (spoofed locations, device clock faults, account sharing). The
+    predicate is the division-free cross-multiplied form
+
+        d2 > vmax^2 * dt^2        (d2 = squared hop distance, DOUBLE)
+
+    so a same-second hop with any displacement flags (dt = 0 means
+    infinite implied speed) and no NaN/Inf ever reaches a comparison —
+    engines disagree on NaN ordering, never on finite arithmetic.
+    Output ``(user_id, eid_from, eid_to, dt_s, d2)``; d2 is a fixed
+    expression over float32 geotags, bit-identical across engines.
+
+    Scale shape: ONE shuffle on the actor key (the lag window), then a
+    map-local filter — nothing event-sized is joined or re-shuffled;
+    output is the anomaly set only. Per-actor window cost is bounded by
+    per-actor event counts, the sessionize bound.
+    """
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col).alias("eid_to"),
+        F.expr(f"unix_timestamp({ts_col})").alias("_ep"),
+        F.col(ts_col),
+        F.expr(f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)").alias("_x"),
+        F.expr(f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)").alias("_y"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col, "eid_to")
+    hops = (
+        keyed.withColumn("eid_from", F.lag("eid_to").over(w))
+        .withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .withColumn("_pep", F.lag("_ep").over(w))
+        .filter(F.col("eid_from").isNotNull())
+    )
+    dt = (F.col("_ep") - F.col("_pep")).alias("dt_s")
+    d2 = (
+        (F.col("_x") - F.col("_px")) * (F.col("_x") - F.col("_px"))
+        + (F.col("_y") - F.col("_py")) * (F.col("_y") - F.col("_py"))
+    )
+    v2 = float(vmax) * float(vmax)
+    return (
+        hops.select(
+            id_col,
+            "eid_from",
+            F.col("eid_to"),
+            dt,
+            d2.alias("d2"),
+        )
+        .filter(
+            F.col("d2")
+            > F.lit(v2) * F.col("dt_s").cast("double") * F.col("dt_s").cast("double")
+        )
+    )
+
+
+def speed_flags_sql_duck(
+    src: str = "events",
+    vmax: float = 0.05,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same LAG window, same division-free predicate."""
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    v2 = repr(float(vmax) * float(vmax))
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {event_id_col} AS eid_to, {ts_col},
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep,
+         CAST({geotag_x_sql(event_id_col)} AS DOUBLE) AS x,
+         CAST({geotag_y_sql(event_id_col)} AS DOUBLE) AS y
+  FROM {src}),
+hops AS (
+  SELECT {id_col}, eid_to,
+         LAG(eid_to) OVER w AS eid_from,
+         ep - LAG(ep) OVER w AS dt_s,
+         (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+           + (y - LAG(y) OVER w) * (y - LAG(y) OVER w) AS d2
+  FROM keyed WINDOW w AS (PARTITION BY {id_col} ORDER BY {ts_col}, eid_to))
+SELECT {id_col}, eid_from, eid_to, dt_s, d2
+FROM hops
+WHERE eid_from IS NOT NULL
+  AND d2 > {v2} * CAST(dt_s AS DOUBLE) * CAST(dt_s AS DOUBLE)
 """

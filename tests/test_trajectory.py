@@ -407,3 +407,161 @@ def test_dwells_single_exchange(spark, sf_dir):
     # both windows and the run aggregate reuse ONE user-key exchange
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------ radius of gyration
+def _geotags_np(eids):
+    """Python replica of the float32 geotag pair (functions/geotag.py)."""
+    import numpy as np
+
+    e = np.asarray(eids, dtype=np.int64)
+    x = np.float32(
+        1000.0 + 100.0 * ((e * 2654435761) % 2**32).astype(np.float64) / 2**32
+    )
+    y = np.float32(
+        1000.0 + 100.0 * ((e * 2246822519 + 1013904223) % 2**32).astype(np.float64)
+        / 2**32
+    )
+    return x.astype(np.float64), y.astype(np.float64)
+
+
+def test_rog_bruteforce(spark, sf_dir):
+    """Exact-integer identity n·Σ(ix²+iy²) − Σix² − Σiy² against a full
+    Python recomputation from the raw event ids."""
+    import collections
+
+    import numpy as np
+
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select("user_id", "event_id").collect()
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r.event_id)
+    n_grid = 1 << 10
+    exp = {}
+    for uid, eids in per_user.items():
+        x, y = _geotags_np(eids)
+        ix = np.clip(
+            np.floor((x - 1000.0) * (n_grid / 100.0)).astype(np.int64), 0, n_grid - 1
+        )
+        iy = np.clip(
+            np.floor((y - 1000.0) * (n_grid / 100.0)).astype(np.int64), 0, n_grid - 1
+        )
+        n = len(eids)
+        sx, sy = int(ix.sum()), int(iy.sum())
+        ssq = int((ix * ix + iy * iy).sum())
+        num = n * ssq - sx * sx - sy * sy
+        exp[uid] = (n, sx, sy, ssq, num, num // (n * n))
+    got = {
+        r.user_id: (r.n_events, r.sx, r.sy, r.ssq, r.rog2_num, r.rog2_cells)
+        for r in radius_of_gyration(ev, zoom=10).collect()
+    }
+    assert got == exp
+    assert len(got) > 5
+    # variance identity: numerator is non-negative for every actor
+    assert all(v[4] >= 0 for v in got.values())
+
+
+def test_rog_single_point_and_colocated(spark):
+    """One event → rog 0; a user whose events all land in one cell →
+    rog 0 (the statistic is about spread, not activity volume)."""
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+
+    import numpy as np
+
+    # the multiplicative geotag sequence is LOW-DISCREPANCY (a rank-1
+    # lattice): sequential ids anti-cluster, so finding three ids in
+    # one zoom-10 cell needs a few million candidates, not a few
+    # thousand — scan vectorized
+    eids = np.arange(1, 2_000_001, dtype=np.int64)
+    x, y = _geotags_np(eids)
+    ix = np.floor((x - 1000.0) * (1024 / 100.0)).astype(np.int64)
+    iy = np.floor((y - 1000.0) * (1024 / 100.0)).astype(np.int64)
+    key = ix * 1024 + iy
+    u, c = np.unique(key, return_counts=True)
+    same = [int(v) for v in eids[key == u[c >= 3][0]][:3]]
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(same[0], 1, t0)] + [(e, 2, t0) for e in same]
+    ev = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = {r.user_id: r for r in radius_of_gyration(ev, zoom=10).collect()}
+    assert got[1].rog2_num == 0 and got[1].rog2_cells == 0
+    assert got[2].rog2_num == 0 and got[2].n_events == 3
+
+
+def test_rog_plan_single_aggregate(spark, sf_dir):
+    """One shuffle (the actor aggregate), no join — the geometry rides
+    as an id-derived projection."""
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = radius_of_gyration(ev, zoom=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+# --------------------------------------------------------- speed anomalies
+def test_speed_flags_bruteforce(spark, sf_dir):
+    """Full Python recomputation: per user ts-then-id ordered hops,
+    flag iff d2 > vmax²·dt² (dt = 0 with displacement flags)."""
+    import collections
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import speed_flags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select("user_id", "event_id", "ts").collect()
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        ep = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        per_user[r.user_id].append((r.ts, r.event_id, ep))
+    v2 = 0.05 * 0.05
+    exp = set()
+    for uid, evs in per_user.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            (xa,), (ya,) = _geotags_np([a[1]])
+            (xb,), (yb,) = _geotags_np([b[1]])
+            d2 = (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)
+            dts = b[2] - a[2]
+            if d2 > v2 * dts * dts:
+                exp.add((uid, a[1], b[1], dts))
+    got = {
+        (r.user_id, r.eid_from, r.eid_to, r.dt_s)
+        for r in speed_flags(ev, vmax=0.05).collect()
+    }
+    assert got == exp
+    assert 0 < len(got) < len(rows)  # flags a strict minority
+
+
+def test_speed_flags_same_second_and_slow(spark):
+    """dt = 0 with displacement always flags (infinite implied speed);
+    a huge dt never flags; a single-event user emits nothing."""
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import speed_flags
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, t0), (2, 1, t0),                                  # same second
+        (3, 2, t0), (4, 2, t0 + dt.timedelta(days=365)),         # glacial
+        (5, 3, t0),                                              # singleton
+    ]
+    ev = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = speed_flags(ev, vmax=0.05).collect()
+    assert {(r.user_id, r.eid_from, r.eid_to) for r in got} == {(1, 1, 2)}
+    assert got[0].dt_s == 0 and got[0].d2 > 0.0
+
+
+def test_speed_flags_plan_single_exchange(spark, sf_dir):
+    """The lag window is the only shuffle; the flag is a map-local
+    filter, and nothing joins."""
+    from linear_quadtree_spark.operators.trajectory import speed_flags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = speed_flags(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
