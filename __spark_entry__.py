@@ -277,6 +277,31 @@ def _q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripley_k(tbl, RIPLEY_RADII)
 
 
+NN_RMAX = 3.0
+NN_BINS = 16
+
+
+def _q_nn_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-distance histogram (the point-pattern
+    G-function, censored at rmax): one cell-bucketed distance self-join
+    + per-point min + nbins histogram; bin -1 holds the censored mass.
+    Squared distances and a shared bin-width literal — no sqrt —
+    hash-exact vs the DuckDB brute-force pair twin."""
+    from linear_quadtree_spark.operators.hotspot import nn_dist_hist
+
+    tbl = _build_table(spark, sf_dir)
+    return nn_dist_hist(tbl, rmax=NN_RMAX, nbins=NN_BINS)
+
+
+def _nn_dist_hist_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import nn_dist_hist_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{nn_dist_hist_sql_duck(NN_RMAX, NN_BINS)}"
+    )
+
+
 PYRAMID_ZOOMS = [2, 4, 6]
 
 
@@ -715,6 +740,27 @@ def _tile_terms_oracle() -> str:
     from linear_quadtree_spark.operators.geotext import tile_terms_sql_duck
 
     return tile_terms_sql_duck("documents", **TILE_TERMS_ARGS)
+
+
+DRIFT_ARGS = dict(level=2, top_k=3, min_df=4)
+
+
+def _q_tile_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile vocabulary drift between two corpus epochs
+    (operators/geotext.py): top-k terms per tile by the 2x2 chi-square
+    of term presence x epoch, direction decided by integer
+    cross-products. Same one-presence-shuffle plan as tile_terms; the
+    epoch label rides in as an id-derived expression."""
+    from linear_quadtree_spark.operators.geotext import tile_term_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tile_term_drift(docs, **DRIFT_ARGS)
+
+
+def _tile_term_drift_oracle() -> str:
+    from linear_quadtree_spark.operators.geotext import tile_term_drift_sql_duck
+
+    return tile_term_drift_sql_duck("documents", **DRIFT_ARGS)
 
 
 OVERLAP_LEVEL = 6
@@ -2033,6 +2079,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "radius_join_sample": _q_radius_join_sample,
         "spatial_overlap": _q_spatial_overlap,
         "tile_terms": _q_tile_terms,
+        "tile_term_drift": _q_tile_term_drift,
         "colocation_pairs": _q_colocation_pairs,
         "od_flows": _q_od_flows,
         "tile_rank": _q_tile_rank,
@@ -2120,6 +2167,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "general_g": _q_general_g,
         "quadrat_test": _q_quadrat_test,
         "ripley_k": _q_ripley_k,
+        "nn_dist_hist": _q_nn_dist_hist,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -2735,6 +2783,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "radius_join_sample": _radius_join_sample_oracle(),
         "spatial_overlap": _spatial_overlap_oracle(),
         "tile_terms": _tile_terms_oracle(),
+        "tile_term_drift": _tile_term_drift_oracle(),
         "colocation_pairs": _colocation_oracle(),
         "od_flows": _od_flows_oracle(),
         "tile_rank": _tile_rank_oracle(),
@@ -2908,6 +2957,7 @@ GROUP BY 1
         "general_g": _general_g_oracle(),
         "quadrat_test": _quadrat_oracle(),
         "ripley_k": _ripley_k_oracle(),
+        "nn_dist_hist": _nn_dist_hist_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -359,6 +359,14 @@ def main() -> None:
     ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
     timings["ripley_k"] = time.time() - t0
 
+    # G-function on the same built table: the rmax here is ~4x the
+    # mean NN spacing at sf0.1 (60k docs over 100x100), so the
+    # bucketed self-join stays density-bounded
+    t0 = _probe_mark("nn_dist_hist")
+    from linear_quadtree_spark.operators.hotspot import nn_dist_hist
+    nn_hist_rows = nn_dist_hist(tbl, rmax=1.6, nbins=16).collect()
+    timings["nn_dist_hist"] = time.time() - t0
+
     t0 = _probe_mark("mk_trend")
     from linear_quadtree_spark.operators.spacetime import mk_trend
     mk_up = (
@@ -682,6 +690,10 @@ def main() -> None:
     tt_rows = _entry.queries()["tile_terms"](spark, SF_DIR).count()
     timings["tile_terms"] = time.time() - t0
 
+    t0 = _probe_mark("tile_term_drift")
+    drift_rows = _entry.queries()["tile_term_drift"](spark, SF_DIR).count()
+    timings["tile_term_drift"] = time.time() - t0
+
     t0 = _probe_mark("colocation_pairs")
     coloc_rows = _entry.queries()["colocation_pairs"](spark, SF_DIR).count()
     timings["colocation_pairs"] = time.time() - t0
@@ -842,11 +854,17 @@ def main() -> None:
             "segment_crossing_pairs": cross_rows,
             "scan_top_rr": scan_top[0].rel_risk if scan_top else None,
             "ripley_pairs_rmax": int(ripley_rows[-1].n_pairs),
+            "nn_hist_censored": int(
+                next(r.n_points for r in nn_hist_rows if r.bin == -1)
+            ),
+            "rog_actors": rog_rows,
+            "speed_flag_rows": speed_rows,
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
             "theil_sen_tiles": sen_rows,
             "emerging_patterns": {r["pattern"]: r["count"] for r in emerge},
             "tile_terms_rows": tt_rows,
+            "tile_term_drift_rows": drift_rows,
             "colocation_rows": coloc_rows,
             "od_flow_rows": od_rows,
             "tile_rank_rows": tr_rows,

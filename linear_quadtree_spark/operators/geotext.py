@@ -42,7 +42,14 @@ from linear_quadtree_spark.functions.geotag import (
 )
 from linear_quadtree_spark.functions.textexpr import DUCK, tokens_expr
 
-__all__ = ["tile_terms", "tile_terms_sql_duck", "host_spread", "host_spread_sql_duck"]
+__all__ = [
+    "tile_terms",
+    "tile_terms_sql_duck",
+    "host_spread",
+    "host_spread_sql_duck",
+    "tile_term_drift",
+    "tile_term_drift_sql_duck",
+]
 
 
 def tile_terms(
@@ -213,4 +220,165 @@ agg AS (
 SELECT host, n_docs, n_tiles, top_tile_docs,
        (1000000 * ss) // (n_docs * n_docs) AS spread_hhi_ppm
 FROM agg
+"""
+
+
+# ---------------------------------------------------------- term drift
+def _drift_chi2_expr() -> str:
+    """The one shared double expression: 2x2 chi-square of (term
+    presence x epoch) within a tile, from exact integer cells. With
+    d = df_a*n_b - df_b*n_a (the cross-product difference; an exact
+    int64 cast exactly to double while |d| < 2^53):
+
+        chi2 = N * d^2 / (n_a * n_b * T * (N - T)),
+        N = n_a + n_b, T = df_a + df_b.
+    """
+    return (
+        "(CAST(n_a + n_b AS DOUBLE)"
+        " * CAST(df_a * n_b - df_b * n_a AS DOUBLE)"
+        " * CAST(df_a * n_b - df_b * n_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " * CAST(df_a + df_b AS DOUBLE)"
+        " * CAST(n_a + n_b - df_a - df_b AS DOUBLE))"
+    )
+
+
+_DRIFT_DIR_EXPR = (
+    "CASE WHEN df_b * n_a > df_a * n_b THEN 1 "
+    "WHEN df_b * n_a < df_a * n_b THEN -1 ELSE 0 END"
+)
+
+
+def tile_term_drift(
+    docs: DataFrame,
+    level: int = 2,
+    top_k: int = 3,
+    min_df: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_expr: str | None = None,
+) -> DataFrame:
+    """Per-tile vocabulary drift between two corpus epochs — "what
+    changed HERE between snapshot A and snapshot B": for each tile,
+    the terms whose document-frequency rate differs most between the
+    epochs by the 2x2 chi-square statistic (term presence x epoch,
+    within the tile). The geo-temporal monitoring query a recrawled
+    web corpus answers: emerging local topics, dying place names,
+    regional events entering the vocabulary.
+
+    ``epoch_expr`` is a 0/1 SQL expression labelling each doc's epoch
+    (0 = A/old, 1 = B/new) — in production the snapshot/crawl id;
+    defaults to ``{id}_col % 2``, the deterministic stand-in the
+    synthetic tables support. ``direction`` is +1 when the term's rate
+    RISES in epoch B, -1 when it falls, 0 on exact rate ties — decided
+    by integer cross-products, never by float rates.
+
+    Exactness: all four 2x2 cells are exact BIGINTs from one presence
+    aggregate; chi2 is ONE shared double expression over them (the
+    cross-product difference d = df_a*n_b - df_b*n_a stays int64 and
+    casts to double exactly while |d| < 2^53 — document-count scales
+    far beyond any tile). Ranking ties break on token asc.
+
+    Scale shape (the tile_terms discipline): ONE corpus-sized shuffle —
+    the distinct (doc, token) presence aggregate; tile AND epoch ride
+    in as pure id-derived expressions, so (tile, token, epoch counts)
+    come out of that same aggregate. Per-tile epoch doc counts are
+    ≤ 4^level rows and broadcast back. The per-tile top-k is a
+    row_number window whose rank filter compiles to WindowGroupLimit.
+    Output: (tile, token, df_a, df_b, n_a, n_b, chi2, direction, rank).
+    """
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    ep = epoch_expr or f"{id_col} % 2"
+    tile = geocell_col(
+        geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level
+    ).alias("tile")
+    toks = F.expr(tokens_expr(_S, text_col))
+    presence = (
+        docs.select(
+            F.col(id_col),
+            tile,
+            F.expr(f"CAST({ep} AS BIGINT)").alias("epoch"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("tile", id_col, "epoch", "token")
+        .agg(F.lit(1).alias("_one"))
+    )
+    ab = presence.groupBy("tile", "token").agg(
+        F.sum(1 - F.col("epoch")).alias("df_a"),
+        F.sum("epoch").alias("df_b"),
+    )
+    tile_docs = (
+        docs.select(tile, F.expr(f"CAST({ep} AS BIGINT)").alias("epoch"))
+        .groupBy("tile")
+        .agg(
+            F.sum(1 - F.col("epoch")).alias("n_a"),
+            F.sum("epoch").alias("n_b"),
+        )
+    )
+    scored = (
+        ab.join(F.broadcast(tile_docs), "tile")
+        .filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("df_a") + F.col("df_b") >= min_df)
+            & (F.col("df_a") + F.col("df_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .withColumn("chi2", F.expr(_drift_chi2_expr()))
+        .withColumn("direction", F.expr(_DRIFT_DIR_EXPR).cast("int"))
+    )
+    w = Window.partitionBy("tile").orderBy(F.col("chi2").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "tile", "token", "df_a", "df_b", "n_a", "n_b",
+            "chi2", "direction", "rank",
+        )
+    )
+
+
+def tile_term_drift_sql_duck(
+    src: str = "documents",
+    level: int = 2,
+    top_k: int = 3,
+    min_df: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_expr: str | None = None,
+) -> str:
+    """DuckDB twin — same cell/token/epoch expressions, same chi2 and
+    direction expressions, same window ranking."""
+    ep = epoch_expr or f"{id_col} % 2"
+    cell = geocell_sql_duck(geotag_x_sql(id_col), geotag_y_sql(id_col), bounds, level)
+    return f"""
+WITH t AS (SELECT {id_col}, {cell} AS tile,
+                  CAST({ep} AS BIGINT) AS epoch,
+                  {tokens_expr(DUCK, text_col)} AS toks FROM {src}),
+presence AS (
+  SELECT DISTINCT tile, {id_col}, epoch, unnest(toks) AS token FROM t),
+ab AS (SELECT tile, token,
+              CAST(SUM(1 - epoch) AS BIGINT) AS df_a,
+              CAST(SUM(epoch) AS BIGINT) AS df_b
+       FROM presence GROUP BY 1, 2),
+tdocs AS (SELECT tile,
+                 CAST(SUM(1 - epoch) AS BIGINT) AS n_a,
+                 CAST(SUM(epoch) AS BIGINT) AS n_b
+          FROM t GROUP BY 1),
+s AS (
+  SELECT ab.tile, ab.token, ab.df_a, ab.df_b, tdocs.n_a, tdocs.n_b,
+         {_drift_chi2_expr()} AS chi2,
+         CAST({_DRIFT_DIR_EXPR} AS INTEGER) AS direction
+  FROM ab JOIN tdocs USING (tile)
+  WHERE n_a > 0 AND n_b > 0
+    AND df_a + df_b >= {min_df}
+    AND df_a + df_b < n_a + n_b),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY tile ORDER BY chi2 DESC, token) AS INTEGER) AS rank
+  FROM s)
+SELECT tile, token, df_a, df_b, n_a, n_b, chi2, direction, rank
+FROM r WHERE rank <= {top_k}
 """

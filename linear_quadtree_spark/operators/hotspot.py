@@ -51,6 +51,8 @@ __all__ = [
     "gi_star_sql_duck",
     "ripley_k",
     "ripley_k_sql_duck",
+    "nn_dist_hist",
+    "nn_dist_hist_sql_duck",
     "local_moran",
     "local_moran_sql_duck",
     "general_g",
@@ -383,6 +385,104 @@ kpairs AS (
         + (a.{y_col} - b.{y_col}) * (a.{y_col} - b.{y_col}) <= {rmax2}),
 kagg AS (SELECT {cases}, {cnt} AS n FROM kpairs)
 {sel}
+"""
+
+
+def nn_dist_hist(
+    tbl: LQTTable,
+    rmax: float = 3.0,
+    nbins: int = 16,
+) -> DataFrame:
+    """Nearest-neighbor-distance histogram — the G-function of
+    point-pattern analysis (companion to Ripley's K: K integrates pair
+    counts over ALL scales, G looks at each point's single nearest
+    neighbor; Clark & Evans 1954). For every point, the squared
+    distance to its nearest other point, censored at ``rmax``:
+    histogram bin = least(floor(d2min / (rmax^2/nbins)), nbins-1),
+    points with NO neighbor within ``rmax`` land in bin -1 (the
+    censored mass — reported, never silently dropped).
+
+    Squared distances throughout: d2 is a fixed IEEE expression over
+    the coordinates and the bin edge arithmetic divides by a shared
+    double literal, so bins are bit-identical across engines with no
+    sqrt anywhere. Output (bin, n_points), all bins -1..nbins-1 present
+    (zero-filled — schema and row count are data-independent).
+
+    Scale shape: ONE cell-bucketed distance self-join at ``rmax`` (the
+    distance_join plan — density-bounded candidates, never all-pairs),
+    one min-aggregate per point (map-side combined), one nbins-sized
+    histogram aggregate, and a broadcast fill of the empty bins. The
+    point count rides as a 1-row broadcast scalar. Censoring at rmax is
+    what keeps the join density-bounded at corpus scale — the full
+    G-function's tail needs unbounded search and belongs to kNN(k=1).
+    """
+    from linear_quadtree_spark.operators.spatial import distance_join
+
+    if rmax <= 0 or nbins < 1:
+        raise ValueError("rmax must be positive and nbins >= 1")
+    binw = repr(float(rmax) * float(rmax) / float(nbins))
+    pairs = distance_join(tbl, r=float(rmax))
+    mins = (
+        pairs.select(F.col("id_a").alias("id"), "dist2")
+        .unionByName(pairs.select(F.col("id_b").alias("id"), "dist2"))
+        .groupBy("id")
+        .agg(F.min("dist2").alias("d2min"))
+    )
+    hist = mins.groupBy(
+        F.least(
+            F.floor(F.col("d2min") / F.lit(float(binw))).cast("bigint"),
+            F.lit(nbins - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    n_tot = tbl.main.unionByName(tbl.side, allowMissingColumns=True).count()
+    covered = mins.agg(F.count(F.lit(1)).alias("nc"))
+    spark = tbl.main.sparkSession
+    bins = spark.range(-1, nbins).select(F.col("id").alias("bin"))
+    isolated = covered.select(
+        F.lit(-1).cast("bigint").alias("bin"),
+        (F.lit(n_tot).cast("bigint") - F.col("nc")).alias("n_points"),
+    )
+    return (
+        bins.join(F.broadcast(hist.unionByName(isolated)), "bin", "left")
+        .select("bin", F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"))
+    )
+
+
+def nn_dist_hist_sql_duck(
+    rmax: float = 3.0,
+    nbins: int = 16,
+    pts_src: str = "pts",
+    id_col: str = "doc_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> str:
+    """DuckDB twin by the DEFINITION: per point, min squared distance
+    over a brute-force pair scan (no grid — a different plan family),
+    identical bin arithmetic and censoring, zero-filled bin spine."""
+    binw = repr(float(rmax) * float(rmax) / float(nbins))
+    r2 = repr(float(rmax) * float(rmax))
+    d2 = (
+        f"(a.{x_col} - b.{x_col}) * (a.{x_col} - b.{x_col})"
+        f" + (a.{y_col} - b.{y_col}) * (a.{y_col} - b.{y_col})"
+    )
+    return f"""
+nnmins AS (
+  SELECT a.{id_col} AS id, MIN({d2}) AS d2min
+  FROM {pts_src} a JOIN {pts_src} b ON a.{id_col} <> b.{id_col}
+  WHERE {d2} <= {r2}
+  GROUP BY 1),
+nnhist AS (
+  SELECT LEAST(CAST(FLOOR(d2min / {binw}) AS BIGINT),
+               CAST({nbins - 1} AS BIGINT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM nnmins GROUP BY 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS bin,
+         CAST((SELECT COUNT(*) FROM {pts_src})
+              - (SELECT COUNT(*) FROM nnmins) AS BIGINT) AS n_points),
+nnspine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(-1, {nbins}))
+SELECT s.bin, CAST(COALESCE(h.n_points, 0) AS BIGINT) AS n_points
+FROM nnspine s LEFT JOIN nnhist h ON s.bin = h.bin
 """
 
 

@@ -175,3 +175,112 @@ def test_host_spread_local_vs_global(spark):
     assert got["local.example"].n_tiles == 1
     assert got["global.example"].spread_hhi_ppm == 10**6 // 4
     assert got["global.example"].n_tiles == 4
+
+
+# ------------------------------------------------------------- term drift
+def test_drift_epoch_exclusive_term_ranks_first(spark):
+    """A term all of whose tile occurrences sit in epoch B ranks first
+    with direction +1; a term present in EVERY doc is excluded (its
+    2x2 table degenerates); direction is decided by integer
+    cross-products."""
+    from linear_quadtree_spark.operators.geotext import tile_term_drift
+
+    level = 2
+    ids = list(range(80))
+    tile_of = _tiles_for_ids(spark, ids, level)
+    by_tile = collections.defaultdict(list)
+    for i in ids:
+        by_tile[tile_of[i]].append(i)
+    # need a tile holding both parities, several of each
+    marked_tile, marked_ids = max(
+        by_tile.items(),
+        key=lambda kv: min(
+            sum(1 for i in kv[1] if i % 2 == 0),
+            sum(1 for i in kv[1] if i % 2 == 1),
+        ),
+    )
+    rows = []
+    for i in ids:
+        text = "the quick fox"          # ubiquitous: T == N, excluded
+        if i in set(marked_ids) and i % 2 == 1:
+            text += " zebra"            # epoch-B exclusive in the tile
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = [
+        r
+        for r in tile_term_drift(docs, level=level, top_k=2, min_df=2).collect()
+        if r.tile == marked_tile
+    ]
+    assert got, "marked tile must emit a drift row"
+    r1 = next(r for r in got if r.rank == 1)
+    assert r1.token == "zebra"
+    assert r1.df_a == 0 and r1.df_b == sum(1 for i in marked_ids if i % 2 == 1)
+    assert r1.direction == 1
+    assert all(r.token != "the" for r in got)
+
+
+def test_drift_bruteforce_chi2_oracle(spark, sf_dir):
+    """Full Python recomputation of the per-tile 2x2 chi-square ranking
+    on the real corpus."""
+    from linear_quadtree_spark.operators.geotext import tile_term_drift
+
+    level, top_k, min_df = 2, 3, 4
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select("doc_id", "text").collect()
+    tile_of = _tiles_for_ids(spark, [r.doc_id for r in raw], level)
+    ab = collections.Counter()      # (tile, token, epoch) -> df
+    nd = collections.Counter()      # (tile, epoch) -> docs
+    for r in raw:
+        ep = r.doc_id % 2
+        nd[(tile_of[r.doc_id], ep)] += 1
+        toks = set((r.text or "").lower().split())
+        toks.discard("")
+        for t in toks:
+            ab[(tile_of[r.doc_id], t, ep)] += 1
+    exp = {}
+    tiles = {tl for tl, _ in nd}
+    for tl in tiles:
+        na, nb = nd[(tl, 0)], nd[(tl, 1)]
+        if na == 0 or nb == 0:
+            continue
+        cands = []
+        toks = {tk for (t2, tk, _) in ab if t2 == tl}
+        for tk in toks:
+            a, b = ab[(tl, tk, 0)], ab[(tl, tk, 1)]
+            t_all = a + b
+            if t_all < min_df or t_all >= na + nb:
+                continue
+            d = a * nb - b * na
+            chi2 = (
+                float(na + nb) * float(d) * float(d)
+                / (float(na) * float(nb) * float(t_all) * float(na + nb - t_all))
+            )
+            direction = 1 if b * na > a * nb else (-1 if b * na < a * nb else 0)
+            cands.append((-chi2, tk, a, b, direction))
+        cands.sort()
+        exp[tl] = [
+            (tk, a, b, dr, -negchi)
+            for negchi, tk, a, b, dr in cands[:top_k]
+        ]
+    got = collections.defaultdict(list)
+    for r in sorted(
+        tile_term_drift(docs, level=level, top_k=top_k, min_df=min_df).collect(),
+        key=lambda r: (r.tile, r.rank),
+    ):
+        got[r.tile].append((r.token, r.df_a, r.df_b, r.direction, r.chi2))
+    assert dict(got) == {k: v for k, v in exp.items() if v}
+    assert sum(len(v) for v in got.values()) > 5
+
+
+def test_drift_plan_shape(spark, sf_dir):
+    """One presence shuffle, tile-epoch doc counts broadcast back, the
+    rank filter compiles to WindowGroupLimit, no Python eval."""
+    from linear_quadtree_spark.operators.geotext import tile_term_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tile_term_drift(docs, level=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -238,3 +238,63 @@ def test_quadrat_test_matches_bruteforce(spark, sf_dir):
         assert abs(r.quadrat_z - z) <= 1e-12 * max(1.0, abs(z))
     finally:
         tbl.unpersist()
+
+
+def test_nn_dist_hist_bruteforce(spark, sf_dir):
+    """Histogram equals the O(n²) Python recomputation of per-point
+    min squared NN distance, with identical bin arithmetic; total mass
+    (incl. the censored bin) conserves the point count."""
+    from linear_quadtree_spark.operators.hotspot import nn_dist_hist
+
+    tbl = _table(spark, sf_dir)
+    try:
+        pts = [
+            (r.doc_id, float(r.x), float(r.y))
+            for r in tbl.main.unionByName(
+                tbl.side, allowMissingColumns=True
+            ).collect()
+        ]
+        rmax, nbins = 3.0, 16
+        binw = rmax * rmax / nbins
+        exp = {b: 0 for b in range(-1, nbins)}
+        for i, (pid, px, py) in enumerate(pts):
+            best = None
+            for j, (qid, qx, qy) in enumerate(pts):
+                if i == j:
+                    continue
+                d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+                if d2 <= rmax * rmax and (best is None or d2 < best):
+                    best = d2
+            b = -1 if best is None else min(int(best // binw), nbins - 1)
+            exp[b] += 1
+        got = {r.bin: r.n_points for r in nn_dist_hist(tbl, rmax, nbins).collect()}
+        assert got == exp
+        assert sum(got.values()) == len(pts)
+        assert set(got) == set(range(-1, nbins))  # zero-filled spine
+    finally:
+        tbl.unpersist()
+
+
+def test_nn_dist_hist_fixture_and_validation(spark):
+    """Two mutual neighbors at distance 1 (bin floor(1/binw)), one
+    point isolated beyond rmax (bin -1); bad params raise."""
+    import pytest
+
+    from linear_quadtree_spark.operators.hotspot import nn_dist_hist
+
+    pts = spark.createDataFrame(
+        [(1, 1010.0, 1010.0), (2, 1011.0, 1010.0), (3, 1050.0, 1050.0)],
+        "doc_id: long, x: double, y: double",
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    try:
+        got = {r.bin: r.n_points for r in nn_dist_hist(tbl, 2.0, 8).collect()}
+        # d2 = 1.0, binw = 4/8 = 0.5 -> bin 2
+        assert got[2] == 2 and got[-1] == 1
+        assert sum(got.values()) == 3
+        with pytest.raises(ValueError):
+            nn_dist_hist(tbl, -1.0, 8)
+        with pytest.raises(ValueError):
+            nn_dist_hist(tbl, 2.0, 0)
+    finally:
+        tbl.unpersist()
