@@ -21,13 +21,19 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from linear_quadtree_spark.config import DEFAULT_BOUNDS, Bounds
 from linear_quadtree_spark.functions.geocell import geocell_col
 from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
 
-__all__ = ["flows_ingest", "covisit_ingest"]
+__all__ = ["flows_ingest", "covisit_ingest", "speed_ingest"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -164,6 +170,93 @@ def covisit_ingest(
         fn,
         outputStructType=_CV_OUT_SCHEMA,
         stateStructType=_CV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ----------------------------------------------------------- speed flags
+_SPD_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("eid_from", LongType()),
+        StructField("eid_to", LongType()),
+        StructField("dt_s", LongType()),
+        StructField("d2", DoubleType()),
+    ]
+)
+
+#: last event per user: epoch micros, event id, geotag coordinates
+#: (carried in state so the hop arithmetic never re-derives them)
+_SPD_STATE_SCHEMA = StructType(
+    [
+        StructField("em", LongType()),
+        StructField("eid", LongType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+    ]
+)
+
+
+def speed_ingest(
+    events: DataFrame,
+    vmax: float = 0.05,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming teleport detection — the stateful twin of
+    operators/trajectory.speed_flags: state per user is ONE row (em,
+    eid, x, y of the latest event); each arriving event closes a hop
+    against it, flags online when d2 > vmax²·dt² (the identical
+    division-free predicate, float64 ops in the same order → the
+    emitted d2 is bit-identical to batch), and advances the state.
+    O(users) state, the sessionize discipline; append-only emission.
+
+    Equivalence law (tests/test_streaming_flows.py): a TIME-ORDERED
+    replay's emission log equals batch speed_flags exactly, cross-batch
+    hops included — a lag chain reorders under disorder by definition,
+    the flows_ingest contract. dt_s uses floor(em/10^6) so same-second
+    pairs carry dt 0 exactly as the batch unix_timestamp key does."""
+    v2 = float(vmax) * float(vmax)
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col).alias("eid"),
+        F.expr(f"unix_micros({ts_col})").alias("em"),
+        F.expr(f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)").alias("x"),
+        F.expr(f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)").alias("y"),
+    )
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            last_em, last_eid, last_x, last_y = state.get
+        else:
+            last_em = None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[tuple] = []
+        if chunks:
+            full = pd.concat(chunks, ignore_index=True).sort_values(["em", "eid"])
+            for row in full.itertuples(index=False):
+                em, eid = int(row.em), int(row.eid)
+                x, y = float(row.x), float(row.y)
+                if last_em is not None:
+                    dt = em // 1_000_000 - last_em // 1_000_000
+                    d2 = (x - last_x) * (x - last_x) + (y - last_y) * (y - last_y)
+                    if d2 > v2 * float(dt) * float(dt):
+                        out.append((uid, last_eid, eid, dt, d2))
+                last_em, last_eid, last_x, last_y = em, eid, x, y
+        state.update((last_em, last_eid, last_x, last_y))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "eid_from", "eid_to", "dt_s", "d2"]
+            )
+
+    return keyed.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=_SPD_OUT_SCHEMA,
+        stateStructType=_SPD_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
