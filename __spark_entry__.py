@@ -279,6 +279,8 @@ def _q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NN_RMAX = 3.0
 NN_BINS = 16
+XK_RADII = [0.5, 1.0, 2.0]
+XK_EVENT_MOD = 5  # 1-in-5 users on the B side keeps the oracle honest-sized
 
 
 def _q_nn_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +301,51 @@ def _nn_dist_hist_oracle() -> str:
     return (
         f"WITH {_PTS_CTE},\n"
         f"{nn_dist_hist_sql_duck(NN_RMAX, NN_BINS)}"
+    )
+
+
+def _xk_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.filter(F.expr(f"user_id % {XK_EVENT_MOD} = 0")).select(
+        "event_id",
+        F.expr(f"CAST({geotag_x_sql('event_id')} AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST({geotag_y_sql('event_id')} AS DOUBLE)").alias("sy"),
+    )
+
+
+def _q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley K (K_AB) between the geotagged corpus and a
+    1-in-5-user event sample: ONE bipartite cell-bucketed distance join
+    at max(radii) + one conditional-count aggregate. Integer pair
+    counts, shared threshold literals, one final double expression per
+    estimator — hash-exact vs the brute-force bipartite twin."""
+    from linear_quadtree_spark.operators.hotspot import cross_k
+
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST({geotag_x_sql('doc_id')} AS DOUBLE)").alias("px"),
+        F.expr(f"CAST({geotag_y_sql('doc_id')} AS DOUBLE)").alias("py"),
+    )
+    return cross_k(
+        pts, _xk_events_df(spark, sf_dir), XK_RADII, DEFAULT_BOUNDS,
+        a_id_col="doc_id", b_id_col="event_id",
+    )
+
+
+def _cross_k_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import cross_k_sql_duck
+
+    b = DEFAULT_BOUNDS
+    area = (b.xend - b.xstart) * (b.yend - b.ystart)
+    bpts = (
+        "bpts AS (SELECT event_id, "
+        f"CAST({geotag_x_sql('event_id')} AS DOUBLE) AS sx, "
+        f"CAST({geotag_y_sql('event_id')} AS DOUBLE) AS sy "
+        f"FROM events WHERE user_id % {XK_EVENT_MOD} = 0)"
+    )
+    return (
+        f"WITH {_PTS_CTE},\n{bpts},\n"
+        f"{cross_k_sql_duck(XK_RADII, area)}"
     )
 
 
@@ -2168,6 +2215,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quadrat_test": _q_quadrat_test,
         "ripley_k": _q_ripley_k,
         "nn_dist_hist": _q_nn_dist_hist,
+        "cross_k": _q_cross_k,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -2958,6 +3006,7 @@ GROUP BY 1
         "quadrat_test": _quadrat_oracle(),
         "ripley_k": _ripley_k_oracle(),
         "nn_dist_hist": _nn_dist_hist_oracle(),
+        "cross_k": _cross_k_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

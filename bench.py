@@ -367,6 +367,10 @@ def main() -> None:
     nn_hist_rows = nn_dist_hist(tbl, rmax=1.6, nbins=16).collect()
     timings["nn_dist_hist"] = time.time() - t0
 
+    t0 = _probe_mark("cross_k")
+    xk_rows = _entry.queries()["cross_k"](spark, SF_DIR).collect()
+    timings["cross_k"] = time.time() - t0
+
     t0 = _probe_mark("mk_trend")
     from linear_quadtree_spark.operators.spacetime import mk_trend
     mk_up = (
@@ -857,6 +861,7 @@ def main() -> None:
             "nn_hist_censored": int(
                 next(r.n_points for r in nn_hist_rows if r.bin == -1)
             ),
+            "cross_k_pairs_rmax": int(xk_rows[-1].n_pairs),
             "rog_actors": rog_rows,
             "speed_flag_rows": speed_rows,
             "idw_grid_cells": idw_rows,

@@ -51,6 +51,8 @@ __all__ = [
     "gi_star_sql_duck",
     "ripley_k",
     "ripley_k_sql_duck",
+    "cross_k",
+    "cross_k_sql_duck",
     "nn_dist_hist",
     "nn_dist_hist_sql_duck",
     "local_moran",
@@ -384,6 +386,135 @@ kpairs AS (
   WHERE (a.{x_col} - b.{x_col}) * (a.{x_col} - b.{x_col})
         + (a.{y_col} - b.{y_col}) * (a.{y_col} - b.{y_col}) <= {rmax2}),
 kagg AS (SELECT {cases}, {cnt} AS n FROM kpairs)
+{sel}
+"""
+
+
+def cross_k(
+    a_pts: DataFrame,
+    b_pts: DataFrame,
+    radii: list[float],
+    bounds,
+    a_id_col: str = "id_a",
+    b_id_col: str = "id_b",
+    a_xy: tuple[str, str] = ("px", "py"),
+    b_xy: tuple[str, str] = ("sx", "sy"),
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley K between two point processes —
+    "does type B cluster around type A at scale r?" (events around
+    pages, stores around transit stops; Lotwick & Silverman 1982's
+    K_AB). Estimator, uncorrected like :func:`ripley_k`:
+
+        K̂_AB(r) = Area · Σ_{i∈A, j∈B} 1[d_ij ≤ r] / (n_A · n_B)
+
+    Under independence of the two processes K̂_AB(r) ≈ πr², so
+    L̂_AB(r) − r > 0 → B attracted to A at scale r, < 0 → repelled.
+
+    Integer-exact: ONE cell-bucketed bipartite distance join at
+    max(radii) (the distance_join_ab plan — density-bounded, never
+    all-pairs), then every radius is a conditional COUNT in one
+    aggregate pass; pair counts are integers, thresholds shared double
+    literals, K̂/L̂ one final double expression each — hash-checkable
+    vs the DuckDB brute-force pair twin. The m radii cost one join.
+
+    Output per radius: (r_index, r, n_pairs, n_a, n_b, k_est, l_est).
+    """
+    from linear_quadtree_spark.operators.spatial import distance_join_ab
+
+    if not radii or sorted(radii) != list(radii):
+        raise ValueError("radii must be a non-empty ascending list")
+    area = (bounds.xend - bounds.xstart) * (bounds.yend - bounds.ystart)
+    pairs = distance_join_ab(
+        a_pts, b_pts, float(radii[-1]),
+        a_id_col=a_id_col, b_id_col=b_id_col, a_xy=a_xy, b_xy=b_xy,
+    )
+    counts = pairs.agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN dist2 <= {_k_thresh(r)} THEN 1 ELSE 0 END")
+            ).alias(f"p{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    n_a, n_b = a_pts.count(), b_pts.count()
+    structs = ", ".join(
+        "named_struct('r_index', {i}, 'r', CAST({r} AS DOUBLE),"
+        " 'n_pairs', coalesce(p{i}, 0L))".format(i=i, r=repr(float(r)))
+        for i, r in enumerate(radii)
+    )
+    return counts.selectExpr(f"inline(array({structs}))").selectExpr(
+        "r_index",
+        "r",
+        "n_pairs",
+        f"CAST({n_a} AS BIGINT) AS n_a",
+        f"CAST({n_b} AS BIGINT) AS n_b",
+        _cross_k_expr(area, n_a, n_b) + " AS k_est",
+        _cross_l_expr(area, n_a, n_b) + " AS l_est",
+    )
+
+
+def _cross_k_expr(area: float, n_a: int, n_b: int) -> str:
+    """K̂_AB from the integer cross-pair count — shared verbatim across
+    engines (bipartite pairs count once; no ×2 doubling)."""
+    return (
+        f"CASE WHEN {n_a} = 0 OR {n_b} = 0 THEN NULL ELSE "
+        f"(CAST({float(area)!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE))"
+        f" / (CAST({n_a}.0 AS DOUBLE) * CAST({n_b}.0 AS DOUBLE)) END"
+    )
+
+
+def _cross_l_expr(area: float, n_a: int, n_b: int) -> str:
+    return (
+        f"CASE WHEN {n_a} = 0 OR {n_b} = 0 THEN NULL ELSE "
+        f"SQRT((CAST({float(area)!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE))"
+        f" / (CAST({n_a}.0 AS DOUBLE) * CAST({n_b}.0 AS DOUBLE))"
+        f" / 3.141592653589793) END"
+    )
+
+
+def cross_k_sql_duck(
+    radii: list[float],
+    area: float,
+    a_src: str = "pts",
+    b_src: str = "bpts",
+    a_id_col: str = "doc_id",
+    b_id_col: str = "event_id",
+    a_xy: tuple[str, str] = ("px", "py"),
+    b_xy: tuple[str, str] = ("sx", "sy"),
+) -> str:
+    """DuckDB twin by the DEFINITION: brute-force bipartite pair scan
+    (no grid — a different plan family), identical threshold literals
+    and final expressions; n_a/n_b inline as scalar subqueries."""
+    ax, ay = a_xy
+    bx, by = b_xy
+    rmax2 = _k_thresh(radii[-1])
+    na = f"(SELECT COUNT(*) FROM {a_src})"
+    nb = f"(SELECT COUNT(*) FROM {b_src})"
+    cases = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dist2 <= {_k_thresh(r)} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+        for i, r in enumerate(radii)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS r_index, CAST({float(r)!r} AS DOUBLE) AS r,
+       COALESCE(p{i}, 0) AS n_pairs, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+         (CAST({float(area)!r} AS DOUBLE) * CAST(COALESCE(p{i}, 0) AS DOUBLE))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS k_est,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+         SQRT((CAST({float(area)!r} AS DOUBLE) * CAST(COALESCE(p{i}, 0) AS DOUBLE))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 3.141592653589793) END AS l_est
+FROM xkagg"""
+        for i, r in enumerate(radii)
+    )
+    return f"""
+xkpairs AS (
+  SELECT (a.{ax} - b.{bx}) * (a.{ax} - b.{bx})
+         + (a.{ay} - b.{by}) * (a.{ay} - b.{by}) AS dist2
+  FROM {a_src} a JOIN {b_src} b
+    ON (a.{ax} - b.{bx}) * (a.{ax} - b.{bx})
+       + (a.{ay} - b.{by}) * (a.{ay} - b.{by}) <= {rmax2}),
+xkagg AS (SELECT {cases}, {na} AS na, {nb} AS nb FROM xkpairs)
 {sel}
 """
 

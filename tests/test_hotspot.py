@@ -298,3 +298,58 @@ def test_nn_dist_hist_fixture_and_validation(spark):
             nn_dist_hist(tbl, 2.0, 0)
     finally:
         tbl.unpersist()
+
+
+def test_cross_k_bruteforce(spark, sf_dir):
+    """K̂_AB equals the O(nA·nB) Python recomputation on the real
+    corpus (docs as A, a 1-in-5-user event sample as B)."""
+    import __spark_entry__ as entry
+    from linear_quadtree_spark.operators.hotspot import cross_k
+
+    radii = [0.5, 1.0, 2.0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+
+    a = docs.select(
+        "doc_id",
+        geotag_x("doc_id").cast("double").alias("px"),
+        geotag_y("doc_id").cast("double").alias("py"),
+    )
+    b = entry._xk_events_df(spark, sf_dir)
+    arows = [(r.px, r.py) for r in a.collect()]
+    brows = [(r.sx, r.sy) for r in b.collect()]
+    area = 100.0 * 100.0
+    exp = []
+    for i, r in enumerate(radii):
+        p = sum(
+            1
+            for ax, ay in arows
+            for bx, by in brows
+            if (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= r * r
+        )
+        exp.append((i, r, p, area * p / (len(arows) * len(brows))))
+    got = sorted(
+        (r.r_index, r.r, r.n_pairs, r.k_est)
+        for r in cross_k(
+            a, b, radii, DEFAULT_BOUNDS, a_id_col="doc_id", b_id_col="event_id"
+        ).collect()
+    )
+    assert [(i, r, p) for i, r, p, _ in exp] == [
+        (i, r, p) for i, r, p, _ in got
+    ]
+    for (_, _, _, ke), (_, _, _, kg) in zip(exp, got):
+        assert abs(ke - kg) < 1e-9
+    assert got[0][2] > 0
+
+
+def test_cross_k_rejects_bad_radii(spark):
+    import pytest
+
+    from linear_quadtree_spark.operators.hotspot import cross_k
+
+    a = spark.createDataFrame([(1, 1010.0, 1010.0)], "doc_id: long, px: double, py: double")
+    b = spark.createDataFrame([(1, 1010.0, 1010.0)], "event_id: long, sx: double, sy: double")
+    with pytest.raises(ValueError):
+        cross_k(a, b, [], DEFAULT_BOUNDS)
+    with pytest.raises(ValueError):
+        cross_k(a, b, [2.0, 1.0], DEFAULT_BOUNDS)
