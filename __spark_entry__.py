@@ -332,6 +332,21 @@ def _q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JC_ZOOM = 4
+JC_THRESH = 3  # ~30% of occupied zoom-4 tiles at sf0.01: a nontrivial B/W mask
+
+
+def _q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (operators/hotspot.py): BB/BW/WW queen
+    adjacencies of the thresh-marked tile lattice with the Cliff-Ord
+    nonfree-sampling z on BB — full lattice in closed form, only the
+    hot relation materialized."""
+    from linear_quadtree_spark.operators.hotspot import join_counts
+
+    tbl = _build_table(spark, sf_dir)
+    return join_counts(tbl, JC_ZOOM, thresh=JC_THRESH)
+
+
 def _cross_k_oracle() -> str:
     from linear_quadtree_spark.operators.hotspot import cross_k_sql_duck
 
@@ -2216,6 +2231,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ripley_k": _q_ripley_k,
         "nn_dist_hist": _q_nn_dist_hist,
         "cross_k": _q_cross_k,
+        "join_counts": _q_join_counts,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -2349,6 +2365,16 @@ def _focal_smooth_oracle() -> str:
         f"WITH {_PTS_CTE},\n"
         f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
         f"{focal_smooth_sql_duck(4)}"
+    )
+
+
+def _join_counts_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import join_counts_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', JC_ZOOM, DEFAULT_BOUNDS)},"
+        f"{join_counts_sql_duck(JC_ZOOM, JC_THRESH)}"
     )
 
 
@@ -3007,6 +3033,7 @@ GROUP BY 1
         "ripley_k": _ripley_k_oracle(),
         "nn_dist_hist": _nn_dist_hist_oracle(),
         "cross_k": _cross_k_oracle(),
+        "join_counts": _join_counts_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -371,6 +371,13 @@ def main() -> None:
     xk_rows = _entry.queries()["cross_k"](spark, SF_DIR).collect()
     timings["cross_k"] = time.time() - t0
 
+    t0 = _probe_mark("join_counts")
+    from linear_quadtree_spark.operators.hotspot import join_counts
+    # 600k points / 65k zoom-8 cells ≈ 9.2 mean: thresh 12 marks the
+    # above-mean tail, a nontrivial B/W mask
+    jc_row = join_counts(tbl, zoom=8, thresh=12).collect()[0]
+    timings["join_counts"] = time.time() - t0
+
     t0 = _probe_mark("mk_trend")
     from linear_quadtree_spark.operators.spacetime import mk_trend
     mk_up = (
@@ -862,6 +869,7 @@ def main() -> None:
                 next(r.n_points for r in nn_hist_rows if r.bin == -1)
             ),
             "cross_k_pairs_rmax": int(xk_rows[-1].n_pairs),
+            "join_counts_z_bb": jc_row.z_bb,
             "rog_actors": rog_rows,
             "speed_flag_rows": speed_rows,
             "idw_grid_cells": idw_rows,

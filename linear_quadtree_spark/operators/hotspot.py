@@ -61,6 +61,8 @@ __all__ = [
     "general_g_sql_duck",
     "quadrat_test",
     "quadrat_test_sql_duck",
+    "join_counts",
+    "join_counts_sql_duck",
 ]
 
 
@@ -954,4 +956,167 @@ fq AS (SELECT n AS n_points, CAST({m} AS BIGINT) AS n_quadrats,
 SELECT n_points, n_quadrats, occupied_quadrats, chi2, dof,
        {z_e} AS quadrat_z
 FROM fq
+"""
+
+
+# ------------------------------------------------------ join-count stats
+def _jc_lattice_consts(zoom: int) -> dict[str, int]:
+    """Closed-form queen-adjacency constants of the full 2^zoom lattice
+    (never materialized): unordered edge count E, ordered weight sum
+    W = 2E, Cliff-Ord S1 = 2W, S2 = 4·Σdeg² (degrees: interior 8,
+    edge 5, corner 3 — boundary-clamped queen)."""
+    n = 1 << zoom
+    e_unord = 2 * n * (n - 1) + 2 * (n - 1) * (n - 1)
+    w_ord = 2 * e_unord
+    if n >= 2:
+        sum_deg2 = (n - 2) * (n - 2) * 64 + 4 * (n - 2) * 25 + 4 * 9
+    else:
+        sum_deg2 = 0
+    return {
+        "N": n * n,
+        "E": e_unord,
+        "W": w_ord,
+        "S1": 2 * w_ord,
+        "S2": 4 * sum_deg2,
+    }
+
+
+def _jc_final_exprs(zoom: int) -> dict[str, str]:
+    """The shared double expressions over the integer columns
+    (nb, degsum, j): E[BB], Var(BB) (Cliff & Ord 1981, nonfree
+    sampling), z_BB, and E[BW]. Constants bake in as literals — exact
+    doubles while W² < 2^53 (zoom ≤ 12)."""
+    c = _jc_lattice_consts(zoom)
+    N, E, W, S1, S2 = c["N"], c["E"], c["W"], c["S1"], c["S2"]
+    nbd = "CAST(nb AS DOUBLE)"
+    r2 = f"({nbd} * ({nbd} - 1.0)) / ({float(N)!r} * {float(N - 1)!r})"
+    r3 = f"{r2} * ({nbd} - 2.0) / {float(N - 2)!r}"
+    r4 = f"{r3} * ({nbd} - 3.0) / {float(N - 3)!r}"
+    e_bb = f"({float(E)!r} * {r2})"
+    var_bb = (
+        f"(0.25 * ({float(S1)!r} * {r2}"
+        f" + {float(S2 - 2 * S1)!r} * {r3}"
+        f" + {float(W * W + S1 - S2)!r} * {r4})"
+        f" - {e_bb} * {e_bb})"
+    )
+    z_bb = (
+        f"CASE WHEN nb < 4 OR {var_bb} <= 0.0 THEN NULL"
+        f" ELSE (CAST(bb_pairs AS DOUBLE) - {e_bb}) / SQRT({var_bb}) END"
+    )
+    e_bw = (
+        f"({float(W)!r} * {nbd} * ({float(N)!r} - {nbd}))"
+        f" / ({float(N)!r} * {float(N - 1)!r})"
+    )
+    return {"e_bb": e_bb, "var_bb": var_bb, "z_bb": z_bb, "e_bw": e_bw}
+
+
+def join_counts(tbl: LQTTable, zoom: int, thresh: int = 2) -> DataFrame:
+    """Join-count statistics for the binary-marked lattice — the
+    categorical companion to Moran's I (Cliff & Ord 1981): mark a tile
+    Black when its point count ≥ ``thresh`` (every other lattice cell,
+    occupied or empty, is White), count Black-Black / Black-White /
+    White-White queen-adjacent cell pairs, and test BB against its
+    nonfree-sampling (hypergeometric) expectation. z_bb ≫ 0 → the hot
+    mask is spatially clumped beyond chance.
+
+    Full-lattice in closed form (the Gi*/quadrat discipline): only the
+    BLACK relation is ever materialized — BB is a stencil equi-join of
+    the hot set with itself, the hot degree sum is boundary-clamped
+    window arithmetic per hot tile, and total lattice edges / Cliff-Ord
+    S1/S2 are zoom-only constants, so BW = degsum − 2·BB and
+    WW = E − BB − BW come out exactly with no White cell ever built.
+
+    Integer-exact counts; expectation/variance/z are ONE shared double
+    expression over them (hash-checkable). Output one row:
+    (n_cells, n_hot, bb_pairs, bw_pairs, ww_pairs, e_bb, var_bb, z_bb,
+    e_bw)."""
+    m = (1 << zoom) - 1
+    c = _jc_lattice_consts(zoom)
+    fx = _jc_final_exprs(zoom)
+    hot = track(
+        _tile_counts(tbl, zoom)
+        .filter(F.col("x") >= thresh)
+        .select("tx", "ty")
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + "))"
+    )
+    scatter = hot.select("tx", "ty", offs.alias("o")).select(
+        (F.col("tx") + F.col("o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("o.dy")).alias("cty"),
+    )
+    jj = scatter.join(
+        hot.select(F.col("tx").alias("ctx"), F.col("ty").alias("cty")),
+        ["ctx", "cty"],
+    ).agg(F.count(F.lit(1)).alias("j"))
+    wx = F.least(F.col("tx") + 1, F.lit(m)) - F.greatest(F.col("tx") - 1, F.lit(0)) + 1
+    wy = F.least(F.col("ty") + 1, F.lit(m)) - F.greatest(F.col("ty") - 1, F.lit(0)) + 1
+    hs = hot.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.sum((wx * wy - 1).cast("bigint")), F.lit(0)).alias("degsum"),
+    )
+    return (
+        hs.crossJoin(F.broadcast(jj))
+        .selectExpr(
+            f"CAST({c['N']} AS BIGINT) AS n_cells",
+            "nb AS n_hot",
+            # j counts ordered hot-hot adjacencies: always even
+            "CAST(coalesce(j, 0) / 2 AS BIGINT) AS bb_pairs",
+            "degsum - coalesce(j, 0) AS bw_pairs",
+            f"CAST({c['E']} AS BIGINT) - CAST(coalesce(j, 0) / 2 AS BIGINT)"
+            " - (degsum - coalesce(j, 0)) AS ww_pairs",
+            "nb", "degsum",
+        )
+        .selectExpr(
+            "n_cells", "n_hot", "bb_pairs", "bw_pairs", "ww_pairs",
+            fx["e_bb"] + " AS e_bb",
+            fx["var_bb"] + " AS var_bb",
+            fx["z_bb"] + " AS z_bb",
+            fx["e_bw"] + " AS e_bw",
+        )
+    )
+
+
+def join_counts_sql_duck(zoom: int, thresh: int = 2) -> str:
+    """DuckDB twin by the DEFINITION: hot set from refenc(pref) counts,
+    BB via a BETWEEN self-join (a different plan family than the Spark
+    stencil scatter), identical clamped-window degree arithmetic and
+    final shared expressions."""
+    m = (1 << zoom) - 1
+    c = _jc_lattice_consts(zoom)
+    fx = _jc_final_exprs(zoom)
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+hotg AS (SELECT {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+                {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+         FROM occ WHERE x >= {thresh}),
+jrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS j
+         FROM hotg a JOIN hotg b
+           ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+          AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+          AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+hrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                CAST(COALESCE(SUM(
+                  (LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
+                  * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1) - 1
+                ), 0) AS BIGINT) AS degsum
+         FROM hotg),
+jc AS (SELECT CAST({c['N']} AS BIGINT) AS n_cells, nb AS n_hot,
+              CAST(COALESCE(j, 0) / 2 AS BIGINT) AS bb_pairs,
+              degsum - COALESCE(j, 0) AS bw_pairs,
+              CAST({c['E']} AS BIGINT) - CAST(COALESCE(j, 0) / 2 AS BIGINT)
+                - (degsum - COALESCE(j, 0)) AS ww_pairs,
+              nb, degsum
+       FROM hrel, jrel)
+SELECT n_cells, n_hot, bb_pairs, bw_pairs, ww_pairs,
+       {fx['e_bb']} AS e_bb,
+       {fx['var_bb']} AS var_bb,
+       {fx['z_bb']} AS z_bb,
+       {fx['e_bw']} AS e_bw
+FROM jc
 """

@@ -353,3 +353,82 @@ def test_cross_k_rejects_bad_radii(spark):
         cross_k(a, b, [], DEFAULT_BOUNDS)
     with pytest.raises(ValueError):
         cross_k(a, b, [2.0, 1.0], DEFAULT_BOUNDS)
+
+
+def test_join_counts_bruteforce(spark, sf_dir):
+    """BB/BW/WW and the Cliff-Ord moments against a full Python
+    lattice recomputation from the (independently verified) per-tile
+    counts; conservation BB+BW+WW = E."""
+    from linear_quadtree_spark.operators.hotspot import (
+        _jc_lattice_consts,
+        join_counts,
+    )
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        # median split: a nontrivial B/W mask (some hot, some not)
+        thresh = sorted(counts.values())[len(counts) // 2]
+        n = 1 << ZOOM
+        hot = {(tx, ty) for (tx, ty), c in counts.items() if c >= thresh}
+        bb = bw = 0
+        for tx, ty in hot:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nx, ny = tx + dx, ty + dy
+                    if not (0 <= nx < n and 0 <= ny < n):
+                        continue
+                    if (nx, ny) in hot:
+                        bb += 1        # ordered; halve below
+                    else:
+                        bw += 1
+        bb //= 2
+        c = _jc_lattice_consts(ZOOM)
+        got = join_counts(tbl, ZOOM, thresh=thresh).collect()[0]
+        assert (got.n_hot, got.bb_pairs, got.bw_pairs) == (len(hot), bb, bw)
+        assert got.ww_pairs == c["E"] - bb - bw
+        assert got.n_cells == c["N"]
+        # moments: hypergeometric expectation and z from the same
+        # closed-form constants
+        import math
+
+        N, E, W, S1, S2 = c["N"], c["E"], c["W"], c["S1"], c["S2"]
+        nb = len(hot)
+        r2 = nb * (nb - 1) / (N * (N - 1))
+        r3 = r2 * (nb - 2) / (N - 2)
+        r4 = r3 * (nb - 3) / (N - 3)
+        e_bb = E * r2
+        var_bb = 0.25 * (S1 * r2 + (S2 - 2 * S1) * r3
+                         + (W * W + S1 - S2) * r4) - e_bb * e_bb
+        assert abs(got.e_bb - e_bb) < 1e-9
+        assert abs(got.var_bb - var_bb) < 1e-9
+        if nb >= 4 and var_bb > 0:
+            assert abs(got.z_bb - (bb - e_bb) / math.sqrt(var_bb)) < 1e-9
+        assert got.n_hot > 0 and got.bw_pairs > 0
+    finally:
+        tbl.unpersist()
+
+
+def test_join_counts_empty_hot_set(spark):
+    """An unreachable threshold yields zero B cells: BB = BW = 0,
+    WW = E, z NULL — no division blows up."""
+    from linear_quadtree_spark.operators.hotspot import (
+        _jc_lattice_consts,
+        join_counts,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 1010.0, 1010.0), (2, 1050.0, 1050.0)],
+        "doc_id: long, x: double, y: double",
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    try:
+        got = join_counts(tbl, 3, thresh=10**6).collect()[0]
+        c = _jc_lattice_consts(3)
+        assert (got.n_hot, got.bb_pairs, got.bw_pairs) == (0, 0, 0)
+        assert got.ww_pairs == c["E"]
+        assert got.z_bb is None
+    finally:
+        tbl.unpersist()
