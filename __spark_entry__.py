@@ -222,6 +222,28 @@ def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(tbl, zoom=4)
 
 
+def _q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C of tile density under queen contiguity — the
+    difference-based global autocorrelation statistic (E[C] = 1; C < 1
+    clustered). Integer-exact via the direct Σw(x_i−x_j)² pair sum and
+    the morans_i scaled-deviation denominator; one shared final double
+    expression; tile-relation-sized scatter-gather plan."""
+    from linear_quadtree_spark.operators.hotspot import geary_c
+
+    tbl = _build_table(spark, sf_dir)
+    return geary_c(tbl, zoom=4)
+
+
+def _geary_c_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import geary_c_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{geary_c_sql_duck(4)}"
+    )
+
+
 def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord General G: global high-value clustering ratio — integer
     scatter-gather numerator, closed-form S²−Σx² denominator, one shared
@@ -2232,6 +2254,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "nn_dist_hist": _q_nn_dist_hist,
         "cross_k": _q_cross_k,
         "join_counts": _q_join_counts,
+        "geary_c": _q_geary_c,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3034,6 +3057,7 @@ GROUP BY 1
         "nn_dist_hist": _nn_dist_hist_oracle(),
         "cross_k": _cross_k_oracle(),
         "join_counts": _join_counts_oracle(),
+        "geary_c": _geary_c_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

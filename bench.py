@@ -414,6 +414,11 @@ def main() -> None:
     gg_row = general_g(tbl, zoom=8).collect()[0]
     timings["general_g_z8"] = time.time() - t0
 
+    t0 = _probe_mark("geary_c_z8")
+    from linear_quadtree_spark.operators.hotspot import geary_c
+    gc_row = geary_c(tbl, zoom=8).collect()[0]
+    timings["geary_c_z8"] = time.time() - t0
+
     t0 = _probe_mark("quadrat_test_z8")
     quad_row = quadrat_test(tbl, zoom=8).collect()[0]
     timings["quadrat_test_z8"] = time.time() - t0
@@ -861,6 +866,7 @@ def main() -> None:
             "lisa_quadrants": lisa_quads,
             "knox_z": knox_row.knox_z,
             "general_g": gg_row.general_g,
+            "geary_c": gc_row.geary_c,
             "quadrat_z": quad_row.quadrat_z,
             "segment_crossing_pairs": cross_rows,
             "scan_top_rr": scan_top[0].rel_risk if scan_top else None,

@@ -59,6 +59,8 @@ __all__ = [
     "local_moran_sql_duck",
     "general_g",
     "general_g_sql_duck",
+    "geary_c",
+    "geary_c_sql_duck",
     "quadrat_test",
     "quadrat_test_sql_duck",
     "join_counts",
@@ -1119,4 +1121,120 @@ SELECT n_cells, n_hot, bb_pairs, bw_pairs, ww_pairs,
        {fx['z_bb']} AS z_bb,
        {fx['e_bw']} AS e_bw
 FROM jc
+"""
+
+
+# ------------------------------------------------------------- Geary's C
+_GEARY_C_EXPR = (
+    "CASE WHEN w = 0 OR sumd2 = 0 OR sumd2 IS NULL OR ssw IS NULL THEN NULL"
+    " ELSE (CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(ssw AS DOUBLE)"
+    " / (2.0 * CAST(w AS DOUBLE) * CAST(sumd2 AS DOUBLE)) END"
+)
+
+
+def geary_c(tbl: LQTTable, zoom: int) -> DataFrame:
+    """Geary's C of per-tile density under queen contiguity — the
+    difference-based global autocorrelation statistic, completing the
+    classic trio with :func:`morans_i` (cross-product form) and
+    :func:`join_counts` (categorical form):
+
+        C = (n−1) · Σ_ij w_ij (x_i − x_j)² / (2W · Σ_i (x_i − x̄)²)
+
+    over the occupied tiles; E[C] = 1 under CSR, C < 1 → positively
+    autocorrelated (neighbors alike), C > 1 → dispersed. C weights
+    LOCAL differences, so it reacts to short-range structure Moran's I
+    (a global cross-product) can wash out — the standard reason to
+    report both.
+
+    Integer-exact: Σw(x_i−x_j)² is an integer sum outright (the
+    scatter-gather pair relation, decimal(38,0)); the denominator uses
+    the morans_i substitution Σ(x_i−x̄)² = Σ(n·x_i−S)²/n², so
+    C = (n−1)·n²·SSW / (2W·Σd²) with every sum integral and ONE shared
+    double expression at the end. Tile-relation-sized (the data never
+    joins). Output one row: (n_tiles, w_pairs, geary_c, expected_c)."""
+    g = _tile_counts(tbl, zoom)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    d = track(
+        g.crossJoin(F.broadcast(tot)).select(
+            "tx", "ty", "x",
+            (F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+            "n",
+        )
+    )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"named_struct('dx', {dx}, 'dy', {dy})"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + "))"
+    )
+    scatter = d.select(
+        "tx", "ty", F.col("x").alias("xa"), offs.alias("o")
+    ).select(
+        (F.col("tx") + F.col("o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("o.dy")).alias("cty"),
+        "xa",
+    )
+    pairs = scatter.join(
+        d.select(
+            F.col("tx").alias("ctx"), F.col("ty").alias("cty"),
+            F.col("x").alias("xb"),
+        ),
+        ["ctx", "cty"],
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            (F.col("xa") - F.col("xb")).cast("decimal(19,0)")
+            * (F.col("xa") - F.col("xb")).cast("decimal(19,0)")
+        ).alias("ssw"),
+    )
+    den = d.agg(
+        F.sum(
+            F.col("dv").cast("decimal(19,0)") * F.col("dv").cast("decimal(19,0)")
+        ).alias("sumd2"),
+        F.first("n").alias("n"),
+    )
+    return den.crossJoin(agg).selectExpr(
+        "n AS n_tiles",
+        "w AS w_pairs",
+        _GEARY_C_EXPR + " AS geary_c",
+        "CASE WHEN n <= 1 THEN NULL ELSE 1.0 END AS expected_c",
+    )
+
+
+def geary_c_sql_duck(zoom: int) -> str:
+    """DuckDB twin by the DEFINITION: BETWEEN neighbourhood self-join,
+    HUGEINT sums, the identical shared expression. Embed after
+    refenc(pref)."""
+    return f"""
+occ AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM refenc GROUP BY 1),
+g AS (SELECT x,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+             {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+      FROM occ),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM g),
+dev AS (SELECT g.tx, g.ty, g.x,
+               CAST(tot.n * g.x - tot.s AS HUGEINT) AS dv, tot.n
+        FROM g, tot),
+prs AS (SELECT a.x AS xa, b.x AS xb
+        FROM dev a JOIN dev b
+          ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+         AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+         AND NOT (a.tx = b.tx AND a.ty = b.ty)),
+pagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS w,
+                SUM(CAST(xa - xb AS HUGEINT) * CAST(xa - xb AS HUGEINT)) AS ssw
+         FROM prs),
+dagg AS (SELECT SUM(dv * dv) AS sumd2, ANY_VALUE(n) AS n FROM dev),
+fin AS (SELECT dagg.n AS n, pagg.w AS w, pagg.ssw AS ssw, dagg.sumd2 AS sumd2
+        FROM dagg, pagg)
+SELECT n AS n_tiles, w AS w_pairs,
+       {_GEARY_C_EXPR} AS geary_c,
+       CASE WHEN n <= 1 THEN NULL ELSE 1.0 END AS expected_c
+FROM fin
 """

@@ -432,3 +432,34 @@ def test_join_counts_empty_hot_set(spark):
         assert got.z_bb is None
     finally:
         tbl.unpersist()
+
+
+def test_geary_c_matches_bruteforce(spark, sf_dir):
+    """C equals the definitional Python recomputation over the
+    verified per-tile counts; dispersed synthetic geotags give C > 1."""
+    from linear_quadtree_spark.operators.hotspot import geary_c
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = _counts(tbl)
+        n = len(counts)
+        xbar = sum(counts.values()) / n
+        ssw = w = 0
+        for (tx, ty), xa in counts.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    xb = counts.get((tx + dx, ty + dy))
+                    if xb is None:
+                        continue
+                    w += 1
+                    ssw += (xa - xb) ** 2
+        den = sum((x - xbar) ** 2 for x in counts.values())
+        exp = (n - 1) * ssw / (2.0 * w * den)
+        got = geary_c(tbl, ZOOM).collect()[0]
+        assert (got.n_tiles, got.w_pairs) == (n, w)
+        assert abs(got.geary_c - exp) < 1e-9
+        assert got.expected_c == 1.0
+    finally:
+        tbl.unpersist()
