@@ -222,6 +222,29 @@ def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(tbl, zoom=4)
 
 
+CLQ_R = 0.8
+
+
+def _q_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical co-location lift per event-type pair
+    (operators/spacetime.py): pairs within r counted on the 9-offset
+    r-cell grid (anchor fixed, one orientation — no dedup), marginals
+    and the 1-row close-pair total broadcast; lift is one shared double
+    expression over exact integer counts."""
+    from linear_quadtree_spark.operators.spacetime import colocation_lift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return colocation_lift(ev, r=CLQ_R)
+
+
+def _colocation_lift_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        colocation_lift_sql_duck,
+    )
+
+    return "WITH " + colocation_lift_sql_duck("events", r=CLQ_R).lstrip()
+
+
 def _q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of tile density under queen contiguity — the
     difference-based global autocorrelation statistic (E[C] = 1; C < 1
@@ -2255,6 +2278,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cross_k": _q_cross_k,
         "join_counts": _q_join_counts,
         "geary_c": _q_geary_c,
+        "colocation_lift": _q_colocation_lift,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3058,6 +3082,7 @@ GROUP BY 1
         "cross_k": _cross_k_oracle(),
         "join_counts": _join_counts_oracle(),
         "geary_c": _geary_c_oracle(),
+        "colocation_lift": _colocation_lift_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

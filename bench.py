@@ -710,6 +710,10 @@ def main() -> None:
     drift_rows = _entry.queries()["tile_term_drift"](spark, SF_DIR).count()
     timings["tile_term_drift"] = time.time() - t0
 
+    t0 = _probe_mark("colocation_lift")
+    clq_rows = _entry.queries()["colocation_lift"](spark, SF_DIR).count()
+    timings["colocation_lift"] = time.time() - t0
+
     t0 = _probe_mark("colocation_pairs")
     coloc_rows = _entry.queries()["colocation_pairs"](spark, SF_DIR).count()
     timings["colocation_pairs"] = time.time() - t0
@@ -885,6 +889,7 @@ def main() -> None:
             "tile_terms_rows": tt_rows,
             "tile_term_drift_rows": drift_rows,
             "colocation_rows": coloc_rows,
+            "colocation_lift_rows": clq_rows,
             "od_flow_rows": od_rows,
             "tile_rank_rows": tr_rows,
             "covisit_rows": cv_rows,

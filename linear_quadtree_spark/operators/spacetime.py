@@ -32,6 +32,8 @@ from linear_quadtree_spark.functions.geotag import (
 )
 
 __all__ = [
+    "colocation_lift",
+    "colocation_lift_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1329,4 +1331,176 @@ SELECT tile, win_start, win_len_days, obs, tile_total, win_total, n_total,
 FROM sfin
 ORDER BY rel_risk DESC, obs DESC, tile, win_start, win_len_days
 LIMIT {k}
+"""
+
+
+# --------------------------------------------------------- colocation lift
+_CLQ_EXP_EXPR = (
+    "CASE WHEN type_a = type_b THEN"
+    " CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0) / 2.0"
+    " ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) END"
+)
+
+_CLQ_LIFT_EXPR = (
+    f"CASE WHEN close_pairs = 0 OR ({_CLQ_EXP_EXPR}) = 0.0 THEN NULL"
+    " ELSE (CAST(n_pairs AS DOUBLE) / CAST(close_pairs AS DOUBLE))"
+    f" / (({_CLQ_EXP_EXPR})"
+    " / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1.0) / 2.0))"
+    " END"
+)
+
+
+def colocation_lift(
+    events: DataFrame,
+    r: float,
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Categorical co-location mining: for every unordered pair of
+    event TYPES, how over- or under-represented is that pair among
+    event pairs within distance ``r``, relative to what the global
+    type marginals predict (the participation-lift core of Shekhar's
+    co-location pattern line, marginal-normalized like a PMI):
+
+        lift(a,b) = [pairs_r(a,b) / pairs_r(·,·)]
+                  / [expected(a,b) / C(N,2)]
+
+    with expected(a,b) = n_a·n_b (a≠b) or C(n_a,2) (a=b). lift > 1 →
+    the types co-occur spatially beyond chance (clicks cluster around
+    purchases); < 1 → they avoid each other. Output
+    ``(type_a, type_b, n_pairs, n_a, n_b, n_events, close_pairs,
+    lift)`` — counts exact integers, lift ONE shared double expression.
+
+    Scale shape (the colocation_pairs grid discipline, minus time):
+    every event buckets into ONE r-cell; the probe side fans out over
+    the 9 neighbors; the anchor never fans out and eid_a < eid_b keeps
+    one orientation, so no dedup pass. ONE equi-join shuffle on the
+    cell key (density-bounded candidates, AQE splits hot cells) + one
+    map-side-combined pair-type aggregate (output ≤ types² rows);
+    marginals and the 1-row close-pair total broadcast back.
+    """
+    if r <= 0:
+        raise ValueError("r must be positive")
+    from linear_quadtree_spark.cache import track
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+
+    base = events.select(
+        F.col(event_id_col).alias("_eid"),
+        F.col(type_col).alias("_ty"),
+        geotag_x(event_id_col).cast("double").alias("_px"),
+        geotag_y(event_id_col).cast("double").alias("_py"),
+    )
+    a = base.select(
+        F.col("_eid").alias("eid_a"),
+        F.col("_ty").alias("ty_a"),
+        F.col("_px").alias("ax"),
+        F.col("_py").alias("ay"),
+        F.floor(F.col("_px") / F.lit(r)).alias("jx"),
+        F.floor(F.col("_py") / F.lit(r)).alias("jy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = base.withColumn("o", F.explode(offs)).select(
+        F.col("_eid").alias("eid_b"),
+        F.col("_ty").alias("ty_b"),
+        F.col("_px").alias("bx"),
+        F.col("_py").alias("by"),
+        (F.floor(F.col("_px") / F.lit(r)) + F.col("o.dx")).alias("jx"),
+        (F.floor(F.col("_py") / F.lit(r)) + F.col("o.dy")).alias("jy"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    tp = track(
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("eid_a") < F.col("eid_b"))
+        .filter(dx * dx + dy * dy <= F.lit(float(r) * float(r)))
+        .select(
+            F.least("ty_a", "ty_b").alias("type_a"),
+            F.greatest("ty_a", "ty_b").alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    marg = events.groupBy(F.col(type_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = events.agg(F.count(F.lit(1)).alias("n_events"))
+    close = tp.agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("close_pairs"))
+    return (
+        tp.join(
+            F.broadcast(marg.select(F.col("_t").alias("type_a"),
+                                    F.col("_c").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_t").alias("type_b"),
+                                    F.col("_c").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(close))
+        .selectExpr(
+            "type_a", "type_b", "n_pairs", "n_a", "n_b",
+            "n_events", "close_pairs",
+            _CLQ_LIFT_EXPR + " AS lift",
+        )
+    )
+
+
+def colocation_lift_sql_duck(
+    src: str = "events",
+    r: float = 0.8,
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same grid bucketing rendered in SQL (the
+    radius_join oracle precedent), identical refine predicates and the
+    identical shared lift expression."""
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    rr = repr(float(r))
+    r2 = repr(float(r) * float(r))
+    offs = ",".join(f"({dx},{dy})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+clbase AS (
+  SELECT {event_id_col} AS eid, {type_col} AS ty,
+         CAST({geotag_x_sql(event_id_col)} AS DOUBLE) AS px,
+         CAST({geotag_y_sql(event_id_col)} AS DOUBLE) AS py
+  FROM {src}),
+clga AS (SELECT eid, ty, px, py,
+                CAST(FLOOR(px / {rr}) AS BIGINT) AS jx,
+                CAST(FLOOR(py / {rr}) AS BIGINT) AS jy
+         FROM clbase),
+cloffs(dx, dy) AS (VALUES {offs}),
+clpairs AS (
+  SELECT LEAST(a.ty, b.ty) AS type_a, GREATEST(a.ty, b.ty) AS type_b
+  FROM clga a
+  JOIN (SELECT g.eid, g.ty, g.px, g.py,
+               g.jx + o.dx AS jx, g.jy + o.dy AS jy
+        FROM clga g CROSS JOIN cloffs o) b
+    ON a.jx = b.jx AND a.jy = b.jy AND a.eid < b.eid
+  WHERE (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= {r2}),
+cltp AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM clpairs GROUP BY 1, 2),
+clmarg AS (SELECT {type_col} AS t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM {src} GROUP BY 1),
+cltot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM {src}),
+clclose AS (SELECT CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT) AS close_pairs
+            FROM cltp),
+clfin AS (
+  SELECT tp.type_a, tp.type_b, tp.n_pairs,
+         ma.c AS n_a, mb.c AS n_b, ct.n_events, cc.close_pairs
+  FROM cltp tp
+  JOIN clmarg ma ON ma.t = tp.type_a
+  JOIN clmarg mb ON mb.t = tp.type_b
+  CROSS JOIN cltot ct CROSS JOIN clclose cc)
+SELECT type_a, type_b, n_pairs, n_a, n_b, n_events, close_pairs,
+       {_CLQ_LIFT_EXPR} AS lift
+FROM clfin
 """

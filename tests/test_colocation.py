@@ -98,3 +98,69 @@ def test_plan_no_nested_loop(spark):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------- type lift
+def test_colocation_lift_bruteforce(spark, sf_dir):
+    """Counts and lift equal the O(n²) Python recomputation over the
+    real events (pair share vs marginal expectation)."""
+    from linear_quadtree_spark.operators.spacetime import colocation_lift
+
+    r = 0.8
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select("event_id", "event_type").collect()
+    coords = _event_coords(spark, [r0.event_id for r0 in rows])
+    import collections
+
+    pts = [(r0.event_id, r0.event_type, *coords[r0.event_id]) for r0 in rows]
+    n = len(pts)
+    marg = collections.Counter(t for _, t, _, _ in pts)
+    pc = collections.Counter()
+    for i in range(n):
+        for j in range(i + 1, n):
+            (ea, ta, xa, ya), (eb, tb, xb, yb) = pts[i], pts[j]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r:
+                pc[tuple(sorted((ta, tb)))] += 1
+    close = sum(pc.values())
+    tot_pairs = n * (n - 1) / 2.0
+    got = {
+        (r0.type_a, r0.type_b): r0
+        for r0 in colocation_lift(ev, r=r).collect()
+    }
+    from linear_quadtree_spark.cache import release_caches
+
+    release_caches()
+    assert set(got) == set(pc)
+    for (ta, tb), npairs in pc.items():
+        g = got[(ta, tb)]
+        assert (g.n_pairs, g.n_a, g.n_b, g.n_events, g.close_pairs) == (
+            npairs, marg[ta], marg[tb], n, close,
+        )
+        exp = (
+            marg[ta] * (marg[ta] - 1) / 2.0 if ta == tb
+            else marg[ta] * marg[tb]
+        )
+        want = (npairs / close) / (exp / tot_pairs)
+        assert abs(g.lift - want) <= 1e-9 * max(1.0, want)
+    assert close > 10
+
+
+def test_colocation_lift_validation_and_plan(spark, sf_dir):
+    """r must be positive; the plan is a single cell equi-join (no
+    cartesian, no nested loop beyond the 1-row scalar broadcasts)."""
+    import pytest
+
+    from linear_quadtree_spark.operators.spacetime import colocation_lift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        colocation_lift(ev, r=0.0)
+    df = colocation_lift(ev, r=0.8)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    from linear_quadtree_spark.cache import release_caches
+
+    release_caches()
+    assert "CartesianProduct" not in plan
+    # 1-row n_events / close_pairs scalars are the only nested loops
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
