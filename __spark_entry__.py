@@ -222,6 +222,45 @@ def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(tbl, zoom=4)
 
 
+def _q_trip_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip-length (hop displacement) histogram
+    (operators/trajectory.py): squared-distance bins with a shared
+    bin-width literal over the per-actor lag window; zero-filled spine.
+    One actor-key shuffle + one nbins aggregate."""
+    from linear_quadtree_spark.operators.trajectory import trip_length_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trip_length_hist(ev, max_d=150.0, nbins=30)
+
+
+def _trip_length_hist_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        trip_length_hist_sql_duck,
+    )
+
+    return trip_length_hist_sql_duck("events", max_d=150.0, nbins=30)
+
+
+def _q_tile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile activity transition matrix (operators/spacetime.py):
+    occupied tiles classed on a fixed count ladder in each half of the
+    time range (integer midpoint split), counted per
+    (class_from, class_to). One conditional-sum aggregate over events;
+    transition rollup is tile-relation-sized."""
+    from linear_quadtree_spark.operators.spacetime import tile_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_transitions(ev, zoom=4)
+
+
+def _tile_transitions_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_transitions_sql_duck,
+    )
+
+    return tile_transitions_sql_duck("events", zoom=4)
+
+
 CLQ_R = 0.8
 
 
@@ -2279,6 +2318,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "join_counts": _q_join_counts,
         "geary_c": _q_geary_c,
         "colocation_lift": _q_colocation_lift,
+        "trip_length_hist": _q_trip_length_hist,
+        "tile_transitions": _q_tile_transitions,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3083,6 +3124,8 @@ GROUP BY 1
         "join_counts": _join_counts_oracle(),
         "geary_c": _geary_c_oracle(),
         "colocation_lift": _colocation_lift_oracle(),
+        "trip_length_hist": _trip_length_hist_oracle(),
+        "tile_transitions": _tile_transitions_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -459,6 +459,20 @@ def main() -> None:
     ).count()
     timings["speed_flags"] = time.time() - t0
 
+    t0 = _probe_mark("trip_length_hist")
+    from linear_quadtree_spark.operators.trajectory import trip_length_hist
+    tlh_rows = trip_length_hist(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).count()
+    timings["trip_length_hist"] = time.time() - t0
+
+    t0 = _probe_mark("tile_transitions")
+    from linear_quadtree_spark.operators.spacetime import tile_transitions
+    tt_trans_rows = tile_transitions(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["tile_transitions"] = time.time() - t0
+
     t0 = _probe_mark("idw_surface_z6")
     from linear_quadtree_spark.operators.interpolate import idw_surface
     idw_pts = bench_points(spark, SF_DIR).selectExpr(
@@ -882,6 +896,8 @@ def main() -> None:
             "join_counts_z_bb": jc_row.z_bb,
             "rog_actors": rog_rows,
             "speed_flag_rows": speed_rows,
+            "trip_hist_bins": tlh_rows,
+            "tile_transition_cells": tt_trans_rows,
             "idw_grid_cells": idw_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
             "theil_sen_tiles": sen_rows,

@@ -34,6 +34,8 @@ from linear_quadtree_spark.functions.geotag import (
 __all__ = [
     "colocation_lift",
     "colocation_lift_sql_duck",
+    "tile_transitions",
+    "tile_transitions_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1503,4 +1505,110 @@ clfin AS (
 SELECT type_a, type_b, n_pairs, n_a, n_b, n_events, close_pairs,
        {_CLQ_LIFT_EXPR} AS lift
 FROM clfin
+"""
+
+
+# -------------------------------------------------------- tile transitions
+_TT_CLASS_CASES = (
+    "WHEN {c} = 0 THEN 0 WHEN {c} = 1 THEN 1 WHEN {c} <= 3 THEN 2"
+    " WHEN {c} <= 7 THEN 3 ELSE 4"
+)
+
+
+def _tt_class_expr(c: str) -> str:
+    """Activity class from an exact integer count — a fixed CASE ladder
+    (0 / 1 / 2-3 / 4-7 / 8+), never a float log: engines disagree on
+    transcendental rounding, never on integer comparisons."""
+    return "CASE " + _TT_CLASS_CASES.format(c=c) + " END"
+
+
+def tile_transitions(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tile activity transition matrix — the discrete spatial-dynamics
+    view (the Markov-chain half of Rey's spatial-Markov line of work):
+    split the observed time range at its integer midpoint, classify
+    every occupied tile's activity in each half on a fixed count
+    ladder (0 / 1 / 2-3 / 4-7 / 8+), and count tiles per
+    (class_from, class_to) cell. The growth/decay fingerprint of the
+    corpus map: mass above the diagonal = growth, below = decay.
+
+    Tiles occupied in NEITHER half (the empty lattice) are excluded by
+    construction; a tile occupied in only one half classes as 0 in the
+    other (the full-outer semantics, without materializing empties).
+    Epoch split is the integer predicate 2·ep ≥ min_ep + max_ep — no
+    data-dependent float threshold, bit-identical across engines.
+
+    Scale shape: ONE map-side-combined aggregate keys events straight
+    to (tile, half-counts) — conditional sums, so both epochs come out
+    of a single pass; the 1-row time-range relation broadcasts; the
+    transition rollup is tile-relation-sized. Output:
+    (class_from, class_to, n_tiles)."""
+    from linear_quadtree_spark.cache import track
+
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    ep = F.expr(f"unix_timestamp({ts_col})")
+    rng = events.agg(
+        F.min(F.expr(f"unix_timestamp({ts_col})")).alias("mn"),
+        F.max(F.expr(f"unix_timestamp({ts_col})")).alias("mx"),
+    )
+    halves = (
+        keyed.withColumn("_ep", ep)
+        .crossJoin(F.broadcast(rng))
+        .groupBy("tile")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN 2 * _ep >= mn + mx THEN 0 ELSE 1 END")
+            ).alias("c_a"),
+            F.sum(
+                F.expr("CASE WHEN 2 * _ep >= mn + mx THEN 1 ELSE 0 END")
+            ).alias("c_b"),
+        )
+    )
+    return (
+        halves.select(
+            F.expr(_tt_class_expr("c_a")).cast("int").alias("class_from"),
+            F.expr(_tt_class_expr("c_b")).cast("int").alias("class_to"),
+        )
+        .groupBy("class_from", "class_to")
+        .agg(F.count(F.lit(1)).alias("n_tiles"))
+    )
+
+
+def tile_transitions_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin — identical tile keying, midpoint predicate and
+    class ladder."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    ca_cls = _tt_class_expr("c_a")
+    cb_cls = _tt_class_expr("c_b")
+    return f"""
+WITH ttk AS (
+  SELECT {cell} AS tile, CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep
+  FROM {src}),
+ttr AS (SELECT CAST(MIN(ep) AS BIGINT) AS mn, CAST(MAX(ep) AS BIGINT) AS mx
+        FROM ttk),
+tth AS (
+  SELECT tile,
+         CAST(SUM(CASE WHEN 2 * ep >= mn + mx THEN 0 ELSE 1 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN 2 * ep >= mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM ttk, ttr GROUP BY 1)
+SELECT CAST({ca_cls} AS INTEGER) AS class_from,
+       CAST({cb_cls} AS INTEGER) AS class_to,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM tth GROUP BY 1, 2
 """

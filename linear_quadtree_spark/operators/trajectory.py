@@ -68,6 +68,8 @@ __all__ = [
     "radius_of_gyration_sql_duck",
     "speed_flags",
     "speed_flags_sql_duck",
+    "trip_length_hist",
+    "trip_length_hist_sql_duck",
 ]
 
 
@@ -819,4 +821,100 @@ SELECT {id_col}, eid_from, eid_to, dt_s, d2
 FROM hops
 WHERE eid_from IS NOT NULL
   AND d2 > {v2} * CAST(dt_s AS DOUBLE) * CAST(dt_s AS DOUBLE)
+"""
+
+
+# ------------------------------------------------------ trip length hist
+def trip_length_hist(
+    events: DataFrame,
+    max_d: float = 150.0,
+    nbins: int = 30,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Trip-length distribution: histogram of per-hop displacement over
+    every consecutive event pair per actor (ts then event-id order) —
+    the canonical mobility fingerprint (hop-length distributions are
+    how the displacement power law of human mobility is measured;
+    for crawl hosts it is the referrer-distance profile). Bins are on
+    SQUARED distance with a shared bin-width literal (no sqrt):
+    bin = least(floor(d2 / (max_d²/nbins)), nbins-1) — the nn_dist_hist
+    discipline, zero-filled spine so the row count is data-independent.
+    Output: (bin, n_hops).
+
+    Scale shape: ONE shuffle on the actor key (the lag window — shared
+    with any sibling per-actor pass), one nbins-sized map-side-combined
+    aggregate, one broadcast spine fill. Nothing event-sized is joined.
+    """
+    if max_d <= 0 or nbins < 1:
+        raise ValueError("max_d must be positive and nbins >= 1")
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    binw = repr(float(max_d) * float(max_d) / float(nbins))
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col).alias("eid"),
+        F.col(ts_col),
+        F.expr(f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)").alias("_x"),
+        F.expr(f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)").alias("_y"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col, "eid")
+    hops = (
+        keyed.withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .filter(F.col("_px").isNotNull())
+    )
+    d2 = (
+        (F.col("_x") - F.col("_px")) * (F.col("_x") - F.col("_px"))
+        + (F.col("_y") - F.col("_py")) * (F.col("_y") - F.col("_py"))
+    )
+    hist = (
+        hops.select(
+            F.least(
+                F.floor(d2 / F.lit(float(binw))).cast("bigint"),
+                F.lit(nbins - 1).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_hops"))
+    )
+    spine = events.sparkSession.range(0, nbins).select(F.col("id").alias("bin"))
+    return spine.join(F.broadcast(hist), "bin", "left").select(
+        "bin", F.coalesce("n_hops", F.lit(0)).cast("bigint").alias("n_hops")
+    )
+
+
+def trip_length_hist_sql_duck(
+    src: str = "events",
+    max_d: float = 150.0,
+    nbins: int = 30,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same LAG window, same bin arithmetic and spine."""
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    binw = repr(float(max_d) * float(max_d) / float(nbins))
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {event_id_col} AS eid, {ts_col},
+         CAST({geotag_x_sql(event_id_col)} AS DOUBLE) AS x,
+         CAST({geotag_y_sql(event_id_col)} AS DOUBLE) AS y
+  FROM {src}),
+hops AS (
+  SELECT (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+         + (y - LAG(y) OVER w) * (y - LAG(y) OVER w) AS d2,
+         LAG(x) OVER w AS px
+  FROM keyed WINDOW w AS (PARTITION BY {id_col} ORDER BY {ts_col}, eid)),
+hist AS (
+  SELECT LEAST(CAST(FLOOR(d2 / {binw}) AS BIGINT),
+               CAST({nbins - 1} AS BIGINT)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_hops
+  FROM hops WHERE px IS NOT NULL GROUP BY 1),
+spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, {nbins}))
+SELECT s.bin, CAST(COALESCE(h.n_hops, 0) AS BIGINT) AS n_hops
+FROM spine s LEFT JOIN hist h ON s.bin = h.bin
 """

@@ -239,3 +239,49 @@ def test_pattern_classes(spark):
     ]
     p, _ = _pattern_of(spark, fix, shrink, c)
     assert p == "diminishing"
+
+
+# ---------------------------------------------------------- transitions
+def test_tile_transitions_bruteforce(spark, sf_dir):
+    """Transition matrix equals the Python recomputation: tile keying,
+    integer-midpoint epoch split, fixed class ladder; total tiles
+    conserve."""
+    import collections
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.spacetime import tile_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "event_id", "ts",
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    eps = [
+        int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp()) for r in rows
+    ]
+    mn, mx = min(eps), max(eps)
+    ca = collections.Counter()
+    cb = collections.Counter()
+    for r, ep in zip(rows, eps):
+        (cb if 2 * ep >= mn + mx else ca)[r.tile] += 1
+
+    def cls(c):
+        return 0 if c == 0 else 1 if c == 1 else 2 if c <= 3 else 3 if c <= 7 else 4
+
+    exp = collections.Counter(
+        (cls(ca[t]), cls(cb[t])) for t in set(ca) | set(cb)
+    )
+    got = {
+        (r.class_from, r.class_to): r.n_tiles
+        for r in tile_transitions(ev, zoom=4).collect()
+    }
+    assert got == dict(exp)
+    assert sum(got.values()) == len(set(ca) | set(cb))
+    # both halves are populated: some tile classes 0 on exactly one side
+    assert any(a == 0 or b == 0 for a, b in got) or len(got) > 1

@@ -565,3 +565,55 @@ def test_speed_flags_plan_single_exchange(spark, sf_dir):
     plan = speed_flags(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------- trip length histogram
+def test_trip_length_hist_bruteforce(spark, sf_dir):
+    """Histogram equals the Python recomputation over per-user ordered
+    hops; total mass = Σ_u (n_u − 1); spine zero-filled."""
+    import collections
+    import datetime as dt
+
+    from linear_quadtree_spark.operators.trajectory import trip_length_hist
+
+    max_d, nbins = 150.0, 30
+    binw = max_d * max_d / nbins
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select("user_id", "event_id", "ts").collect()
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        ep = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        per_user[r.user_id].append((r.ts, r.event_id, ep))
+    exp = {b: 0 for b in range(nbins)}
+    n_hops = 0
+    for uid, evs in per_user.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            (xa,), (ya,) = _geotags_np([a[1]])
+            (xb,), (yb,) = _geotags_np([b[1]])
+            d2 = (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)
+            exp[min(int(d2 // binw), nbins - 1)] += 1
+            n_hops += 1
+    got = {r.bin: r.n_hops for r in trip_length_hist(ev, max_d, nbins).collect()}
+    assert got == exp
+    assert sum(got.values()) == n_hops
+    assert set(got) == set(range(nbins))
+
+
+def test_trip_length_hist_validation_and_plan(spark, sf_dir):
+    import pytest
+
+    from linear_quadtree_spark.operators.trajectory import trip_length_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        trip_length_hist(ev, max_d=0.0)
+    with pytest.raises(ValueError):
+        trip_length_hist(ev, nbins=0)
+    plan = (
+        trip_length_hist(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lag window is the only data-sized exchange; the spine join
+    # broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
