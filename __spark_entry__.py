@@ -261,6 +261,70 @@ def _tile_transitions_oracle() -> str:
     return tile_transitions_sql_duck("events", zoom=4)
 
 
+ZONAL_ZOOM = 5
+N_ZONES = 6
+#: half-open AOI rectangles, deliberately NOT cell-aligned so the
+#: fractional areal weights are exercised
+_ZONE_EXPRS = (
+    "CAST(id AS BIGINT) AS zone_id",
+    "1005.0 + CAST(id % 3 AS DOUBLE) * 30.0 AS zx0",
+    "1005.0 + CAST(id DIV 3 AS DOUBLE) * 40.0 AS zy0",
+    "1005.0 + CAST(id % 3 AS DOUBLE) * 30.0 + 25.5 AS zx1",
+    "1005.0 + CAST(id DIV 3 AS DOUBLE) * 40.0 + 33.25 AS zy1",
+)
+
+
+def _zonal_tiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_quadtree_spark.functions.geocell import axis_index_expr
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SP
+
+    b = DEFAULT_BOUNDS
+    ix = axis_index_expr(_SP, geotag_x_sql("doc_id"), b.xstart, b.xend, ZONAL_ZOOM)
+    iy = axis_index_expr(_SP, geotag_y_sql("doc_id"), b.ystart, b.yend, ZONAL_ZOOM)
+    return (
+        _docs(spark, sf_dir)
+        .select(F.expr(ix).alias("tx"), F.expr(iy).alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal-weighted reaggregation (operators/interpolate.py): the
+    zoom-5 corpus raster rolled up to 6 non-cell-aligned AOI
+    rectangles with fixed-point areal weights — integer zonal sums,
+    one final double division; the zone dimension broadcasts and the
+    events are never touched."""
+    from linear_quadtree_spark.operators.interpolate import zonal_stats
+
+    zones = spark.range(N_ZONES).selectExpr(*_ZONE_EXPRS)
+    return zonal_stats(
+        _zonal_tiles_df(spark, sf_dir), zones, DEFAULT_BOUNDS, ZONAL_ZOOM
+    )
+
+
+def _zonal_stats_oracle() -> str:
+    from linear_quadtree_spark.functions.geocell import axis_index_expr
+    from linear_quadtree_spark.operators.interpolate import zonal_stats_sql_duck
+    from linear_quadtree_spark.functions.textexpr import DUCK as _DK
+
+    b = DEFAULT_BOUNDS
+    ix = axis_index_expr(_DK, geotag_x_sql("doc_id"), b.xstart, b.xend, ZONAL_ZOOM)
+    iy = axis_index_expr(_DK, geotag_y_sql("doc_id"), b.ystart, b.yend, ZONAL_ZOOM)
+    # DuckDB's range() exposes the counter as `range`, and integer
+    # division spells `//` — same expressions otherwise
+    zone_cols = ", ".join(
+        e.replace("id DIV 3", "id // 3").replace("(id ", "(range ")
+        for e in _ZONE_EXPRS
+    )
+    return f"""
+WITH ztiles AS (
+  SELECT {ix} AS tx, {iy} AS ty, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+zones AS (SELECT {zone_cols} FROM range({N_ZONES})),
+{zonal_stats_sql_duck(DEFAULT_BOUNDS, ZONAL_ZOOM).strip()}"""
+
+
 CLQ_R = 0.8
 
 
@@ -2320,6 +2384,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "colocation_lift": _q_colocation_lift,
         "trip_length_hist": _q_trip_length_hist,
         "tile_transitions": _q_tile_transitions,
+        "zonal_stats": _q_zonal_stats,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3126,6 +3191,7 @@ GROUP BY 1
         "colocation_lift": _colocation_lift_oracle(),
         "trip_length_hist": _trip_length_hist_oracle(),
         "tile_transitions": _tile_transitions_oracle(),
+        "zonal_stats": _zonal_stats_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -481,6 +481,10 @@ def main() -> None:
     idw_rows = idw_surface(idw_pts, "v", DEFAULT_BOUNDS, 6, 2.0).count()
     timings["idw_surface_z6"] = time.time() - t0
 
+    t0 = _probe_mark("zonal_stats")
+    zonal_rows = _entry.queries()["zonal_stats"](spark, SF_DIR).count()
+    timings["zonal_stats"] = time.time() - t0
+
     t0 = _probe_mark("asof_join")
     from linear_quadtree_spark.operators.asof import asof_join
     from linear_quadtree_spark.operators.crawl import captures_table
@@ -899,6 +903,7 @@ def main() -> None:
             "trip_hist_bins": tlh_rows,
             "tile_transition_cells": tt_trans_rows,
             "idw_grid_cells": idw_rows,
+            "zonal_rows": zonal_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},
             "theil_sen_tiles": sen_rows,
             "emerging_patterns": {r["pattern"]: r["count"] for r in emerge},

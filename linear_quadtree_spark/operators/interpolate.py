@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 from linear_quadtree_spark.config import Bounds
 
-__all__ = ["idw_surface", "idw_surface_sql_duck"]
+__all__ = [
+    "idw_surface",
+    "idw_surface_sql_duck",
+    "zonal_stats",
+    "zonal_stats_sql_duck",
+    "ZONAL_SCALE",
+]
 
 #: fixed-point weight scale — floor(SCALE / (eps + d²)); at the default
 #: eps the max (exact-hit) weight is 10^13, so value·weight products
@@ -167,4 +173,131 @@ SELECT gid, gx, gy, n_samples,
        CASE WHEN sw = 0 THEN NULL
             ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS idw_value
 FROM iagg
+"""
+
+
+# ------------------------------------------------------------ zonal stats
+#: fixed-point areal-weight scale: w = floor(ZONAL_SCALE · overlap/cell)
+ZONAL_SCALE = 1_000_000
+
+
+def _zonal_w_expr(
+    bounds: Bounds, zoom: int, scale: int,
+    zx0: str, zy0: str, zx1: str, zy1: str,
+) -> str:
+    """Fixed-point areal weight of (tile ∩ zone) / tile — shared
+    verbatim across engines. Tile extent is closed-form literal
+    arithmetic from (tx, ty); the clamped overlap is IEEE min/max of
+    exactly those doubles, so the floor is bit-identical."""
+    cw = repr((bounds.xend - bounds.xstart) / float(1 << zoom))
+    ch = repr((bounds.yend - bounds.ystart) / float(1 << zoom))
+    cx0 = f"({bounds.xstart!r} + CAST(tx AS DOUBLE) * {cw})"
+    cy0 = f"({bounds.ystart!r} + CAST(ty AS DOUBLE) * {ch})"
+    ox = f"GREATEST(0.0, LEAST({zx1}, {cx0} + {cw}) - GREATEST({zx0}, {cx0}))"
+    oy = f"GREATEST(0.0, LEAST({zy1}, {cy0} + {ch}) - GREATEST({zy0}, {cy0}))"
+    return (
+        f"CAST(FLOOR({float(scale)!r} * ({ox}) * ({oy})"
+        f" / ({cw} * {ch})) AS BIGINT)"
+    )
+
+
+def zonal_stats(
+    tile_counts: DataFrame,
+    zones: DataFrame,
+    bounds: Bounds,
+    zoom: int,
+    scale: int = ZONAL_SCALE,
+) -> DataFrame:
+    """Areal-weighted reaggregation (areal interpolation): re-express a
+    tile raster as statistics over ARBITRARY rectangular zones — the
+    census-tract / market-area / AOI rollup every mapping product ends
+    with. Each tile contributes its count × the fraction of its area
+    inside the zone (the uniform-density assumption of classic areal
+    weighting, Goodchild & Lam 1980).
+
+    ``tile_counts`` is the (tx, ty, c) relation at ``zoom`` (what
+    `_tile_counts`-style aggregates produce); ``zones`` is a SMALL
+    dimension (zone_id, zx0, zy0, zx1, zy1) — half-open rectangles in
+    data coordinates.
+
+    Exactness (the idw_surface discipline): per-(tile, zone) weights
+    are FIXED-POINT integers w = floor(scale · overlap/cell_area), so
+    the zonal sums Σ c·w are pure integer sums (order-free in both
+    engines) and the estimate is ONE final double division. A tile
+    fully inside a zone weighs exactly `scale` (FLOOR of an exact
+    integer-valued double). Output: (zone_id, n_tiles, est_num,
+    est_points) with est_points = est_num / scale.
+
+    Scale shape: the zone dimension BROADCASTS; the tile relation
+    (≤ 4^zoom rows, already the output of one data shuffle) joins it
+    with a bbox range predicate — a broadcast nested-loop on the
+    SMALL side only, tiles never re-shuffle — then one map-side-
+    combined zonal aggregate (output = zones). The events themselves
+    are touched zero times here; feed any per-tile rollup through.
+    """
+    if zoom < 0 or scale < 1:
+        raise ValueError("zoom must be >= 0 and scale >= 1")
+    n = 1 << zoom
+    w = _zonal_w_expr(bounds, zoom, scale, "zx0", "zy0", "zx1", "zy1")
+    cw = (bounds.xend - bounds.xstart) / float(n)
+    ch = (bounds.yend - bounds.ystart) / float(n)
+    # integer cell-range prune BEFORE the exact weight: the predicate
+    # is pure arithmetic on broadcast columns, Catalyst folds it into
+    # the join condition
+    ix0 = f"CAST(FLOOR((zx0 - {bounds.xstart!r}) / {cw!r}) AS BIGINT)"
+    ix1 = f"CAST(FLOOR((zx1 - {bounds.xstart!r}) / {cw!r}) AS BIGINT)"
+    iy0 = f"CAST(FLOOR((zy0 - {bounds.ystart!r}) / {ch!r}) AS BIGINT)"
+    iy1 = f"CAST(FLOOR((zy1 - {bounds.ystart!r}) / {ch!r}) AS BIGINT)"
+    joined = tile_counts.join(
+        F.broadcast(zones),
+        F.expr(
+            f"tx BETWEEN {ix0} AND {ix1} AND ty BETWEEN {iy0} AND {iy1}"
+        ),
+    ).withColumn("_w", F.expr(w))
+    return (
+        joined.filter(F.col("_w") > 0)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.col("c") * F.col("_w")).alias("est_num"),
+        )
+        .selectExpr(
+            "zone_id",
+            "n_tiles",
+            "est_num",
+            f"CAST(est_num AS DOUBLE) / {float(scale)!r} AS est_points",
+        )
+    )
+
+
+def zonal_stats_sql_duck(
+    bounds: Bounds,
+    zoom: int,
+    scale: int = ZONAL_SCALE,
+    tiles_src: str = "ztiles",
+    zones_src: str = "zones",
+) -> str:
+    """DuckDB twin — identical weight/prune expressions over CTEs
+    exposing ztiles(tx, ty, c) and zones(zone_id, zx0, zy0, zx1, zy1)."""
+    n = 1 << zoom
+    w = _zonal_w_expr(bounds, zoom, scale, "zx0", "zy0", "zx1", "zy1")
+    cw = (bounds.xend - bounds.xstart) / float(n)
+    ch = (bounds.yend - bounds.ystart) / float(n)
+    ix0 = f"CAST(FLOOR((zx0 - {bounds.xstart!r}) / {cw!r}) AS BIGINT)"
+    ix1 = f"CAST(FLOOR((zx1 - {bounds.xstart!r}) / {cw!r}) AS BIGINT)"
+    iy0 = f"CAST(FLOOR((zy0 - {bounds.ystart!r}) / {ch!r}) AS BIGINT)"
+    iy1 = f"CAST(FLOOR((zy1 - {bounds.ystart!r}) / {ch!r}) AS BIGINT)"
+    return f"""
+zj AS (
+  SELECT z.zone_id, t.c, {w} AS w
+  FROM {tiles_src} t JOIN {zones_src} z
+    ON t.tx BETWEEN {ix0} AND {ix1}
+   AND t.ty BETWEEN {iy0} AND {iy1}),
+za AS (
+  SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(SUM(c * w) AS BIGINT) AS est_num
+  FROM zj WHERE w > 0 GROUP BY 1)
+SELECT zone_id, n_tiles, est_num,
+       CAST(est_num AS DOUBLE) / {float(scale)!r} AS est_points
+FROM za
 """
