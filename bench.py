@@ -368,6 +368,7 @@ def main() -> None:
     timings["nn_dist_hist"] = time.time() - t0
 
     t0 = _probe_mark("cross_k")
+    import __spark_entry__ as _entry
     xk_rows = _entry.queries()["cross_k"](spark, SF_DIR).collect()
     timings["cross_k"] = time.time() - t0
 

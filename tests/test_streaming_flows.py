@@ -157,3 +157,42 @@ def test_speed_ingest_ordered_replay_equals_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_cross > 0
+
+
+def test_rog_ingest_out_of_order_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Order-free law: the moments are commutative integer sums, so
+    after an out-of-order round-robin replay the FINAL emission per
+    user (the one with the largest n_events — n is monotone across
+    batches) equals batch radius_of_gyration exactly."""
+    from linear_quadtree_spark.operators.trajectory import radius_of_gyration
+    from linear_quadtree_spark.streaming.flows import rog_ingest
+
+    out = tmp_path / "rog_split"
+    out.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        _write_part(ev.filter(F.col("event_id") % 3 == i), out, i)
+    emitted = run_available_now(
+        rog_ingest(_read_stream(spark, str(out)), zoom=10),
+        "rog_stream",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "rog_ckpt"),
+    )
+    rows = emitted.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+    got = {
+        u: (r.n_events, r.sx, r.sy, r.ssq, r.rog2_num, r.rog2_cells)
+        for u, r in final.items()
+    }
+    exp = {
+        r.user_id: (r.n_events, r.sx, r.sy, r.ssq, r.rog2_num, r.rog2_cells)
+        for r in radius_of_gyration(ev, zoom=10).collect()
+    }
+    assert got == exp and len(got) > 5
+    # progressive emission actually happened: more emissions than users
+    # (every user with data in 2+ batches emitted an interim row)
+    assert len(rows) > len(final)
