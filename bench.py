@@ -359,12 +359,15 @@ def main() -> None:
     ripley_rows = ripley_k(tbl, [0.05, 0.1, 0.2, 0.4]).collect()
     timings["ripley_k"] = time.time() - t0
 
-    # G-function on the same built table: the rmax here is ~4x the
-    # mean NN spacing at sf0.1 (60k docs over 100x100), so the
-    # bucketed self-join stays density-bounded
+    # G-function on the registry's docs table (distinct ids; the
+    # lineitem-derived bench pids are NOT unique — 143,139 duplicate
+    # (orderkey, linenumber) rows at sf0.1, which the G-function
+    # surfaces as censored mass because duplicate ids merge in the
+    # per-point min — a data-integrity artifact worth knowing, wrong
+    # table for timing the operator)
     t0 = _probe_mark("nn_dist_hist")
-    from linear_quadtree_spark.operators.hotspot import nn_dist_hist
-    nn_hist_rows = nn_dist_hist(tbl, rmax=1.6, nbins=16).collect()
+    import __spark_entry__ as _nn_entry
+    nn_hist_rows = _nn_entry.queries()["nn_dist_hist"](spark, SF_DIR).collect()
     timings["nn_dist_hist"] = time.time() - t0
 
     t0 = _probe_mark("cross_k")
@@ -469,8 +472,10 @@ def main() -> None:
 
     t0 = _probe_mark("tile_transitions")
     from linear_quadtree_spark.operators.spacetime import tile_transitions
+    # zoom 8: ~4.5 events per tile-half at sf0.1 — classes actually
+    # spread (zoom 6 put every tile in the same (4,4) cell)
     tt_trans_rows = tile_transitions(
-        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=8
     ).count()
     timings["tile_transitions"] = time.time() - t0
 

@@ -726,7 +726,6 @@ FROM g
 def speed_flags(
     events: DataFrame,
     vmax: float = 0.05,
-    bounds: Bounds = DEFAULT_BOUNDS,
     id_col: str = "user_id",
     ts_col: str = "ts",
     event_id_col: str = "event_id",
@@ -794,7 +793,6 @@ def speed_flags(
 def speed_flags_sql_duck(
     src: str = "events",
     vmax: float = 0.05,
-    bounds: Bounds = DEFAULT_BOUNDS,
     id_col: str = "user_id",
     ts_col: str = "ts",
     event_id_col: str = "event_id",

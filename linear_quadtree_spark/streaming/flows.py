@@ -201,7 +201,6 @@ _SPD_STATE_SCHEMA = StructType(
 def speed_ingest(
     events: DataFrame,
     vmax: float = 0.05,
-    bounds: Bounds = DEFAULT_BOUNDS,
     id_col: str = "user_id",
     ts_col: str = "ts",
     event_id_col: str = "event_id",
