@@ -325,6 +325,42 @@ zones AS (SELECT {zone_cols} FROM range({N_ZONES})),
 {zonal_stats_sql_duck(DEFAULT_BOUNDS, ZONAL_ZOOM).strip()}"""
 
 
+def _q_anchor_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor inference (operators/trajectory.py): modal
+    night-hour and day-hour tiles per user with deterministic integer
+    tiebreaks; users with no night (day) events get NULL home (work).
+    One aggregate + two rank windows + one thin outer join."""
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return anchor_tiles(ev, zoom=4)
+
+
+def _anchor_tiles_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles_sql_duck
+
+    return anchor_tiles_sql_duck("events", zoom=4)
+
+
+def _q_tile_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile visitor retention across the integer-midpoint time
+    split (operators/spacetime.py): distinct-visitor counts per half
+    + integer-exact retained count/ppm. One map-side-deduped
+    aggregate, then a tile rollup."""
+    from linear_quadtree_spark.operators.spacetime import tile_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_retention(ev, zoom=4)
+
+
+def _tile_retention_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_retention_sql_duck,
+    )
+
+    return tile_retention_sql_duck("events", zoom=4)
+
+
 CLQ_R = 0.8
 
 
@@ -2385,6 +2421,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "trip_length_hist": _q_trip_length_hist,
         "tile_transitions": _q_tile_transitions,
         "zonal_stats": _q_zonal_stats,
+        "anchor_tiles": _q_anchor_tiles,
+        "tile_retention": _q_tile_retention,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3192,6 +3230,8 @@ GROUP BY 1
         "trip_length_hist": _trip_length_hist_oracle(),
         "tile_transitions": _tile_transitions_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
+        "anchor_tiles": _anchor_tiles_oracle(),
+        "tile_retention": _tile_retention_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -470,6 +470,20 @@ def main() -> None:
     ).count()
     timings["trip_length_hist"] = time.time() - t0
 
+    t0 = _probe_mark("anchor_tiles")
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles
+    anchor_rows = anchor_tiles(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["anchor_tiles"] = time.time() - t0
+
+    t0 = _probe_mark("tile_retention")
+    from linear_quadtree_spark.operators.spacetime import tile_retention
+    retention_rows = tile_retention(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["tile_retention"] = time.time() - t0
+
     t0 = _probe_mark("tile_transitions")
     from linear_quadtree_spark.operators.spacetime import tile_transitions
     # zoom 8: ~4.5 events per tile-half at sf0.1 — classes actually
@@ -908,6 +922,8 @@ def main() -> None:
             "speed_flag_rows": speed_rows,
             "trip_hist_bins": tlh_rows,
             "tile_transition_cells": tt_trans_rows,
+            "anchor_rows": anchor_rows,
+            "retention_tiles": retention_rows,
             "idw_grid_cells": idw_rows,
             "zonal_rows": zonal_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

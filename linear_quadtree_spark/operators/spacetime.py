@@ -36,6 +36,8 @@ __all__ = [
     "colocation_lift_sql_duck",
     "tile_transitions",
     "tile_transitions_sql_duck",
+    "tile_retention",
+    "tile_retention_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1611,4 +1613,99 @@ SELECT CAST({ca_cls} AS INTEGER) AS class_from,
        CAST({cb_cls} AS INTEGER) AS class_to,
        CAST(COUNT(*) AS BIGINT) AS n_tiles
 FROM tth GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- tile retention
+def tile_retention(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-tile visitor retention across the two halves of the time
+    range — the engagement metric of place analytics ("of the people
+    here in period A, how many came back in period B"): per tile, the
+    distinct-visitor counts of each half and the integer-exact
+    retained count/rate. The epoch split is the same integer-midpoint
+    predicate tile_transitions uses (2·ep ≥ mn + mx; no float
+    threshold). retention_ppm = 10^6·retained div n_users_a; NULL when
+    the tile had no A-half visitors (absence reported, not 0).
+
+    Scale shape: ONE map-side-deduped aggregate to distinct
+    (tile, user, half-presence flags) — the only data-sized shuffle —
+    then a tile rollup of that relation; the 1-row time range
+    broadcasts. Output: (tile, n_users_a, n_users_b, n_retained,
+    retention_ppm)."""
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    rng = events.agg(
+        F.min(F.expr(f"unix_timestamp({ts_col})")).alias("mn"),
+        F.max(F.expr(f"unix_timestamp({ts_col})")).alias("mx"),
+    )
+    pres = (
+        keyed.withColumn("_ep", F.expr(f"unix_timestamp({ts_col})"))
+        .crossJoin(F.broadcast(rng))
+        .groupBy("tile", F.col(id_col).alias("_uid"))
+        .agg(
+            F.max(
+                F.expr("CASE WHEN 2 * _ep >= mn + mx THEN 0 ELSE 1 END")
+            ).alias("in_a"),
+            F.max(
+                F.expr("CASE WHEN 2 * _ep >= mn + mx THEN 1 ELSE 0 END")
+            ).alias("in_b"),
+        )
+    )
+    return (
+        pres.groupBy("tile")
+        .agg(
+            F.sum("in_a").alias("n_users_a"),
+            F.sum("in_b").alias("n_users_b"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_retained"),
+        )
+        .selectExpr(
+            "tile", "n_users_a", "n_users_b", "n_retained",
+            "CASE WHEN n_users_a = 0 THEN NULL"
+            " ELSE (1000000 * n_retained) div n_users_a END AS retention_ppm",
+        )
+    )
+
+
+def tile_retention_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin — identical keying, midpoint split and integer
+    retention arithmetic."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return f"""
+WITH trk AS (
+  SELECT {cell} AS tile, {id_col} AS uid,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep
+  FROM {src}),
+trr AS (SELECT CAST(MIN(ep) AS BIGINT) AS mn, CAST(MAX(ep) AS BIGINT) AS mx
+        FROM trk),
+trp AS (
+  SELECT tile, uid,
+         CAST(MAX(CASE WHEN 2 * ep >= mn + mx THEN 0 ELSE 1 END) AS BIGINT) AS in_a,
+         CAST(MAX(CASE WHEN 2 * ep >= mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+  FROM trk, trr GROUP BY 1, 2)
+SELECT tile,
+       CAST(SUM(in_a) AS BIGINT) AS n_users_a,
+       CAST(SUM(in_b) AS BIGINT) AS n_users_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_retained,
+       CASE WHEN SUM(in_a) = 0 THEN NULL
+            ELSE (1000000 * CAST(SUM(in_a * in_b) AS BIGINT))
+                 // CAST(SUM(in_a) AS BIGINT) END AS retention_ppm
+FROM trp GROUP BY 1
 """

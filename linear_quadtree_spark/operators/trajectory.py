@@ -70,6 +70,8 @@ __all__ = [
     "speed_flags_sql_duck",
     "trip_length_hist",
     "trip_length_hist_sql_duck",
+    "anchor_tiles",
+    "anchor_tiles_sql_duck",
 ]
 
 
@@ -915,4 +917,129 @@ hist AS (
 spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, {nbins}))
 SELECT s.bin, CAST(COALESCE(h.n_hops, 0) AS BIGINT) AS n_hops
 FROM spine s LEFT JOIN hist h ON s.bin = h.bin
+"""
+
+
+# --------------------------------------------------------- anchor tiles
+def anchor_tiles(
+    events: DataFrame,
+    zoom: int = 4,
+    night_end_hour: int = 6,
+    day_start_hour: int = 8,
+    day_end_hour: int = 20,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Home/work anchor inference — the classic two-anchor heuristic of
+    the mobility literature (home = modal tile of night-hour activity,
+    work = modal tile of day-hour activity; the labeling step every
+    commute/OD product starts from). Hours are UTC integers from the
+    event timestamp; [0, night_end) is night, [day_start, day_end) is
+    day, the shoulders count toward neither (parameterized).
+
+    Deterministic: modal tiles tie-break on (count desc, tile asc) via
+    row_number — integer comparisons only. Users with NO night (day)
+    events get NULL home (work) — absence is reported, not guessed.
+    Output: (user_id, home_tile, n_night, work_tile, n_day).
+
+    Scale shape: ONE map-side-combined aggregate to (user, tile,
+    night/day counts); two WindowGroupLimit rank stages over it (same
+    user-key partitioning — Catalyst reuses the exchange); one
+    user-key outer join of the two thin per-user relations. Events are
+    touched once; everything after is (user × visited-tiles)-sized.
+    """
+    if not (0 < night_end_hour <= day_start_hour < day_end_hour <= 24):
+        raise ValueError("need 0 < night_end <= day_start < day_end <= 24")
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    hour = F.expr(f"hour({ts_col})")
+    per = (
+        events.select(
+            F.col(id_col),
+            geocell_col(
+                geotag_x_sql(event_id_col), geotag_y_sql(event_id_col),
+                bounds, zoom,
+            ).alias("tile"),
+            hour.alias("_h"),
+        )
+        .groupBy(id_col, "tile")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN _h < {night_end_hour} THEN 1 ELSE 0 END")
+            ).alias("nn"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN _h >= {day_start_hour}"
+                    f" AND _h < {day_end_hour} THEN 1 ELSE 0 END"
+                )
+            ).alias("nd"),
+        )
+    )
+
+    def modal(cnt: str, out_tile: str, out_n: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.col(cnt).desc(), F.col("tile"))
+        return (
+            per.filter(F.col(cnt) > 0)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                id_col,
+                F.col("tile").alias(out_tile),
+                F.col(cnt).alias(out_n),
+            )
+        )
+
+    home = modal("nn", "home_tile", "n_night")
+    work = modal("nd", "work_tile", "n_day")
+    return home.join(work, id_col, "full_outer").select(
+        id_col, "home_tile", "n_night", "work_tile", "n_day"
+    )
+
+
+def anchor_tiles_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    night_end_hour: int = 6,
+    day_start_hour: int = 8,
+    day_end_hour: int = 20,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — same tile/hour expressions, same modal windows."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    return f"""
+WITH per AS (
+  SELECT {id_col}, {cell} AS tile,
+         CAST(SUM(CASE WHEN hour({ts_col}) < {night_end_hour}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN hour({ts_col}) >= {day_start_hour}
+                   AND hour({ts_col}) < {day_end_hour}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM {src} GROUP BY 1, 2),
+home AS (
+  SELECT {id_col}, tile AS home_tile, nn AS n_night
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY {id_col} ORDER BY nn DESC, tile) AS rk
+        FROM per WHERE nn > 0)
+  WHERE rk = 1),
+work AS (
+  SELECT {id_col}, tile AS work_tile, nd AS n_day
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY {id_col} ORDER BY nd DESC, tile) AS rk
+        FROM per WHERE nd > 0)
+  WHERE rk = 1)
+SELECT COALESCE(home.{id_col}, work.{id_col}) AS {id_col},
+       home_tile, n_night, work_tile, n_day
+FROM home FULL OUTER JOIN work ON home.{id_col} = work.{id_col}
 """

@@ -285,3 +285,45 @@ def test_tile_transitions_bruteforce(spark, sf_dir):
     assert sum(got.values()) == len(set(ca) | set(cb))
     # both halves are populated: some tile classes 0 on exactly one side
     assert any(a == 0 or b == 0 for a, b in got) or len(got) > 1
+
+
+def test_tile_retention_bruteforce(spark, sf_dir):
+    """Retention equals the Python recomputation over distinct
+    (tile, user, half) visits; laws: retained <= min(nA, nB) and
+    ppm = 10^6*retained div nA."""
+    import collections
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.spacetime import tile_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "user_id", "ts",
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    eps = [int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp()) for r in rows]
+    mn, mx = min(eps), max(eps)
+    a = collections.defaultdict(set)
+    b = collections.defaultdict(set)
+    for r, ep in zip(rows, eps):
+        (b if 2 * ep >= mn + mx else a)[r.tile].add(r.user_id)
+    exp = {}
+    for t in set(a) | set(b):
+        na, nb = len(a[t]), len(b[t])
+        ret = len(a[t] & b[t])
+        ppm = (1_000_000 * ret) // na if na else None
+        exp[t] = (na, nb, ret, ppm)
+    got = {
+        r.tile: (r.n_users_a, r.n_users_b, r.n_retained, r.retention_ppm)
+        for r in tile_retention(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 50
+    for na, nb, ret, _ in got.values():
+        assert ret <= min(na, nb)

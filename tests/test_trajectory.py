@@ -617,3 +617,69 @@ def test_trip_length_hist_validation_and_plan(spark, sf_dir):
     # broadcasts
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------- anchor tiles
+def test_anchor_tiles_bruteforce(spark, sf_dir):
+    """Home/work anchors equal the Python modal recomputation with the
+    (count desc, tile asc) tiebreak; NULL when a user has no night
+    (day) events."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "user_id",
+        F.expr("hour(ts)").alias("h"),
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    nn = collections.Counter()
+    nd = collections.Counter()
+    for r in rows:
+        if r.h < 6:
+            nn[(r.user_id, r.tile)] += 1
+        if 8 <= r.h < 20:
+            nd[(r.user_id, r.tile)] += 1
+
+    def modal(cnt):
+        best = {}
+        for (u, t), c in cnt.items():
+            cur = best.get(u)
+            if cur is None or (-c, t) < (-cur[1], cur[0]):
+                best[u] = (t, c)
+        return best
+
+    home, work = modal(nn), modal(nd)
+    exp = {}
+    for u in set(home) | set(work):
+        h = home.get(u)
+        w = work.get(u)
+        exp[u] = (
+            h[0] if h else None, h[1] if h else None,
+            w[0] if w else None, w[1] if w else None,
+        )
+    got = {
+        r.user_id: (r.home_tile, r.n_night, r.work_tile, r.n_day)
+        for r in anchor_tiles(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 5
+
+
+def test_anchor_tiles_validation(spark, sf_dir):
+    import pytest
+
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        anchor_tiles(ev, night_end_hour=0)
+    with pytest.raises(ValueError):
+        anchor_tiles(ev, day_start_hour=5, night_end_hour=6)
