@@ -361,6 +361,66 @@ def _tile_retention_oracle() -> str:
     return tile_retention_sql_duck("events", zoom=4)
 
 
+def _q_tile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic Gini coefficient of point activity across the full
+    zoom-4 lattice (operators/hotspot.py): sorted-rank identity with
+    integer-exact numerator/denominator over the OCCUPIED tile
+    relation only (empty cells folded in closed form). One tiny
+    tile-relation window + one global aggregate."""
+    from linear_quadtree_spark.operators.hotspot import tile_gini
+
+    tbl = _build_table(spark, sf_dir)
+    return tile_gini(tbl, zoom=4)
+
+
+def _tile_gini_oracle() -> str:
+    from linear_quadtree_spark.operators.hotspot import tile_gini_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
+        f"{tile_gini_sql_duck(4)}"
+    )
+
+
+def _q_tile_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile activity-mix profile (operators/spacetime.py): event
+    count, distinct types, deterministic dominant type, and the
+    integer-exact mix HHI per tile. One map-side-combined aggregate to
+    (tile, type); rollup + rank run on that tiny relation."""
+    from linear_quadtree_spark.operators.spacetime import tile_type_mix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_type_mix(ev, zoom=4)
+
+
+def _tile_type_mix_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_type_mix_sql_duck,
+    )
+
+    return tile_type_mix_sql_duck("events", zoom=4)
+
+
+def _q_commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commute OD matrix (operators/trajectory.py): anchor_tiles' home
+    → work pairs rolled up per tile pair with the exact integer squared
+    grid commute distance. Events touched once; the pair rollup is
+    bounded by the occupied (home, work) pair set."""
+    from linear_quadtree_spark.operators.trajectory import commute_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return commute_matrix(ev, zoom=4)
+
+
+def _commute_matrix_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        commute_matrix_sql_duck,
+    )
+
+    return commute_matrix_sql_duck("events", zoom=4)
+
+
 CLQ_R = 0.8
 
 
@@ -2423,6 +2483,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zonal_stats": _q_zonal_stats,
         "anchor_tiles": _q_anchor_tiles,
         "tile_retention": _q_tile_retention,
+        "tile_gini": _q_tile_gini,
+        "tile_type_mix": _q_tile_type_mix,
+        "commute_matrix": _q_commute_matrix,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3232,6 +3295,9 @@ GROUP BY 1
         "zonal_stats": _zonal_stats_oracle(),
         "anchor_tiles": _anchor_tiles_oracle(),
         "tile_retention": _tile_retention_oracle(),
+        "tile_gini": _tile_gini_oracle(),
+        "tile_type_mix": _tile_type_mix_oracle(),
+        "commute_matrix": _commute_matrix_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

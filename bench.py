@@ -427,6 +427,11 @@ def main() -> None:
     quad_row = quadrat_test(tbl, zoom=8).collect()[0]
     timings["quadrat_test_z8"] = time.time() - t0
 
+    t0 = _probe_mark("tile_gini_z8")
+    from linear_quadtree_spark.operators.hotspot import tile_gini
+    gini_row = tile_gini(tbl, zoom=8).collect()[0]
+    timings["tile_gini_z8"] = time.time() - t0
+
     t0 = _probe_mark("segment_crossings")
     from linear_quadtree_spark.operators.trajectory import (
         segment_crossings,
@@ -483,6 +488,20 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
     ).count()
     timings["tile_retention"] = time.time() - t0
+
+    t0 = _probe_mark("tile_type_mix")
+    from linear_quadtree_spark.operators.spacetime import tile_type_mix
+    mix_rows = tile_type_mix(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["tile_type_mix"] = time.time() - t0
+
+    t0 = _probe_mark("commute_matrix")
+    from linear_quadtree_spark.operators.trajectory import commute_matrix
+    commute_rows = commute_matrix(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["commute_matrix"] = time.time() - t0
 
     t0 = _probe_mark("tile_transitions")
     from linear_quadtree_spark.operators.spacetime import tile_transitions
@@ -924,6 +943,9 @@ def main() -> None:
             "tile_transition_cells": tt_trans_rows,
             "anchor_rows": anchor_rows,
             "retention_tiles": retention_rows,
+            "tile_gini": gini_row.gini,
+            "type_mix_tiles": mix_rows,
+            "commute_pairs": commute_rows,
             "idw_grid_cells": idw_rows,
             "zonal_rows": zonal_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

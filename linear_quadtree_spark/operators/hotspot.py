@@ -63,6 +63,8 @@ __all__ = [
     "geary_c_sql_duck",
     "quadrat_test",
     "quadrat_test_sql_duck",
+    "tile_gini",
+    "tile_gini_sql_duck",
     "join_counts",
     "join_counts_sql_duck",
 ]
@@ -1237,4 +1239,99 @@ SELECT n AS n_tiles, w AS w_pairs,
        {_GEARY_C_EXPR} AS geary_c,
        CASE WHEN n <= 1 THEN NULL ELSE 1.0 END AS expected_c
 FROM fin
+"""
+
+
+# ---------------------------------------------------------- spatial Gini
+def tile_gini(tbl: LQTTable, zoom: int, full_lattice: bool = True) -> DataFrame:
+    """Geographic Gini coefficient of activity across tiles — the
+    standard inequality summary ("how concentrated is the corpus on
+    the map"), computed by the sorted-rank identity
+
+        G = (2·Σ_i i·x_(i) − (N+1)·Σx) / (N·Σx),   x sorted ascending
+
+    with integer-exact numerator/denominator and ONE final double
+    division. ``full_lattice=True`` (default) measures over ALL 4^zoom
+    cells with empties as zeros — in closed form: z empty cells occupy
+    ranks 1..z contributing nothing, so Σ i·x = z·S + Σ j·x_(j) over
+    the occupied relation alone (the Gi*/join_counts discipline: the
+    lattice never materializes). G = 0 uniform, → 1 fully concentrated.
+
+    Ties are rank-order invariant (equal x values contribute the same
+    Σ i·x under any permutation), so the global sort is deterministic
+    by construction. Scale note: the rank is ONE unpartitioned window
+    over the TILE relation (≤ 4^zoom rows — fine to zoom ~12); beyond
+    that, bin counts first (the quantiles discipline).
+
+    Output one row: (n_cells, n_occupied, sum_points, gini_num,
+    gini_den, gini)."""
+    n_lattice = 1 << (2 * zoom)
+    from pyspark.sql import Window
+
+    g = _tile_counts(tbl, zoom).select("tile_id", "x")
+    w = Window.orderBy(F.col("x"), F.col("tile_id"))
+    ranked = g.withColumn("_j", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("_j").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .alias("jx"),
+    )
+    n_expr = str(n_lattice) if full_lattice else "occ"
+    zoff = (
+        f"(CAST({n_lattice} AS DECIMAL(38,0)) - CAST(occ AS DECIMAL(38,0)))"
+        if full_lattice
+        else "CAST(0 AS DECIMAL(38,0))"
+    )
+    return agg.selectExpr(
+        f"CAST({n_expr} AS BIGINT) AS n_cells",
+        "occ AS n_occupied",
+        "s AS sum_points",
+        f"CAST(2 * ({zoff} * CAST(s AS DECIMAL(38,0)) + jx)"
+        f" - (CAST({n_expr} AS DECIMAL(38,0)) + 1) * CAST(s AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) AS gini_num",
+        f"CAST(CAST({n_expr} AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) AS gini_den",
+        "CASE WHEN s = 0 OR s IS NULL THEN NULL"
+        f" ELSE CAST(2 * ({zoff} * CAST(s AS DECIMAL(38,0)) + jx)"
+        f" - (CAST({n_expr} AS DECIMAL(38,0)) + 1) * CAST(s AS DECIMAL(38,0))"
+        " AS DOUBLE)"
+        f" / CAST(CAST({n_expr} AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+        " AS DOUBLE) END AS gini",
+    )
+
+
+def tile_gini_sql_duck(zoom: int, full_lattice: bool = True) -> str:
+    """DuckDB twin — same rank identity over refenc(pref), HUGEINT
+    sums, the identical closed-form zero-offset."""
+    n_lattice = 1 << (2 * zoom)
+    n_expr = str(n_lattice) if full_lattice else "occ"
+    zoff = (
+        f"(CAST({n_lattice} AS HUGEINT) - CAST(occ AS HUGEINT))"
+        if full_lattice
+        else "CAST(0 AS HUGEINT)"
+    )
+    return f"""
+gocc AS (SELECT pref AS tile_id, CAST(COUNT(*) AS BIGINT) AS x
+         FROM refenc GROUP BY 1),
+grk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, tile_id) AS j FROM gocc),
+gagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS occ,
+                CAST(SUM(x) AS BIGINT) AS s,
+                SUM(CAST(j AS HUGEINT) * CAST(x AS HUGEINT)) AS jx
+         FROM grk)
+SELECT CAST({n_expr} AS BIGINT) AS n_cells,
+       occ AS n_occupied,
+       s AS sum_points,
+       CAST(2 * ({zoff} * CAST(s AS HUGEINT) + jx)
+            - (CAST({n_expr} AS HUGEINT) + 1) * CAST(s AS HUGEINT)
+         AS DECIMAL(38,0)) AS gini_num,
+       CAST(CAST({n_expr} AS HUGEINT) * CAST(s AS HUGEINT)
+         AS DECIMAL(38,0)) AS gini_den,
+       CASE WHEN s = 0 OR s IS NULL THEN NULL
+            ELSE CAST(2 * ({zoff} * CAST(s AS HUGEINT) + jx)
+                 - (CAST({n_expr} AS HUGEINT) + 1) * CAST(s AS HUGEINT)
+                 AS DOUBLE)
+                 / CAST(CAST({n_expr} AS HUGEINT) * CAST(s AS HUGEINT)
+                        AS DOUBLE) END AS gini
+FROM gagg
 """

@@ -38,6 +38,8 @@ __all__ = [
     "tile_transitions_sql_duck",
     "tile_retention",
     "tile_retention_sql_duck",
+    "tile_type_mix",
+    "tile_type_mix_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1708,4 +1710,81 @@ SELECT tile,
             ELSE (1000000 * CAST(SUM(in_a * in_b) AS BIGINT))
                  // CAST(SUM(in_a) AS BIGINT) END AS retention_ppm
 FROM trp GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- tile type mix
+def tile_type_mix(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-tile activity-mix profile — the land-use-mix analog for an
+    event stream: per tile, total events, distinct types present, the
+    dominant type (ties → count desc then type asc, integer/string
+    comparisons only), its count, and the integer-exact mix HHI
+    (10^6·Σc²  div (Σc)²; 10^6 = single-use tile, lower = mixed) — the
+    tile_concentration discipline applied to the type dimension.
+
+    Scale shape: ONE map-side-combined aggregate to (tile, type)
+    counts; a tile rollup AND a WindowGroupLimit dominant-type rank
+    both run on that tiny relation (≤ tiles × types rows) and join
+    back tile-keyed. Events touched once. Output: (tile, n_events,
+    n_types, top_type, top_n, mix_hhi_ppm)."""
+    from pyspark.sql import Window
+
+    keyed = _with_keys(events, zoom, bounds, geotag_col, "ts")
+    tc = (
+        keyed.select("tile", F.col(type_col).alias("ty"))
+        .groupBy("tile", "ty")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    roll = tc.groupBy("tile").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+    )
+    w = Window.partitionBy("tile").orderBy(F.col("c").desc(), F.col("ty"))
+    top = (
+        tc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("tile", F.col("ty").alias("top_type"), F.col("c").alias("top_n"))
+    )
+    return roll.join(top, "tile").selectExpr(
+        "tile", "n_events", "n_types", "top_type", "top_n",
+        "(1000000 * _ss) div (n_events * n_events) AS mix_hhi_ppm",
+    )
+
+
+def tile_type_mix_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin — same keying, rollup, rank and integer HHI."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return f"""
+WITH tmk AS (SELECT {cell} AS tile, {type_col} AS ty FROM {src}),
+tmc AS (SELECT tile, ty, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tmk GROUP BY 1, 2),
+tmr AS (SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM tmc GROUP BY 1),
+tmt AS (SELECT tile, ty AS top_type, c AS top_n
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tile ORDER BY c DESC, ty) AS rk FROM tmc)
+        WHERE rk = 1)
+SELECT tmr.tile, n_events, n_types, top_type, top_n,
+       (1000000 * ss) // (n_events * n_events) AS mix_hhi_ppm
+FROM tmr JOIN tmt ON tmr.tile = tmt.tile
 """

@@ -72,6 +72,8 @@ __all__ = [
     "trip_length_hist_sql_duck",
     "anchor_tiles",
     "anchor_tiles_sql_duck",
+    "commute_matrix",
+    "commute_matrix_sql_duck",
 ]
 
 
@@ -1042,4 +1044,74 @@ work AS (
 SELECT COALESCE(home.{id_col}, work.{id_col}) AS {id_col},
        home_tile, n_night, work_tile, n_day
 FROM home FULL OUTER JOIN work ON home.{id_col} = work.{id_col}
+"""
+
+
+# ------------------------------------------------------- commute matrix
+def commute_matrix(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    **anchor_kwargs,
+) -> DataFrame:
+    """Commute OD matrix: the home→work anchor pairs of
+    :func:`anchor_tiles` rolled up per (home_tile, work_tile), with the
+    exact integer squared tile-grid commute distance
+    d2_cells = (hx−wx)² + (hy−wy)² attached — the aggregate commuting
+    picture (plus a same-tile diagonal) that an urban / audience-flow
+    dashboard draws. Only users with BOTH anchors contribute.
+
+    Scale shape: anchor_tiles' shape (events touched once), then one
+    pair rollup of the per-user anchor relation (output bounded by the
+    occupied pair set); the cell-axis decode is pure integer bit
+    arithmetic on the pair keys. Output: (home_tile, work_tile,
+    n_users, d2_cells)."""
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    anchors = anchor_tiles(events, zoom=zoom, bounds=bounds, **anchor_kwargs)
+    hx = cell_axis_expr(SPARK, "home_tile", zoom, 0)
+    hy = cell_axis_expr(SPARK, "home_tile", zoom, 1)
+    wx = cell_axis_expr(SPARK, "work_tile", zoom, 0)
+    wy = cell_axis_expr(SPARK, "work_tile", zoom, 1)
+    return (
+        anchors.filter(
+            F.col("home_tile").isNotNull() & F.col("work_tile").isNotNull()
+        )
+        .groupBy("home_tile", "work_tile")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn(
+            "d2_cells",
+            F.expr(
+                f"(({hx}) - ({wx})) * (({hx}) - ({wx}))"
+                f" + (({hy}) - ({wy})) * (({hy}) - ({wy}))"
+            ).cast("bigint"),
+        )
+    )
+
+
+def commute_matrix_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    **anchor_kwargs,
+) -> str:
+    """DuckDB twin — the anchor twin wrapped in the same pair rollup
+    and integer axis-decode distance."""
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    inner = anchor_tiles_sql_duck(src, zoom=zoom, bounds=bounds, **anchor_kwargs)
+    hx = cell_axis_expr(DUCK, "home_tile", zoom, 0)
+    hy = cell_axis_expr(DUCK, "home_tile", zoom, 1)
+    wx = cell_axis_expr(DUCK, "work_tile", zoom, 0)
+    wy = cell_axis_expr(DUCK, "work_tile", zoom, 1)
+    return f"""
+WITH anchors AS ({inner})
+SELECT home_tile, work_tile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST((({hx}) - ({wx})) * (({hx}) - ({wx}))
+            + (({hy}) - ({wy})) * (({hy}) - ({wy})) AS BIGINT) AS d2_cells
+FROM anchors
+WHERE home_tile IS NOT NULL AND work_tile IS NOT NULL
+GROUP BY home_tile, work_tile
 """

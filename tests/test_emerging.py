@@ -327,3 +327,45 @@ def test_tile_retention_bruteforce(spark, sf_dir):
     assert len(got) > 50
     for na, nb, ret, _ in got.values():
         assert ret <= min(na, nb)
+
+
+def test_tile_type_mix_bruteforce(spark, sf_dir):
+    """Mix profile equals the Python recomputation: per-tile totals,
+    distinct types, (count desc, type asc) dominant, integer HHI ppm;
+    laws: single-type tile -> 10^6 exactly, HHI >= ceil(10^6/n_types)
+    region lower bound via top_n <= n_events."""
+    import collections
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.spacetime import tile_type_mix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "event_type",
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    tc = collections.Counter((r.tile, r.event_type) for r in rows)
+    per = collections.defaultdict(dict)
+    for (t, ty), c in tc.items():
+        per[t][ty] = c
+    exp = {}
+    for t, m in per.items():
+        n = sum(m.values())
+        top_ty, top_n = min(m.items(), key=lambda kv: (-kv[1], kv[0]))
+        hhi = (1_000_000 * sum(c * c for c in m.values())) // (n * n)
+        exp[t] = (n, len(m), top_ty, top_n, hhi)
+    got = {
+        r.tile: (r.n_events, r.n_types, r.top_type, r.top_n, r.mix_hhi_ppm)
+        for r in tile_type_mix(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 50
+    for n, k, _, top_n, hhi in got.values():
+        assert top_n <= n
+        if k == 1:
+            assert hhi == 1_000_000
+        else:
+            assert hhi < 1_000_000

@@ -463,3 +463,76 @@ def test_geary_c_matches_bruteforce(spark, sf_dir):
         assert got.expected_c == 1.0
     finally:
         tbl.unpersist()
+
+
+def test_tile_gini_matches_bruteforce(spark, sf_dir):
+    """Gini equals the definitional sorted-rank recomputation over the
+    verified per-tile counts, both over the full 4^zoom lattice
+    (zeros in closed form) and over occupied tiles only; laws:
+    0 <= G_occ <= G_full < 1 and the num/den ratio reproduces gini."""
+    from linear_quadtree_spark.operators.hotspot import tile_gini
+
+    def brute(xs):
+        xs = sorted(xs)
+        n, s = len(xs), sum(xs)
+        jx = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * jx - (n + 1) * s) / (n * s)
+
+    tbl = _table(spark, sf_dir)
+    try:
+        counts = list(_counts(tbl).values())
+        lattice = counts + [0] * ((1 << (2 * ZOOM)) - len(counts))
+
+        got = tile_gini(tbl, ZOOM).collect()[0]
+        assert got.n_cells == 1 << (2 * ZOOM)
+        assert got.n_occupied == len(counts)
+        assert got.sum_points == sum(counts)
+        assert abs(got.gini - brute(lattice)) < 1e-12
+        assert abs(float(got.gini_num) / float(got.gini_den) - got.gini) < 1e-12
+
+        occ = tile_gini(tbl, ZOOM, full_lattice=False).collect()[0]
+        assert occ.n_cells == len(counts)
+        assert abs(occ.gini - brute(counts)) < 1e-12
+        assert 0.0 <= occ.gini <= got.gini < 1.0
+    finally:
+        tbl.unpersist()
+
+
+def test_tile_gini_extremes(spark):
+    """Uniform occupancy of the full lattice -> G = 0; a single
+    occupied cell -> G = (N-1)/N exactly."""
+    from linear_quadtree_spark.operators.hotspot import tile_gini
+
+    zoom = 2
+    n = 1 << (2 * zoom)
+    side = 1 << zoom
+    w = (DEFAULT_BOUNDS.xend - DEFAULT_BOUNDS.xstart) / side
+    h = (DEFAULT_BOUNDS.yend - DEFAULT_BOUNDS.ystart) / side
+
+    uni = spark.createDataFrame(
+        [
+            (i * side + j,
+             DEFAULT_BOUNDS.xstart + (j + 0.5) * w,
+             DEFAULT_BOUNDS.ystart + (i + 0.5) * h)
+            for i in range(side) for j in range(side)
+        ],
+        "doc_id: long, x: double, y: double",
+    )
+    t = LQTTable.build(uni, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    try:
+        assert tile_gini(t, zoom).collect()[0].gini == 0.0
+    finally:
+        t.unpersist()
+
+    one = spark.createDataFrame(
+        [(k, DEFAULT_BOUNDS.xstart + 0.5 * w, DEFAULT_BOUNDS.ystart + 0.5 * h)
+         for k in range(5)],
+        "doc_id: long, x: double, y: double",
+    )
+    t1 = LQTTable.build(one, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    try:
+        r = t1_row = tile_gini(t1, zoom).collect()[0]
+        assert r.n_occupied == 1 and r.sum_points == 5
+        assert abs(t1_row.gini - (n - 1) / n) < 1e-15
+    finally:
+        t1.unpersist()

@@ -683,3 +683,45 @@ def test_anchor_tiles_validation(spark, sf_dir):
         anchor_tiles(ev, night_end_hour=0)
     with pytest.raises(ValueError):
         anchor_tiles(ev, day_start_hour=5, night_end_hour=6)
+
+
+def test_commute_matrix_bruteforce(spark, sf_dir):
+    """OD matrix equals the pair rollup of anchor_tiles (itself
+    brute-force-verified above) restricted to both-anchor users, with
+    d2_cells equal to the de-interleaved squared grid distance; the
+    matrix total equals the both-anchor user count."""
+    import collections
+
+    from linear_quadtree_spark.operators.trajectory import (
+        anchor_tiles,
+        commute_matrix,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchors = anchor_tiles(ev, zoom=4).collect()
+
+    def axes(t, zoom=4):
+        tx = sum(((t >> (2 * i)) & 1) << i for i in range(zoom))
+        ty = sum(((t >> (2 * i + 1)) & 1) << i for i in range(zoom))
+        return tx, ty
+
+    pairs = collections.Counter(
+        (r.home_tile, r.work_tile)
+        for r in anchors
+        if r.home_tile is not None and r.work_tile is not None
+    )
+    exp = {}
+    for (h, w), n in pairs.items():
+        hx, hy = axes(h)
+        wx, wy = axes(w)
+        exp[(h, w)] = (n, (hx - wx) ** 2 + (hy - wy) ** 2)
+    got = {
+        (r.home_tile, r.work_tile): (r.n_users, r.d2_cells)
+        for r in commute_matrix(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 5
+    assert sum(n for n, _ in got.values()) == sum(pairs.values())
+    # the diagonal (home == work) has distance exactly 0
+    for (h, w), (_, d2) in got.items():
+        assert (d2 == 0) == (h == w)
