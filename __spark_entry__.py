@@ -421,6 +421,42 @@ def _commute_matrix_oracle() -> str:
     return commute_matrix_sql_duck("events", zoom=4)
 
 
+def _q_tile_diurnal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile hour-of-day profile (operators/spacetime.py): peak
+    hour, peak share, hour-concentration HHI and night share — all
+    exact integers. One map-side-combined aggregate to (tile, hour);
+    rollup + peak rank on that ≤24·4^zoom relation."""
+    from linear_quadtree_spark.operators.spacetime import tile_diurnal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_diurnal(ev, zoom=4)
+
+
+def _tile_diurnal_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import tile_diurnal_sql_duck
+
+    return tile_diurnal_sql_duck("events", zoom=4)
+
+
+def _q_distance_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-decay curve (operators/trajectory.py): od_flows trips
+    bucketed by squared grid distance into power-of-two bins via the
+    float-free length(bin(d2))-1 index; links, trips and integer
+    trips-per-link ppm per bin."""
+    from linear_quadtree_spark.operators.trajectory import distance_decay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return distance_decay(ev, zoom=4)
+
+
+def _distance_decay_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        distance_decay_sql_duck,
+    )
+
+    return distance_decay_sql_duck("events", zoom=4)
+
+
 CLQ_R = 0.8
 
 
@@ -2486,6 +2522,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_gini": _q_tile_gini,
         "tile_type_mix": _q_tile_type_mix,
         "commute_matrix": _q_commute_matrix,
+        "tile_diurnal": _q_tile_diurnal,
+        "distance_decay": _q_distance_decay,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3298,6 +3336,8 @@ GROUP BY 1
         "tile_gini": _tile_gini_oracle(),
         "tile_type_mix": _tile_type_mix_oracle(),
         "commute_matrix": _commute_matrix_oracle(),
+        "tile_diurnal": _tile_diurnal_oracle(),
+        "distance_decay": _distance_decay_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

@@ -503,6 +503,20 @@ def main() -> None:
     ).count()
     timings["commute_matrix"] = time.time() - t0
 
+    t0 = _probe_mark("tile_diurnal")
+    from linear_quadtree_spark.operators.spacetime import tile_diurnal
+    diurnal_rows = tile_diurnal(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["tile_diurnal"] = time.time() - t0
+
+    t0 = _probe_mark("distance_decay")
+    from linear_quadtree_spark.operators.trajectory import distance_decay
+    decay_rows = distance_decay(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["distance_decay"] = time.time() - t0
+
     t0 = _probe_mark("tile_transitions")
     from linear_quadtree_spark.operators.spacetime import tile_transitions
     # zoom 8: ~4.5 events per tile-half at sf0.1 — classes actually
@@ -946,6 +960,8 @@ def main() -> None:
             "tile_gini": gini_row.gini,
             "type_mix_tiles": mix_rows,
             "commute_pairs": commute_rows,
+            "diurnal_tiles": diurnal_rows,
+            "decay_bins": decay_rows,
             "idw_grid_cells": idw_rows,
             "zonal_rows": zonal_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

@@ -40,6 +40,8 @@ __all__ = [
     "tile_retention_sql_duck",
     "tile_type_mix",
     "tile_type_mix_sql_duck",
+    "tile_diurnal",
+    "tile_diurnal_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1787,4 +1789,98 @@ tmt AS (SELECT tile, ty AS top_type, c AS top_n
 SELECT tmr.tile, n_events, n_types, top_type, top_n,
        (1000000 * ss) // (n_events * n_events) AS mix_hhi_ppm
 FROM tmr JOIN tmt ON tmr.tile = tmt.tile
+"""
+
+
+# ---------------------------------------------------------- tile diurnal
+def tile_diurnal(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    night_end_hour: int = 6,
+) -> DataFrame:
+    """Per-tile diurnal (hour-of-day) profile — the "when is this place
+    alive" view a land-use / audience dashboard draws: total events,
+    distinct active hours (of 24), the peak hour (ties → earlier hour,
+    integer comparisons only) and its count/share, the integer-exact
+    hour-concentration HHI (10^6·Σc² div (Σc)²; 10^6 = single-hour
+    tile), and the night share (hour < ``night_end_hour``) — the same
+    window anchor_tiles uses for its home inference.
+
+    Everything is an exact integer; no trigonometric circular stats, so
+    the DuckDB twin hashes bit-identically. Scale shape: ONE
+    map-side-combined aggregate to (tile, hour-of-day) counts — output
+    ≤ 24·4^zoom regardless of input rows — then a rollup and a
+    WindowGroupLimit peak rank on that tiny relation, joined back
+    tile-keyed. Events touched once. Output: (tile, n_events, n_hours,
+    peak_hour, peak_n, peak_ppm, hour_hhi_ppm, night_ppm)."""
+    from pyspark.sql import Window
+
+    if not 1 <= night_end_hour <= 23:
+        raise ValueError("night_end_hour must be in [1, 23]")
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    hc = (
+        keyed.select("tile", F.hour(F.col(ts_col)).alias("h"))
+        .groupBy("tile", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    roll = hc.groupBy("tile").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        F.sum(F.when(F.col("h") < night_end_hour, F.col("c")).otherwise(F.lit(0)))
+        .alias("_night"),
+    )
+    w = Window.partitionBy("tile").orderBy(F.col("c").desc(), F.col("h"))
+    peak = (
+        hc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("tile", F.col("h").alias("peak_hour"), F.col("c").alias("peak_n"))
+    )
+    return roll.join(peak, "tile").selectExpr(
+        "tile", "n_events", "n_hours", "peak_hour", "peak_n",
+        "(1000000 * peak_n) div n_events AS peak_ppm",
+        "(1000000 * _ss) div (n_events * n_events) AS hour_hhi_ppm",
+        "(1000000 * _night) div n_events AS night_ppm",
+    )
+
+
+def tile_diurnal_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    night_end_hour: int = 6,
+) -> str:
+    """DuckDB twin — same keying, hour bucket, rollup, peak rank and
+    integer ppm arithmetic."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return f"""
+WITH dik AS (SELECT {cell} AS tile,
+                    CAST(hour({ts_col}) AS INT) AS h FROM {src}),
+dic AS (SELECT tile, h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dik GROUP BY 1, 2),
+dir AS (SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(c * c) AS BIGINT) AS ss,
+               CAST(SUM(CASE WHEN h < {night_end_hour} THEN c ELSE 0 END)
+                    AS BIGINT) AS night
+        FROM dic GROUP BY 1),
+dip AS (SELECT tile, h AS peak_hour, c AS peak_n
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tile ORDER BY c DESC, h) AS rk FROM dic)
+        WHERE rk = 1)
+SELECT dir.tile, n_events, n_hours, peak_hour, peak_n,
+       (1000000 * peak_n) // n_events AS peak_ppm,
+       (1000000 * ss) // (n_events * n_events) AS hour_hhi_ppm,
+       (1000000 * night) // n_events AS night_ppm
+FROM dir JOIN dip ON dir.tile = dip.tile
 """

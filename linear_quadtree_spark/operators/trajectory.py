@@ -74,6 +74,8 @@ __all__ = [
     "anchor_tiles_sql_duck",
     "commute_matrix",
     "commute_matrix_sql_duck",
+    "distance_decay",
+    "distance_decay_sql_duck",
 ]
 
 
@@ -1114,4 +1116,107 @@ SELECT home_tile, work_tile, CAST(COUNT(*) AS BIGINT) AS n_users,
 FROM anchors
 WHERE home_tile IS NOT NULL AND work_tile IS NOT NULL
 GROUP BY home_tile, work_tile
+"""
+
+
+# ------------------------------------------------------ distance decay
+def distance_decay(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Distance-decay curve of movement: the od_flows trip matrix
+    (self-loops excluded) bucketed by SQUARED tile-grid trip distance
+    into power-of-two bins — the gravity-model EDA view ("how fast does
+    flow volume fall off with distance"). Per bin: the half-open d²
+    range [2^k, 2^(k+1)), distinct OD links, total trips, and
+    integer-exact trips-per-link ppm.
+
+    The bin index is floor(log2 d²) computed WITHOUT floating point:
+    length(bin(d²)) − 1 — both engines' ``bin()`` renders the same
+    minimal binary string, so the bucket boundary can never split on a
+    ULP. d² itself is exact integer bit arithmetic on the pair keys
+    (the commute_matrix decode).
+
+    Scale shape: od_flows' shape (one user-key window + one pair
+    rollup), then a ≤64-row bin rollup — nothing after the flow matrix
+    is data-sized. Output: (d2_bin, d2_lo, d2_hi, n_links, n_trips,
+    trips_per_link_ppm), ordered ascending by construction of the
+    consumer's choice (no ORDER BY baked in)."""
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    flows = od_flows(
+        events, zoom=zoom, bounds=bounds, id_col=id_col,
+        ts_col=ts_col, event_id_col=event_id_col, include_self=False,
+    )
+    fx = cell_axis_expr(SPARK, "tile_from", zoom, 0)
+    fy = cell_axis_expr(SPARK, "tile_from", zoom, 1)
+    tx = cell_axis_expr(SPARK, "tile_to", zoom, 0)
+    ty = cell_axis_expr(SPARK, "tile_to", zoom, 1)
+    d2 = (
+        f"(({fx}) - ({tx})) * (({fx}) - ({tx}))"
+        f" + (({fy}) - ({ty})) * (({fy}) - ({ty}))"
+    )
+    return (
+        flows.withColumn(
+            "d2_bin", (F.length(F.expr(f"bin({d2})")) - F.lit(1)).cast("int")
+        )
+        .groupBy("d2_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum("n_trips").alias("n_trips"),
+        )
+        .selectExpr(
+            "d2_bin",
+            "CAST(shiftleft(1L, d2_bin) AS BIGINT) AS d2_lo",
+            "CAST(shiftleft(1L, d2_bin + 1) - 1 AS BIGINT) AS d2_hi",
+            "n_links",
+            "n_trips",
+            "(1000000 * n_trips) div n_links AS trips_per_link_ppm",
+        )
+    )
+
+
+def distance_decay_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — the od_flows twin wrapped in the same integer
+    axis-decode distance and binary-length binning."""
+    from linear_quadtree_spark.functions.geocell import cell_axis_expr
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    inner = od_flows_sql_duck(
+        src, zoom=zoom, bounds=bounds, id_col=id_col,
+        ts_col=ts_col, event_id_col=event_id_col, include_self=False,
+    )
+    fx = cell_axis_expr(DUCK, "tile_from", zoom, 0)
+    fy = cell_axis_expr(DUCK, "tile_from", zoom, 1)
+    tx = cell_axis_expr(DUCK, "tile_to", zoom, 0)
+    ty = cell_axis_expr(DUCK, "tile_to", zoom, 1)
+    d2 = (
+        f"(({fx}) - ({tx})) * (({fx}) - ({tx}))"
+        f" + (({fy}) - ({ty})) * (({fy}) - ({ty}))"
+    )
+    return f"""
+WITH ddf AS ({inner}),
+ddb AS (SELECT CAST(length(bin({d2})) - 1 AS INT) AS d2_bin, n_trips
+        FROM ddf),
+ddg AS (SELECT d2_bin, CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(SUM(n_trips) AS BIGINT) AS n_trips
+        FROM ddb GROUP BY 1)
+SELECT d2_bin,
+       CAST((1::BIGINT << d2_bin) AS BIGINT) AS d2_lo,
+       CAST((1::BIGINT << (d2_bin + 1)) - 1 AS BIGINT) AS d2_hi,
+       n_links, n_trips,
+       (1000000 * n_trips) // n_links AS trips_per_link_ppm
+FROM ddg
 """

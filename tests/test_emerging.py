@@ -369,3 +369,61 @@ def test_tile_type_mix_bruteforce(spark, sf_dir):
             assert hhi == 1_000_000
         else:
             assert hhi < 1_000_000
+
+
+def test_tile_diurnal_bruteforce(spark, sf_dir):
+    """Diurnal profile equals the Python recomputation: per-tile hour
+    histogram, (count desc, hour asc) peak, integer ppm shares; laws:
+    peak_ppm >= floor(10^6/n_hours) (the pigeonhole floor) and
+    hour_hhi_ppm <= peak_ppm is NOT required but peak_n <= n_events is."""
+    import collections
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.spacetime import tile_diurnal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "ts",
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    hc = collections.Counter((r.tile, r.ts.hour) for r in rows)
+    per = collections.defaultdict(dict)
+    for (t, h), c in hc.items():
+        per[t][h] = c
+    exp = {}
+    for t, m in per.items():
+        n = sum(m.values())
+        peak_h, peak_n = min(m.items(), key=lambda kv: (-kv[1], kv[0]))
+        night = sum(c for h, c in m.items() if h < 6)
+        exp[t] = (
+            n, len(m), peak_h, peak_n,
+            (1_000_000 * peak_n) // n,
+            (1_000_000 * sum(c * c for c in m.values())) // (n * n),
+            (1_000_000 * night) // n,
+        )
+    got = {
+        r.tile: (r.n_events, r.n_hours, r.peak_hour, r.peak_n,
+                 r.peak_ppm, r.hour_hhi_ppm, r.night_ppm)
+        for r in tile_diurnal(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 50
+    for n, k, _, peak_n, peak_ppm, _, night_ppm in got.values():
+        assert peak_n <= n and k <= 24
+        assert peak_ppm >= 1_000_000 // k  # the modal hour holds >= 1/k
+        assert 0 <= night_ppm <= 1_000_000
+
+
+def test_tile_diurnal_validation(spark, sf_dir):
+    import pytest
+
+    from linear_quadtree_spark.operators.spacetime import tile_diurnal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        tile_diurnal(ev, night_end_hour=0)
+    with pytest.raises(ValueError):
+        tile_diurnal(ev, night_end_hour=24)

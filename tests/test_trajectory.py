@@ -725,3 +725,49 @@ def test_commute_matrix_bruteforce(spark, sf_dir):
     # the diagonal (home == work) has distance exactly 0
     for (h, w), (_, d2) in got.items():
         assert (d2 == 0) == (h == w)
+
+
+def test_distance_decay_bruteforce(spark, sf_dir):
+    """Decay curve equals the Python recomputation over the collected
+    od_flows matrix (itself oracle-checked): float-free power-of-two
+    binning of the exact squared grid distance; conservation law — bin
+    totals sum to the full non-self trip/link counts, and every bin's
+    [d2_lo, d2_hi] really is [2^k, 2^(k+1))."""
+    import collections
+
+    from linear_quadtree_spark.operators.trajectory import (
+        distance_decay,
+        od_flows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flows = od_flows(ev, zoom=4).collect()
+
+    def axes(t, zoom=4):
+        tx = sum(((t >> (2 * i)) & 1) << i for i in range(zoom))
+        ty = sum(((t >> (2 * i + 1)) & 1) << i for i in range(zoom))
+        return tx, ty
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in flows:
+        fx, fy = axes(r.tile_from)
+        tx, ty = axes(r.tile_to)
+        d2 = (fx - tx) ** 2 + (fy - ty) ** 2
+        assert d2 > 0  # self-loops excluded upstream
+        b = d2.bit_length() - 1
+        agg[b][0] += 1
+        agg[b][1] += r.n_trips
+    exp = {
+        b: (1 << b, (1 << (b + 1)) - 1, links, trips,
+            (1_000_000 * trips) // links)
+        for b, (links, trips) in agg.items()
+    }
+    got = {
+        r.d2_bin: (r.d2_lo, r.d2_hi, r.n_links, r.n_trips,
+                   r.trips_per_link_ppm)
+        for r in distance_decay(ev, zoom=4).collect()
+    }
+    assert got == exp
+    assert len(got) > 3
+    assert sum(t for *_, t, _ in got.values()) == sum(r.n_trips for r in flows)
+    assert sum(l for _, _, l, _, _ in got.values()) == len(flows)
