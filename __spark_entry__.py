@@ -457,6 +457,25 @@ def _distance_decay_oracle() -> str:
     return distance_decay_sql_duck("events", zoom=4)
 
 
+def _q_user_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement-pattern similarity (operators/trajectory.py): user
+    pairs whose visited-tile sets overlap with Jaccard >= 15% — the
+    ngram_jaccard_pairs inverted-index discipline on the mobility
+    domain (hot-tile postings cap, integer threshold, no cross join)."""
+    from linear_quadtree_spark.operators.trajectory import user_jaccard_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_jaccard_pairs(ev, zoom=4, tau_pct=15)
+
+
+def _user_jaccard_pairs_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        user_jaccard_pairs_sql_duck,
+    )
+
+    return user_jaccard_pairs_sql_duck("events", zoom=4, tau_pct=15)
+
+
 CLQ_R = 0.8
 
 
@@ -2524,6 +2543,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "commute_matrix": _q_commute_matrix,
         "tile_diurnal": _q_tile_diurnal,
         "distance_decay": _q_distance_decay,
+        "user_jaccard_pairs": _q_user_jaccard_pairs,
         "idw_surface": _q_idw_surface,
         "mk_trend": _q_mk_trend,
         "theil_sen": _q_theil_sen,
@@ -3338,6 +3358,7 @@ GROUP BY 1
         "commute_matrix": _commute_matrix_oracle(),
         "tile_diurnal": _tile_diurnal_oracle(),
         "distance_decay": _distance_decay_oracle(),
+        "user_jaccard_pairs": _user_jaccard_pairs_oracle(),
         "idw_surface": _idw_surface_oracle(),
         "mk_trend": _mk_trend_oracle(),
         "theil_sen": _theil_sen_oracle(),

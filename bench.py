@@ -517,6 +517,15 @@ def main() -> None:
     ).count()
     timings["distance_decay"] = time.time() - t0
 
+    t0 = _probe_mark("user_jaccard_pairs")
+    from linear_quadtree_spark.operators.trajectory import user_jaccard_pairs
+    # zoom 5 at sf0.1 (1500 users x ~400 events): tile sets wide enough
+    # to overlap, postings join ~ users x visited tiles
+    ujp_rows = user_jaccard_pairs(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=5, tau_pct=15
+    ).count()
+    timings["user_jaccard_pairs"] = time.time() - t0
+
     t0 = _probe_mark("tile_transitions")
     from linear_quadtree_spark.operators.spacetime import tile_transitions
     # zoom 8: ~4.5 events per tile-half at sf0.1 — classes actually
@@ -962,6 +971,7 @@ def main() -> None:
             "commute_pairs": commute_rows,
             "diurnal_tiles": diurnal_rows,
             "decay_bins": decay_rows,
+            "user_jaccard_pairs": ujp_rows,
             "idw_grid_cells": idw_rows,
             "zonal_rows": zonal_rows,
             "mk_trend_classes": {r["trend"]: r["count"] for r in mk_up},

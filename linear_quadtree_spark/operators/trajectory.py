@@ -76,6 +76,9 @@ __all__ = [
     "commute_matrix_sql_duck",
     "distance_decay",
     "distance_decay_sql_duck",
+    "user_jaccard_pairs",
+    "user_jaccard_pairs_sql_duck",
+    "MAX_TILE_USERS",
 ]
 
 
@@ -1219,4 +1222,129 @@ SELECT d2_bin,
        n_links, n_trips,
        (1000000 * n_trips) // n_links AS trips_per_link_ppm
 FROM ddg
+"""
+
+
+# ---------------------------------------------------- movement similarity
+#: postings cap for the tile inverted index: tiles visited by more users
+#: than this are plazas/hubs whose postings would grow quadratically in
+#: the pair join — the mobility analog of dedup.MAX_DOC_FREQ boilerplate
+#: shingles. The above-cap set is tiny by definition, so it broadcasts.
+MAX_TILE_USERS = 1000
+
+
+def user_jaccard_pairs(
+    events: DataFrame,
+    zoom: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+    tau_pct: int = 30,
+    max_tile_users: int | None = MAX_TILE_USERS,
+) -> DataFrame:
+    """Movement-pattern similarity: pairs of users whose VISITED-TILE
+    sets overlap with Jaccard ≥ tau_pct/100 — "who moves like whom"
+    (audience lookalikes, shared-route detection, account-linking) —
+    the exact sparse inverted-index join of dedup.ngram_jaccard_pairs
+    applied to the mobility domain: users sharing zero tiles never
+    meet, so there is no O(n²) cross join.
+
+    Plan: ONE map-side-deduped aggregate to distinct (user, tile)
+    postings → optional hot-tile cap (tiles with > ``max_tile_users``
+    visitors are hubs; that set is tiny so it broadcast-anti-joins) →
+    self-equi-join on tile → per-pair intersection count → per-user set
+    sizes joined back → integer threshold (inter·100 ≥ tau·union; no
+    float division). Output: (user_a, user_b, inter, union_sz) with
+    user_a < user_b."""
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    vis = (
+        events.select(
+            F.col(id_col),
+            geocell_col(
+                geotag_x_sql(event_id_col), geotag_y_sql(event_id_col),
+                bounds, zoom,
+            ).alias("tile"),
+        )
+        .distinct()
+    )
+    sizes = vis.groupBy(id_col).agg(F.count(F.lit(1)).alias("nt"))
+    post = vis
+    if max_tile_users is not None:
+        hot = (
+            post.groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_tile_users)
+            .select("tile")
+        )
+        post = post.join(F.broadcast(hot), "tile", "left_anti")
+    pa = post.select(F.col(id_col).alias("user_a"), "tile")
+    pb = post.select(F.col(id_col).alias("user_b"), "tile")
+    inter = (
+        pa.join(pb, "tile")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("user_a"), F.col("nt").alias("na")),
+            "user_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("user_b"), F.col("nt").alias("nb")),
+            "user_b",
+        )
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(
+            (F.col("union_sz") > 0)
+            & (F.col("inter") * 100 >= F.lit(tau_pct) * F.col("union_sz"))
+        )
+        .select("user_a", "user_b", "inter", "union_sz")
+    )
+
+
+def user_jaccard_pairs_sql_duck(
+    src: str = "events",
+    zoom: int = 6,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    event_id_col: str = "event_id",
+    tau_pct: int = 30,
+    max_tile_users: int | None = MAX_TILE_USERS,
+) -> str:
+    """DuckDB twin — identical tile expression, postings cap, pair join
+    and integer threshold."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    cap_cte = (
+        f"""ujhot AS (SELECT tile FROM ujvis GROUP BY tile
+           HAVING COUNT(*) > {max_tile_users}),
+ujpost AS (SELECT v.* FROM ujvis v ANTI JOIN ujhot h ON v.tile = h.tile),"""
+        if max_tile_users is not None
+        else "ujpost AS (SELECT * FROM ujvis),"
+    )
+    return f"""
+WITH ujvis AS (SELECT DISTINCT {id_col}, {cell} AS tile FROM {src}),
+ujsz AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS nt
+         FROM ujvis GROUP BY 1),
+{cap_cte}
+ujint AS (
+  SELECT a.{id_col} AS user_a, b.{id_col} AS user_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ujpost a JOIN ujpost b
+    ON a.tile = b.tile AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2)
+SELECT i.user_a, i.user_b, i.inter,
+       sa.nt + sb.nt - i.inter AS union_sz
+FROM ujint i
+JOIN ujsz sa ON sa.{id_col} = i.user_a
+JOIN ujsz sb ON sb.{id_col} = i.user_b
+WHERE sa.nt + sb.nt - i.inter > 0
+  AND i.inter * 100 >= {tau_pct} * (sa.nt + sb.nt - i.inter)
 """

@@ -771,3 +771,73 @@ def test_distance_decay_bruteforce(spark, sf_dir):
     assert len(got) > 3
     assert sum(t for *_, t, _ in got.values()) == sum(r.n_trips for r in flows)
     assert sum(l for _, _, l, _, _ in got.values()) == len(flows)
+
+
+def test_user_jaccard_pairs_bruteforce(spark, sf_dir):
+    """Pairs equal the uncapped Python set recomputation (the sf0.001
+    fixture has no tile with > MAX_TILE_USERS visitors, so the capped
+    plan IS the exact answer); laws: inter <= min(na, nb) embedded in
+    union_sz, threshold holds with integer arithmetic."""
+    import collections
+    import itertools
+
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.trajectory import user_jaccard_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select(
+        "user_id",
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"), level=4
+        ).alias("tile"),
+    ).collect()
+    tiles = collections.defaultdict(set)
+    for r in rows:
+        tiles[r.user_id].add(r.tile)
+    tau = 15
+    exp = {}
+    for ua, ub in itertools.combinations(sorted(tiles), 2):
+        inter = len(tiles[ua] & tiles[ub])
+        union = len(tiles[ua] | tiles[ub])
+        if union > 0 and inter * 100 >= tau * union:
+            exp[(ua, ub)] = (inter, union)
+    got = {
+        (r.user_a, r.user_b): (r.inter, r.union_sz)
+        for r in user_jaccard_pairs(ev, zoom=4, tau_pct=15).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
+    for (ua, ub), (inter, union) in got.items():
+        assert ua < ub
+        assert inter * 100 >= 15 * union
+
+
+def test_user_jaccard_pairs_hot_tile_cap(spark):
+    """A hub tile visited by every user is dropped from the postings by
+    the cap, so a pair whose ONLY shared tile is the hub never meets;
+    sizes still count the hub (exactly the ngram max_doc_freq
+    semantics: capped candidates, exact sizes)."""
+    from linear_quadtree_spark.operators.trajectory import user_jaccard_pairs
+
+    # synthetic events: geotag hash makes crafting exact tiles hard, so
+    # drive the cap logic with max_tile_users=1 over real data instead
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 6}") for i in range(600)],
+        "event_id: long, user_id: string",
+    )
+    uncapped = {
+        (r.user_a, r.user_b)
+        for r in user_jaccard_pairs(
+            ev, zoom=2, tau_pct=10, max_tile_users=None
+        ).collect()
+    }
+    capped = {
+        (r.user_a, r.user_b)
+        for r in user_jaccard_pairs(
+            ev, zoom=2, tau_pct=10, max_tile_users=1
+        ).collect()
+    }
+    # with every tile shared by >1 user at zoom 2, the cap drops ALL
+    # postings -> no candidate pairs at all
+    assert uncapped and not capped
