@@ -1737,8 +1737,13 @@ def tile_type_mix(
     n_types, top_type, top_n, mix_hhi_ppm)."""
     from pyspark.sql import Window
 
+    from linear_quadtree_spark.cache import track
+
     keyed = _with_keys(events, zoom, bounds, geotag_col, "ts")
-    tc = (
+    # tracked persist: the rollup and the peak-rank branches would each
+    # re-scan events without it (plan-audited, tests/test_plans.py);
+    # the cached relation is ≤ tiles × types rows
+    tc = track(
         keyed.select("tile", F.col(type_col).alias("ty"))
         .groupBy("tile", "ty")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1820,8 +1825,12 @@ def tile_diurnal(
 
     if not 1 <= night_end_hour <= 23:
         raise ValueError("night_end_hour must be in [1, 23]")
+    from linear_quadtree_spark.cache import track
+
     keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
-    hc = (
+    # tracked persist: rollup + peak rank both consume this (≤ 24·4^zoom
+    # rows); uncached each branch re-scans events (plan-audited)
+    hc = track(
         keyed.select("tile", F.hour(F.col(ts_col)).alias("h"))
         .groupBy("tile", "h")
         .agg(F.count(F.lit(1)).alias("c"))

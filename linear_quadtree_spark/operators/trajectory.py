@@ -952,13 +952,17 @@ def anchor_tiles(
     Output: (user_id, home_tile, n_night, work_tile, n_day).
 
     Scale shape: ONE map-side-combined aggregate to (user, tile,
-    night/day counts); two WindowGroupLimit rank stages over it (same
-    user-key partitioning — Catalyst reuses the exchange); one
-    user-key outer join of the two thin per-user relations. Events are
-    touched once; everything after is (user × visited-tiles)-sized.
+    night/day counts), tracked-persisted because the home and work rank
+    branches filter it differently (nn>0 vs nd>0), which defeats
+    Catalyst's identical-subtree exchange reuse — without the persist
+    each branch re-scans events (plan-audited, tests/test_plans.py);
+    then two WindowGroupLimit rank stages over the cached relation and
+    one user-key outer join of the two thin per-user relations. Events
+    are touched once; everything after is (user × visited-tiles)-sized.
     """
     if not (0 < night_end_hour <= day_start_hour < day_end_hour <= 24):
         raise ValueError("need 0 < night_end <= day_start < day_end <= 24")
+    from linear_quadtree_spark.cache import track
     from linear_quadtree_spark.functions.geocell import geocell_col
     from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
     from pyspark.sql import Window
@@ -986,6 +990,7 @@ def anchor_tiles(
             ).alias("nd"),
         )
     )
+    per = track(per)
 
     def modal(cnt: str, out_tile: str, out_n: str) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(F.col(cnt).desc(), F.col("tile"))
@@ -1259,7 +1264,12 @@ def user_jaccard_pairs(
     from linear_quadtree_spark.functions.geocell import geocell_col
     from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
 
-    vis = (
+    from linear_quadtree_spark.cache import track
+
+    # tracked persist: sizes, the hot-tile sketch, and BOTH posting
+    # sides consume this relation — uncached, each branch re-scans
+    # events (6 scans measured; plan-audited in tests/test_plans.py)
+    vis = track(
         events.select(
             F.col(id_col),
             geocell_col(

@@ -563,3 +563,67 @@ def test_segment_crossings_equijoin_on_cell(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # dedup of multi-cell survivors is one aggregate, not a sort-distinct
     assert "HashAggregate" in plan
+
+
+def test_mobility_profile_branches_hit_cache_not_source(spark, sf_dir):
+    """tile_type_mix / tile_diurnal / anchor_tiles branch their small
+    keyed aggregate into a rollup side and a rank side; the aggregate is
+    tracked-persisted, so BOTH branches must read InMemoryTableScan —
+    uncached, each branch re-scans the events source (2 scans measured
+    before the fix). Also: no nested-loop join anywhere."""
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.spacetime import (
+        tile_diurnal,
+        tile_type_mix,
+    )
+    from linear_quadtree_spark.operators.trajectory import anchor_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    try:
+        for op in (tile_type_mix, tile_diurnal, anchor_tiles):
+            df = op(ev, zoom=4)
+            df.count()
+            plan = _plan(df)
+            assert plan.count("InMemoryTableScan") >= 2, op.__name__
+            assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+            assert "CartesianProduct" not in plan, op.__name__
+    finally:
+        release_caches()
+
+
+def test_user_jaccard_postings_cached_and_hot_side_broadcasts(spark, sf_dir):
+    """user_jaccard_pairs' (user, tile) postings relation feeds the
+    size relation, the hot-tile sketch, and both join sides — all four
+    consumers must read the tracked cache (6 source scans measured
+    uncached); the hot-tile anti-join must build on a broadcast (the
+    above-cap set is the tiny side); no nested-loop join."""
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.trajectory import user_jaccard_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    try:
+        df = user_jaccard_pairs(ev, zoom=4, tau_pct=15)
+        df.count()
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 4
+        assert "BroadcastExchange" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        release_caches()
+
+
+def test_distance_decay_single_source_pass(spark, sf_dir):
+    """distance_decay is a straight chain (window -> pair rollup -> bin
+    rollup): exactly ONE source scan, no cache needed, no nested-loop
+    join, and the d2 binning stays a whole-stage-codegen projection
+    (no Python evaluation node)."""
+    from linear_quadtree_spark.operators.trajectory import distance_decay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = distance_decay(ev, zoom=4)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
