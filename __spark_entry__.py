@@ -85,7 +85,27 @@ _PTS_CTE = (
 #: one built tree per (Spark app, sf_dir): the driver sweeps queries()
 #: in a single session, and rebuilding + re-persisting the same table per
 #: query would accumulate cached copies in executor storage
-_TBL_CACHE: dict[tuple[str, str], LQTTable] = {}
+_TBL_CACHE: dict[tuple, LQTTable] = {}
+
+
+def _adopt_table(key: tuple, tbl: LQTTable) -> LQTTable:
+    """Transfer the built table's persisted relations OUT of the global
+    cache registry into _TBL_CACHE ownership. Without this, _scoped's
+    release_caches() at the NEXT query's entry unpersists main/side/enc
+    while _TBL_CACHE keeps handing out the stale table — every
+    table-backed query after the first then silently re-runs the full
+    encode+sort lineage (twice: main and side branches; caught by a
+    collectLeaves scan audit). Evicts tables of other keys so storage
+    stays bounded to one substrate + the current query's working set."""
+    from linear_quadtree_spark.cache import untrack
+
+    untrack(tbl.main, tbl.side, tbl.enc_cache, tbl.main_quad)
+    # evict substrates of OTHER (app, sf_dir) pairs; the doc and geo
+    # tables of the CURRENT pair coexist (both are swept repeatedly)
+    for old in [k for k in _TBL_CACHE if k[:2] != key[:2]]:
+        _TBL_CACHE.pop(old).unpersist()
+    _TBL_CACHE[key] = tbl
+    return tbl
 
 
 def _build_table(spark: SparkSession, sf_dir: str) -> LQTTable:
@@ -95,9 +115,9 @@ def _build_table(spark: SparkSession, sf_dir: str) -> LQTTable:
         # persist: iterative consumers (kNN ring expansion) re-scan the
         # built tree per round — without caching every round re-runs the
         # encode UDF
-        _TBL_CACHE[key] = LQTTable.build(
+        _adopt_table(key, LQTTable.build(
             pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True
-        )
+        ))
     return _TBL_CACHE[key]
 
 
@@ -2150,9 +2170,9 @@ def _build_geo_table(spark, sf_dir):
             "doc_id", F.expr(lon).alias("lon"), F.expr(lat).alias("lat")
         )
         pts = with_mercator_bounds_xy(geo).select("doc_id", "x", "y")
-        _TBL_CACHE[key] = LQTTable.build(
+        _adopt_table(key, LQTTable.build(
             pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=True
-        )
+        ))
     return _TBL_CACHE[key]
 
 

@@ -32,7 +32,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["track", "cache_scope", "release_caches"]
+__all__ = ["track", "untrack", "cache_scope", "release_caches"]
 
 _SCOPES: list[list[DataFrame]] = []
 _GLOBAL: list[DataFrame] = []
@@ -43,6 +43,23 @@ def track(df: DataFrame, storage_level: StorageLevel | None = None) -> DataFrame
     df = df.persist(storage_level) if storage_level is not None else df.persist()
     (_SCOPES[-1] if _SCOPES else _GLOBAL).append(df)
     return df
+
+
+def untrack(*dfs: DataFrame) -> int:
+    """Remove handles from the registries WITHOUT unpersisting —
+    transfers ownership to the caller. Use for a long-lived substrate
+    (the built LQT table a whole query sweep shares) whose lifecycle
+    must outlive per-query ``release_caches()`` boundaries; the caller
+    then owns the eventual ``unpersist()``. Returns how many handles
+    were removed (identity comparison — DataFrame equality is not
+    value-based)."""
+    ids = {id(d) for d in dfs if d is not None}
+    removed = 0
+    for lst in (_GLOBAL, *_SCOPES):
+        kept = [d for d in lst if id(d) not in ids]
+        removed += len(lst) - len(kept)
+        lst[:] = kept
+    return removed
 
 
 @contextmanager
