@@ -97,13 +97,15 @@ def _adopt_table(key: tuple, tbl: LQTTable) -> LQTTable:
     encode+sort lineage (twice: main and side branches; caught by a
     collectLeaves scan audit). Evicts tables of other keys so storage
     stays bounded to one substrate + the current query's working set."""
-    from linear_quadtree_spark.cache import untrack
+    from linear_quadtree_spark.cache import disown, untrack
 
     untrack(tbl.main, tbl.side, tbl.enc_cache, tbl.main_quad)
     # evict substrates of OTHER (app, sf_dir) pairs; the doc and geo
     # tables of the CURRENT pair coexist (both are swept repeatedly)
     for old in [k for k in _TBL_CACHE if k[:2] != key[:2]]:
-        _TBL_CACHE.pop(old).unpersist()
+        evicted = _TBL_CACHE.pop(old)
+        disown(evicted.main, evicted.side, evicted.enc_cache, evicted.main_quad)
+        evicted.unpersist()
     _TBL_CACHE[key] = tbl
     return tbl
 

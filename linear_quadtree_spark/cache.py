@@ -32,10 +32,31 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["track", "untrack", "cache_scope", "release_caches"]
+__all__ = ["track", "untrack", "disown", "cache_scope", "release_caches"]
 
 _SCOPES: list[list[DataFrame]] = []
 _GLOBAL: list[DataFrame] = []
+#: plans whose cached data is owned OUTSIDE this module (see untrack) —
+#: release paths must not unpersist any handle that shares one of these
+#: plans, because Spark's CacheManager keys cached data by ANALYZED PLAN,
+#: not by DataFrame handle: unpersisting a same-plan handle drops the
+#: owner's cached blocks too.
+_ADOPTED: list[DataFrame] = []
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
+def _owned_elsewhere(df: DataFrame) -> bool:
+    return any(_same_plan(df, h) for h in _ADOPTED)
 
 
 def track(df: DataFrame, storage_level: StorageLevel | None = None) -> DataFrame:
@@ -51,15 +72,39 @@ def untrack(*dfs: DataFrame) -> int:
     (the built LQT table a whole query sweep shares) whose lifecycle
     must outlive per-query ``release_caches()`` boundaries; the caller
     then owns the eventual ``unpersist()``. Returns how many handles
-    were removed (identity comparison — DataFrame equality is not
-    value-based)."""
-    ids = {id(d) for d in dfs if d is not None}
+    were removed.
+
+    Ownership is PLAN-based, not handle-based: the adopted plans are
+    remembered, and both release paths skip any tracked handle whose
+    analyzed plan ``sameResult``-matches an adopted one — rebuilding the
+    same lineage (same source, same expressions) yields a distinct
+    handle that Spark's CacheManager maps to the SAME cached relation,
+    so unpersisting it would silently drop the owner's cache. Call
+    :func:`disown` when the owner finally unpersists."""
+    handles = [d for d in dfs if d is not None]
+    ids = {id(d) for d in handles}
     removed = 0
     for lst in (_GLOBAL, *_SCOPES):
-        kept = [d for d in lst if id(d) not in ids]
+        kept = [
+            d
+            for d in lst
+            if id(d) not in ids and not any(_same_plan(d, h) for h in handles)
+        ]
         removed += len(lst) - len(kept)
         lst[:] = kept
+    _ADOPTED.extend(handles)
     return removed
+
+
+def disown(*dfs: DataFrame) -> None:
+    """Forget adopted plans (the owner is about to unpersist them)."""
+    ids = {id(d) for d in dfs if d is not None}
+    _ADOPTED[:] = [
+        h
+        for h in _ADOPTED
+        if id(h) not in ids
+        and not any(_same_plan(h, d) for d in dfs if d is not None)
+    ]
 
 
 @contextmanager
@@ -72,6 +117,8 @@ def cache_scope():
     finally:
         _SCOPES.pop()
         for df in lst:
+            if _owned_elsewhere(df):
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -83,6 +130,8 @@ def release_caches() -> int:
     n = len(_GLOBAL)
     while _GLOBAL:
         df = _GLOBAL.pop()
+        if _owned_elsewhere(df):
+            continue
         try:
             df.unpersist()
         except Exception:
