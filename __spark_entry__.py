@@ -2313,6 +2313,153 @@ def _q_hexcell_stats(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- S2-style spherical index
+S2_FINE_LEVEL = 6
+S2_ROLL_LEVEL = 2
+S2_COVER_LEVEL = 4
+#: smaller than HAV_RADIUS_KM so this query's answer differs from
+#: haversine_sites (different cover geometry, different rows)
+S2_CAP_KM = 1200.0
+
+
+def _s2_pts(spark, sf_dir):
+    from linear_quadtree_spark.functions.mercator import lonlat_from_id_exprs
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = lonlat_from_id_exprs(_S, "doc_id")
+    return docs.select(
+        "doc_id", F.expr(lon).alias("lon"), F.expr(lat).alias("lat")
+    )
+
+
+def _q_s2cell_stats(spark, sf_dir):
+    """S2-style spherical alternate index (round-3): WGS84 pages keyed
+    by cube-face + quadratic-ST + Hilbert cells (functions/s2cell.py —
+    the genuinely spherical half of the north rule's "H3/S2" ask; the
+    hexagonal half is hexcell_stats). Fine cells are a map-only chain
+    of O(level) expressions; the coarse rollup key is PURE INTEGER
+    TRUNCATION of the fine id (s2_parent_expr) — multi-resolution
+    spherical rollups without re-encoding, because Hilbert descendants
+    occupy one contiguous id range."""
+    from linear_quadtree_spark.functions.s2cell import (
+        s2_parent_expr,
+        with_s2cell,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    fine = with_s2cell(_s2_pts(spark, sf_dir), "lon", "lat", S2_FINE_LEVEL)
+    parent = s2_parent_expr(_S, "s2cell", S2_FINE_LEVEL, S2_ROLL_LEVEL)
+    return fine.groupBy(F.expr(parent).alias("s2parent")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("s2cell").alias("n_cells"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+def _s2cell_stats_oracle() -> str:
+    from linear_quadtree_spark.functions.mercator import lonlat_from_id_exprs
+    from linear_quadtree_spark.functions.s2cell import (
+        s2_ctes_duck,
+        s2_parent_expr,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    parent = s2_parent_expr(_D, "s2cell", S2_FINE_LEVEL, S2_ROLL_LEVEL)
+    return f"""
+WITH p AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents),
+{s2_ctes_duck('p', 'lon', 'lat', S2_FINE_LEVEL)}
+SELECT {parent} AS s2parent, COUNT(*) AS n_pages,
+       COUNT(DISTINCT s2cell) AS n_cells,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM s2fin GROUP BY 1
+"""
+
+
+def _q_s2_cap_query(spark, sf_dir):
+    """Spherical range query via S2 range scans (round-3): pages within
+    S2_CAP_KM great-circle km of each site. The cap cover is a
+    driver-computed query CONSTANT (conservative cell ranges at
+    S2_COVER_LEVEL, Hilbert-merged to a short list) that prunes before
+    the broadcast site join; the exact haversine refine keeps the
+    answer identical to the cover-free oracle — the spherical twin of
+    the planar bbox cover→refine discipline.
+
+    The prefilter is a broadcast LEFT-SEMI range join against the tiny
+    ranges dimension, NOT an OR-of-BETWEEN filter expression: a filter
+    on `s2cell` would be pushed through the unrolled encode chain by
+    predicate-pushdown, substituting the whole O(level) expression tree
+    once per predicate term (measured: plan-size blowup that stalls the
+    optimizer). The semi-join evaluates the same ranges against the
+    computed column at RUN time — one chain, R comparisons per row. On
+    a cell-sorted stored table the same ranges become footer/partition
+    pruning instead (tests/test_plans.py's saved-layout pattern)."""
+    from linear_quadtree_spark.functions.mercator import haversine_km_expr
+    from linear_quadtree_spark.functions.s2cell import (
+        s2_cap_cover,
+        with_s2cell,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+
+    spans: list[tuple[int, int]] = []
+    for _, slon, slat in HAV_SITES:
+        spans.extend(s2_cap_cover(slon, slat, S2_CAP_KM, S2_COVER_LEVEL))
+    spans.sort()
+    merged = [list(spans[0])]
+    for lo, hi in spans[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+
+    cells = with_s2cell(_s2_pts(spark, sf_dir), "lon", "lat", S2_COVER_LEVEL)
+    ranges = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in merged], "lo long, hi long"
+    )
+    cand = cells.join(
+        F.broadcast(ranges),
+        (F.col("s2cell") >= F.col("lo")) & (F.col("s2cell") <= F.col("hi")),
+        "leftsemi",
+    )
+    sites = spark.createDataFrame(
+        HAV_SITES, "site string, slon double, slat double"
+    )
+    d = haversine_km_expr(_S, "lon", "lat", "slon", "slat")
+    return (
+        cand.crossJoin(F.broadcast(sites))
+        .filter(F.expr(d) <= F.lit(S2_CAP_KM))
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+    )
+
+
+def _s2_cap_oracle() -> str:
+    """Cover-free pure-haversine twin — an independent plan family; it
+    matches the Spark cover→refine plan iff the cover is conservative."""
+    from linear_quadtree_spark.functions.mercator import (
+        haversine_km_expr,
+        lonlat_from_id_exprs,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK as _D, dlit
+
+    lon, lat = lonlat_from_id_exprs(_D, "doc_id")
+    vals = ", ".join(
+        f"('{s}', {dlit(lo)}, {dlit(la)})" for s, lo, la in HAV_SITES
+    )
+    d = haversine_km_expr(_D, "lon", "lat", "slon", "slat")
+    return f"""
+WITH p AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents)
+SELECT site, COUNT(*) AS n_pages, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM p, (VALUES {vals}) AS s(site, slon, slat)
+WHERE {d} <= {dlit(S2_CAP_KM)}
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- z-order clustering
 #: assumed column ranges for the z-order key (clamped, sf-independent;
 #: at cluster scale these come from table stats)
@@ -2530,6 +2677,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "geocell_stats": _q_geocell_stats,
         "hexcell_stats": _q_hexcell_stats,
         "hilbert_stats": _q_hilbert_stats,
+        "s2cell_stats": _q_s2cell_stats,
+        "s2_cap_query": _q_s2_cap_query,
         "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
@@ -3311,6 +3460,8 @@ FROM pts GROUP BY 1
             + hex_stats_sql_duck("pts", "px", "py", "doc_id", DEFAULT_BOUNDS, HEX_RES)
         ),
         "hilbert_stats": _hilbert_stats_oracle(),
+        "s2cell_stats": _s2cell_stats_oracle(),
+        "s2_cap_query": _s2_cap_oracle(),
         "hilbert_bbox": f"""
 WITH {_PTS_CTE}
 SELECT doc_id FROM pts

@@ -611,6 +611,46 @@ def main() -> None:
     )
     timings["hilbert_stats"] = time.time() - t0
 
+    t0 = _probe_mark("s2cell_stats_l6")
+    from linear_quadtree_spark.functions.s2cell import s2_cap_cover, with_s2cell
+    _s2lon, _s2lat = lonlat_from_id_exprs(_SENG, "pid")
+    s2pts = pts.select(
+        "pid", F.expr(_s2lon).alias("lon"), F.expr(_s2lat).alias("lat")
+    )
+    s2_rows = (
+        with_s2cell(s2pts, "lon", "lat", 6).groupBy("s2cell").count().count()
+    )
+    timings["s2cell_stats_l6"] = time.time() - t0
+
+    t0 = _probe_mark("s2_cap_query")
+    _spans: list = []
+    for _slon, _slat in ((139.69, 35.69), (-74.01, 40.71), (-0.13, 51.51)):
+        _spans.extend(s2_cap_cover(_slon, _slat, 1200.0, 4))
+    _spans.sort()
+    _mg = [list(_spans[0])]
+    for _lo, _hi in _spans[1:]:
+        if _lo <= _mg[-1][1] + 1:
+            _mg[-1][1] = max(_mg[-1][1], _hi)
+        else:
+            _mg.append([_lo, _hi])
+    _rdf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in _mg], "lo long, hi long"
+    )
+    _hav = haversine_km_expr(
+        _SENG, "lon", "lat", "CAST(-74.01 AS DOUBLE)", "CAST(40.71 AS DOUBLE)"
+    )
+    s2cap_rows = (
+        with_s2cell(s2pts, "lon", "lat", 4)
+        .join(
+            F.broadcast(_rdf),
+            (F.col("s2cell") >= F.col("lo")) & (F.col("s2cell") <= F.col("hi")),
+            "leftsemi",
+        )
+        .filter(F.expr(_hav) <= 1200.0)
+        .count()
+    )
+    timings["s2_cap_query"] = time.time() - t0
+
     t0 = _probe_mark("grid_dbscan_l9")
     from linear_quadtree_spark.operators.cluster import grid_dbscan, quadtree_compact
     dbscan_rows = grid_dbscan(pts, level=9, minpts=5, id_col="pid").count()
@@ -931,6 +971,8 @@ def main() -> None:
         "aux": {
             "hexcell_rows": hex_rows,
             "hilbert_rows": hilb_rows,
+            "s2cell_rows": s2_rows,
+            "s2_cap_rows": s2cap_rows,
             "dbscan_clusters": dbscan_rows,
             "compact_quadrants": compact_rows,
             "adaptive_leaves": adapt_rows,
