@@ -147,6 +147,70 @@ def test_cap_cover_is_conservative(pts):
     assert len(ranges) <= 24
 
 
+def test_s2_sorted_table_prunes_row_groups(spark, tmp_path):
+    """Storage contract: a table range-partitioned and sorted by s2cell
+    delivers footer (row-group min/max) pruning for spherical-cap
+    covers — the same mechanism the zs-sorted LQT table proves in
+    tests/test_plans.py, here on the sphere. (1) the cap's cell ranges
+    reach the parquet scan as PushedFilters on the STORED column,
+    (2) the ranges intersect a small fraction of stored rows by footer
+    stats, (3) the pruned scan + exact haversine refine answers
+    identically to the cover-free brute force."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lon, lat = lonlat_from_id_exprs(SPARK, "id")
+    pts2 = spark.range(60_000).select(
+        F.col("id").alias("pid"),
+        F.expr(lon.replace("doc_id", "id")).alias("lon"),
+        F.expr(lat.replace("doc_id", "id")).alias("lat"),
+    )
+    path = str(tmp_path / "s2tbl")
+    (
+        with_s2cell(pts2, "lon", "lat", LEVEL)
+        .repartitionByRange(16, "s2cell")
+        .sortWithinPartitions("s2cell")
+        .write.parquet(path)
+    )
+
+    site = (-74.0, 40.7, 1500.0)
+    ranges = s2_cap_cover(site[0], site[1], site[2], LEVEL)
+
+    tot_rows = hit_rows = tot_groups = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("s2cell")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows = md.row_group(g).num_rows
+            tot_groups += 1
+            tot_rows += rows
+            if any(st.max >= lo and st.min <= hi for lo, hi in ranges):
+                hit_rows += rows
+    assert tot_groups >= 8
+    assert hit_rows <= 0.25 * tot_rows, (hit_rows, tot_rows)
+
+    loaded = spark.read.parquet(path)
+    import functools
+    import operator
+
+    cond = functools.reduce(
+        operator.or_,
+        [F.col("s2cell").between(lo, hi) for lo, hi in ranges],
+    )
+    d = haversine_km_expr(
+        SPARK, "lon", "lat", f"CAST({site[0]} AS DOUBLE)", f"CAST({site[1]} AS DOUBLE)"
+    )
+    got = loaded.filter(cond).filter(F.expr(d) <= site[2])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "s2cell" in plan.split("PushedFilters", 1)[1][:4000]
+    got_ids = {r.pid for r in got.select("pid").collect()}
+    exp_ids = {r.pid for r in loaded.filter(F.expr(d) <= site[2]).select("pid").collect()}
+    assert got_ids == exp_ids
+
+
 def test_stage_groups_are_topologically_ordered():
     """Each stage expression references only names from earlier groups
     — the property that makes the one definition render correctly as
