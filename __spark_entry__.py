@@ -2460,6 +2460,67 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------- tokenizer prep
+def _q_bpe_pair_stats(spark, sf_dir):
+    """Tokenizer-prep (round-3): top-64 corpus-wide adjacent symbol
+    pairs — the BPE training objective (operators/tokenizer.py). One
+    explode + one map-side-combined aggregate keyed by pair (symbol-
+    vocab²-bounded key space); deterministic (n DESC, pair ASC) top-k."""
+    from linear_quadtree_spark.operators.tokenizer import bpe_pair_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_stats(docs, k=64)
+
+
+def _q_bpe_segment_stats(spark, sf_dir):
+    """Tokenizer application (round-3): per-doc symbol counts before /
+    after applying a fixed rank-ordered merge table — the 100 TB
+    tokenize pass's auditable core. Map-only: sentinel-wrapped symbol
+    string + one non-overlapping left-to-right replace per merge rule
+    (= BPE's greedy merge order, by both engines' replace() contract;
+    probed + pinned in tests/test_tokenizer.py), zero UDF, zero
+    shuffle. A trained table (train_bpe_merges) drops into the same
+    seam."""
+    from linear_quadtree_spark.operators.tokenizer import bpe_segment_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_segment_stats(docs)
+
+
+def _q_lm_bigram_coverage(spark, sf_dir):
+    """n-gram LM quality proxy (round-3): per doc, how many of its word
+    bigrams occur >= 5 times corpus-wide (the CCNet/KenLM filtering
+    idea, integerized so it is hash-exact). One pair aggregate builds
+    the frequent relation, the exploded stream equi-joins it, a per-doc
+    re-aggregate + left join restores zero-coverage docs."""
+    from linear_quadtree_spark.operators.tokenizer import lm_bigram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_bigram_coverage(docs, min_count=5)
+
+
+def _bpe_pair_stats_oracle() -> str:
+    from linear_quadtree_spark.operators.tokenizer import bpe_pair_stats_sql_duck
+
+    return bpe_pair_stats_sql_duck(k=64)
+
+
+def _bpe_segment_stats_oracle() -> str:
+    from linear_quadtree_spark.operators.tokenizer import (
+        bpe_segment_stats_sql_duck,
+    )
+
+    return bpe_segment_stats_sql_duck()
+
+
+def _lm_bigram_coverage_oracle() -> str:
+    from linear_quadtree_spark.operators.tokenizer import (
+        lm_bigram_coverage_sql_duck,
+    )
+
+    return lm_bigram_coverage_sql_duck(min_count=5)
+
+
 # ------------------------------------------------- z-order clustering
 #: assumed column ranges for the z-order key (clamped, sf-independent;
 #: at cluster scale these come from table stats)
@@ -2679,6 +2740,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hilbert_stats": _q_hilbert_stats,
         "s2cell_stats": _q_s2cell_stats,
         "s2_cap_query": _q_s2_cap_query,
+        # tokenizer prep
+        "bpe_pair_stats": _q_bpe_pair_stats,
+        "bpe_segment_stats": _q_bpe_segment_stats,
+        "lm_bigram_coverage": _q_lm_bigram_coverage,
         "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
@@ -3462,6 +3527,9 @@ FROM pts GROUP BY 1
         "hilbert_stats": _hilbert_stats_oracle(),
         "s2cell_stats": _s2cell_stats_oracle(),
         "s2_cap_query": _s2_cap_oracle(),
+        "bpe_pair_stats": _bpe_pair_stats_oracle(),
+        "bpe_segment_stats": _bpe_segment_stats_oracle(),
+        "lm_bigram_coverage": _lm_bigram_coverage_oracle(),
         "hilbert_bbox": f"""
 WITH {_PTS_CTE}
 SELECT doc_id FROM pts

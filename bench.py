@@ -651,6 +651,25 @@ def main() -> None:
     )
     timings["s2_cap_query"] = time.time() - t0
 
+    t0 = _probe_mark("bpe_pair_stats")
+    from linear_quadtree_spark.operators.tokenizer import (
+        bpe_pair_stats,
+        bpe_segment_stats,
+        lm_bigram_coverage,
+    )
+
+    _bdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bpe_rows = bpe_pair_stats(_bdocs, k=64).count()
+    timings["bpe_pair_stats"] = time.time() - t0
+
+    t0 = _probe_mark("bpe_segment_stats")
+    bseg_rows = bpe_segment_stats(_bdocs).count()
+    timings["bpe_segment_stats"] = time.time() - t0
+
+    t0 = _probe_mark("lm_bigram_coverage")
+    lmcov_rows = lm_bigram_coverage(_bdocs, min_count=5).count()
+    timings["lm_bigram_coverage"] = time.time() - t0
+
     t0 = _probe_mark("grid_dbscan_l9")
     from linear_quadtree_spark.operators.cluster import grid_dbscan, quadtree_compact
     dbscan_rows = grid_dbscan(pts, level=9, minpts=5, id_col="pid").count()
@@ -973,6 +992,9 @@ def main() -> None:
             "hilbert_rows": hilb_rows,
             "s2cell_rows": s2_rows,
             "s2_cap_rows": s2cap_rows,
+            "bpe_pair_rows": bpe_rows,
+            "bpe_segment_rows": bseg_rows,
+            "lm_coverage_rows": lmcov_rows,
             "dbscan_clusters": dbscan_rows,
             "compact_quadrants": compact_rows,
             "adaptive_leaves": adapt_rows,
