@@ -2499,6 +2499,53 @@ def _q_lm_bigram_coverage(spark, sf_dir):
     return lm_bigram_coverage(docs, min_count=5)
 
 
+# ------------------------------------------ simplification / geofencing
+#: geofence tile set at zoom 4 (any polygon rasterizes to one via
+#: rasterize_polygons; constants keep the oracle static)
+GEOFENCE_TILES = [17, 18, 21, 22, 33]
+
+
+def _q_simplify_traj(spark, sf_dir):
+    """One-pass trajectory simplification (round-3): keep endpoints +
+    interior points whose neighbor-triangle doubled area >= 50 — the
+    single-sweep Visvalingam–Whyatt variant (operators/trajectory.py;
+    the full recursive Douglas–Peucker is `simplify_dp`, property- and
+    reference-tested in tests/test_simplify.py). ONE actor-key window
+    shuffle, map-local filter."""
+    from linear_quadtree_spark.operators.trajectory import simplify_onepass
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return simplify_onepass(ev, min_area2=50.0)
+
+
+def _simplify_traj_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        simplify_onepass_sql_duck,
+    )
+
+    return simplify_onepass_sql_duck(min_area2=50.0)
+
+
+def _q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection (round-3): per actor, one row per
+    flip of the inside-the-fence predicate (tile IN a fixed zoom-4
+    set) — the batch twin of streaming geofence_ingest
+    (ordered-replay equivalence-law tested). ONE actor-key window
+    shuffle; output is the transition set only."""
+    from linear_quadtree_spark.operators.trajectory import geofence_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return geofence_transitions(ev, GEOFENCE_TILES, zoom=4)
+
+
+def _geofence_oracle() -> str:
+    from linear_quadtree_spark.operators.trajectory import (
+        geofence_transitions_sql_duck,
+    )
+
+    return geofence_transitions_sql_duck(fence_tiles=GEOFENCE_TILES, zoom=4)
+
+
 def _bpe_pair_stats_oracle() -> str:
     from linear_quadtree_spark.operators.tokenizer import bpe_pair_stats_sql_duck
 
@@ -2744,6 +2791,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_pair_stats": _q_bpe_pair_stats,
         "bpe_segment_stats": _q_bpe_segment_stats,
         "lm_bigram_coverage": _q_lm_bigram_coverage,
+        # trajectory simplification / geofencing
+        "simplify_traj": _q_simplify_traj,
+        "geofence_transitions": _q_geofence_transitions,
         "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
@@ -3530,6 +3580,8 @@ FROM pts GROUP BY 1
         "bpe_pair_stats": _bpe_pair_stats_oracle(),
         "bpe_segment_stats": _bpe_segment_stats_oracle(),
         "lm_bigram_coverage": _lm_bigram_coverage_oracle(),
+        "simplify_traj": _simplify_traj_oracle(),
+        "geofence_transitions": _geofence_oracle(),
         "hilbert_bbox": f"""
 WITH {_PTS_CTE}
 SELECT doc_id FROM pts

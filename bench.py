@@ -670,6 +670,25 @@ def main() -> None:
     lmcov_rows = lm_bigram_coverage(_bdocs, min_count=5).count()
     timings["lm_bigram_coverage"] = time.time() - t0
 
+    t0 = _probe_mark("simplify_traj")
+    from linear_quadtree_spark.operators.trajectory import (
+        geofence_transitions,
+        simplify_dp,
+        simplify_onepass,
+    )
+
+    _tev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    simp_rows = simplify_onepass(_tev, min_area2=50.0).count()
+    timings["simplify_traj"] = time.time() - t0
+
+    t0 = _probe_mark("simplify_dp")
+    dp_rows = simplify_dp(_tev, tol=5.0).count()
+    timings["simplify_dp"] = time.time() - t0
+
+    t0 = _probe_mark("geofence_transitions")
+    gf_rows = geofence_transitions(_tev, [17, 18, 21, 22, 33], zoom=4).count()
+    timings["geofence_transitions"] = time.time() - t0
+
     t0 = _probe_mark("grid_dbscan_l9")
     from linear_quadtree_spark.operators.cluster import grid_dbscan, quadtree_compact
     dbscan_rows = grid_dbscan(pts, level=9, minpts=5, id_col="pid").count()
@@ -995,6 +1014,9 @@ def main() -> None:
             "bpe_pair_rows": bpe_rows,
             "bpe_segment_rows": bseg_rows,
             "lm_coverage_rows": lmcov_rows,
+            "simplify_kept_rows": simp_rows,
+            "simplify_dp_rows": dp_rows,
+            "geofence_rows": gf_rows,
             "dbscan_clusters": dbscan_rows,
             "compact_quadrants": compact_rows,
             "adaptive_leaves": adapt_rows,

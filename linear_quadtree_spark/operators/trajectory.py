@@ -1358,3 +1358,256 @@ JOIN ujsz sb ON sb.{id_col} = i.user_b
 WHERE sa.nt + sb.nt - i.inter > 0
   AND i.inter * 100 >= {tau_pct} * (sa.nt + sb.nt - i.inter)
 """
+
+
+# ------------------------------------------------- trajectory simplification
+def _traj_keyed(events, id_col, ts_col, event_id_col):
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    return events.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(event_id_col),
+        F.expr(f"CAST({geotag_x_sql(event_id_col)} AS DOUBLE)").alias("_x"),
+        F.expr(f"CAST({geotag_y_sql(event_id_col)} AS DOUBLE)").alias("_y"),
+    )
+
+
+def simplify_onepass(
+    events: DataFrame,
+    min_area2: float = 50.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """One-pass trajectory simplification: keep each actor's endpoints
+    plus every interior point whose DOUBLED triangle area against its
+    immediate neighbors (|cross product| of (prev→next, prev→cur)) is
+    at least ``min_area2`` — the single-sweep variant of
+    Visvalingam–Whyatt (public algorithm; the iterative re-evaluation
+    is deliberately dropped so the operator is ONE window pass,
+    deterministic, and SQL-twin-checkable; the full
+    recursive Douglas–Peucker lives in :func:`simplify_dp`).
+
+    Output ``(user_id, event_id, area2)`` for kept points; endpoints
+    carry area2 = -1.0 (a sentinel no real triangle can produce —
+    areas are non-negative). All arithmetic is IEEE basic ops over the
+    id-derived float32 geotags, bit-identical across engines.
+
+    Scale shape: ONE shuffle on the actor key (lag/lead window, the
+    sessionize bound), then a map-local filter — identical cost class
+    to speed_flags.
+    """
+    from pyspark.sql import Window
+
+    keyed = _traj_keyed(events, id_col, ts_col, event_id_col)
+    w = Window.partitionBy(id_col).orderBy(ts_col, event_id_col)
+    cross = (
+        "(( _xn - _xp ) * ( _y - _yp ) - ( _yn - _yp ) * ( _x - _xp ))"
+    )
+    pts = (
+        keyed.withColumn("_xp", F.lag("_x").over(w))
+        .withColumn("_yp", F.lag("_y").over(w))
+        .withColumn("_xn", F.lead("_x").over(w))
+        .withColumn("_yn", F.lead("_y").over(w))
+        .withColumn(
+            "area2",
+            F.when(
+                F.col("_xp").isNull() | F.col("_xn").isNull(),
+                F.lit(-1.0),
+            ).otherwise(F.abs(F.expr(cross))),
+        )
+    )
+    return pts.filter(
+        (F.col("area2") < 0) | (F.col("area2") >= min_area2)
+    ).select(id_col, event_id_col, "area2")
+
+
+def simplify_onepass_sql_duck(
+    src: str = "events",
+    min_area2: float = 50.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.functions.textexpr import dlit
+
+    ordw = f"PARTITION BY {id_col} ORDER BY {ts_col}, {event_id_col}"
+    return f"""
+WITH spk AS (
+  SELECT {id_col}, {ts_col}, {event_id_col},
+         CAST({geotag_x_sql(event_id_col)} AS DOUBLE) AS x,
+         CAST({geotag_y_sql(event_id_col)} AS DOUBLE) AS y
+  FROM {src}
+),
+splag AS (
+  SELECT {id_col}, {event_id_col},
+         LAG(x) OVER ({ordw}) AS xp, LAG(y) OVER ({ordw}) AS yp,
+         LEAD(x) OVER ({ordw}) AS xn, LEAD(y) OVER ({ordw}) AS yn,
+         x, y
+  FROM spk
+),
+sparea AS (
+  SELECT {id_col}, {event_id_col},
+         CASE WHEN xp IS NULL OR xn IS NULL THEN CAST(-1.0 AS DOUBLE)
+              ELSE ABS((xn - xp) * (y - yp) - (yn - yp) * (x - xp))
+         END AS area2
+  FROM splag
+)
+SELECT {id_col}, {event_id_col}, area2 FROM sparea
+WHERE area2 < 0 OR area2 >= {dlit(min_area2)}
+"""
+
+
+def simplify_dp(
+    events: DataFrame,
+    tol: float = 5.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Douglas–Peucker trajectory simplification (the public recursive
+    algorithm, 1973): per actor, keep the minimal chain such that every
+    dropped point lies within ``tol`` perpendicular distance of the
+    kept polyline.
+
+    DP's split point depends on the whole sub-path, so it is not a
+    window expression; it runs as ONE Arrow-batched applyInPandas over
+    the actor key — state bounded by per-actor path length (the
+    sessionize bound), vectorized numpy inside (the whole-segment
+    distance evaluation is one array op per split; the stack holds
+    index pairs, never geometry copies). Deterministic: ties on the
+    farthest point break to the LOWEST index (np.argmax), path order is
+    (ts, event_id). Output ``(user_id, event_id)`` of kept points.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keyed = _traj_keyed(events, id_col, ts_col, event_id_col)
+    t2 = float(tol) * float(tol)
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, event_id_col], kind="mergesort")
+        x = pdf["_x"].to_numpy(dtype=np.float64)
+        y = pdf["_y"].to_numpy(dtype=np.float64)
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            dx, dy = x[j] - x[i], y[j] - y[i]
+            px, py = x[i + 1 : j] - x[i], y[i + 1 : j] - y[i]
+            seg2 = dx * dx + dy * dy
+            if seg2 > 0.0:
+                cross = px * dy - py * dx
+                d2 = (cross * cross) / seg2
+            else:
+                d2 = px * px + py * py
+            k = int(np.argmax(d2))
+            if d2[k] > t2:
+                m = i + 1 + k
+                keep[m] = True
+                stack.append((i, m))
+                stack.append((m, j))
+        return pdf.loc[keep, [id_col, event_id_col]]
+
+    return keyed.groupBy(id_col).applyInPandas(
+        _dp, schema=f"{id_col} long, {event_id_col} long"
+    )
+
+
+# ----------------------------------------------------------- geofencing
+def geofence_transitions(
+    events: DataFrame,
+    fence_tiles: list[int],
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Geofence enter/exit detection: per actor (ts, event_id order),
+    emit one row per transition of the inside-the-fence predicate —
+    the alerting primitive behind delivery zones, restricted airspace,
+    store-visit attribution. The fence is a set of grid tiles at
+    ``zoom`` (any polygon rasterizes to one via rasterize_polygons);
+    membership is a single IN over the id-derived tile expression, so
+    no geometry join touches the event stream.
+
+    Output ``(user_id, event_id, ep_s, kind)`` with kind ∈
+    {'enter','exit'}; the first event of an actor emits 'enter' iff it
+    starts inside (the standing convention for alerting replays —
+    stated, not hidden).
+
+    Scale shape: ONE shuffle on the actor key (lag window), map-local
+    filter, output is the transition set only — speed_flags' cost
+    class. The streaming twin keeps one boolean per actor
+    (streaming/flows.py discipline).
+    """
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col),
+        F.expr(f"unix_timestamp({ts_col})").alias("ep_s"),
+        F.col(ts_col),
+        geocell_col(
+            geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+        ).alias("_tile"),
+    )
+    inside = F.col("_tile").isin([int(t) for t in fence_tiles])
+    w = Window.partitionBy(id_col).orderBy(ts_col, event_id_col)
+    tr = (
+        keyed.withColumn("_in", inside)
+        .withColumn("_pin", F.lag("_in").over(w))
+        .filter(
+            (F.col("_pin").isNull() & F.col("_in"))
+            | (F.col("_pin").isNotNull() & (F.col("_pin") != F.col("_in")))
+        )
+        .withColumn(
+            "kind", F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit"))
+        )
+    )
+    return tr.select(id_col, event_id_col, "ep_s", "kind")
+
+
+def geofence_transitions_sql_duck(
+    src: str = "events",
+    fence_tiles: list[int] | None = None,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> str:
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    tiles = ", ".join(str(int(t)) for t in (fence_tiles or []))
+    cell = geocell_sql_duck(
+        geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    ordw = f"PARTITION BY {id_col} ORDER BY {ts_col}, {event_id_col}"
+    return f"""
+WITH gfk AS (
+  SELECT {id_col}, {event_id_col}, {ts_col},
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep_s,
+         ({cell}) IN ({tiles}) AS _in
+  FROM {src}
+),
+gfl AS (
+  SELECT {id_col}, {event_id_col}, ep_s, _in,
+         LAG(_in) OVER ({ordw}) AS _pin
+  FROM gfk
+)
+SELECT {id_col}, {event_id_col}, ep_s,
+       CASE WHEN _in THEN 'enter' ELSE 'exit' END AS kind
+FROM gfl
+WHERE (_pin IS NULL AND _in) OR (_pin IS NOT NULL AND _pin <> _in)
+"""

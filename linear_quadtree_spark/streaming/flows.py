@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -33,7 +34,13 @@ from linear_quadtree_spark.config import DEFAULT_BOUNDS, Bounds
 from linear_quadtree_spark.functions.geocell import geocell_col
 from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
 
-__all__ = ["flows_ingest", "covisit_ingest", "speed_ingest", "rog_ingest"]
+__all__ = [
+    "flows_ingest",
+    "covisit_ingest",
+    "speed_ingest",
+    "rog_ingest",
+    "geofence_ingest",
+]
 
 _OUT_SCHEMA = StructType(
     [
@@ -345,5 +352,85 @@ def rog_ingest(
         outputStructType=_ROG_OUT_SCHEMA,
         stateStructType=_ROG_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ------------------------------------------------------------- geofencing
+_GF_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ep_s", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+#: one row per user: latest inside-the-fence flag (0/1)
+_GF_STATE_SCHEMA = StructType([StructField("inside", LongType())])
+
+
+def geofence_ingest(
+    events: DataFrame,
+    fence_tiles: list[int],
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming geofence alerting — the stateful twin of
+    operators/trajectory.geofence_transitions: state per user is ONE
+    boolean (currently inside), each arriving event emits enter/exit
+    the moment the predicate flips — the alerting latency a batch lag
+    window cannot give. O(users) state; append-only emission.
+
+    Equivalence law (tests/test_streaming_flows.py): a TIME-ORDERED
+    replay's emission log equals the batch operator exactly, including
+    the start-inside 'enter' convention and cross-batch flips; the
+    fence-membership expression is the identical geocell IN, evaluated
+    pre-shuffle, so the stateful function never sees geometry."""
+    fence = {int(t) for t in fence_tiles}
+    keyed = events.select(
+        F.col(id_col),
+        F.col(event_id_col).alias("eid"),
+        F.expr(f"unix_micros({ts_col})").alias("em"),
+        geocell_col(
+            geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+        )
+        .isin(list(fence))
+        .cast("long")
+        .alias("inn"),
+    )
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        prev = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[tuple] = []
+        if chunks:
+            full = pd.concat(chunks, ignore_index=True).sort_values(["em", "eid"])
+            for row in full.itertuples(index=False):
+                cur = int(row.inn)
+                if (prev is None and cur) or (prev is not None and cur != prev):
+                    out.append(
+                        (
+                            uid,
+                            int(row.eid),
+                            int(row.em) // 1_000_000,
+                            "enter" if cur else "exit",
+                        )
+                    )
+                prev = cur
+        if prev is not None:
+            state.update((prev,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "ep_s", "kind"])
+
+    return keyed.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=_GF_OUT_SCHEMA,
+        stateStructType=_GF_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -196,3 +196,43 @@ def test_rog_ingest_out_of_order_replay_equals_batch(spark, sf_dir, tmp_path):
     # progressive emission actually happened: more emissions than users
     # (every user with data in 2+ batches emitted an interim row)
     assert len(rows) > len(final)
+
+
+def test_geofence_ingest_ordered_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Time-ordered replay of geofence_ingest emits EXACTLY the batch
+    geofence_transitions rows, including the start-inside 'enter'
+    convention and fence flips that span a batch cut (the carried
+    boolean decides them)."""
+    from linear_quadtree_spark.operators.trajectory import geofence_transitions
+    from linear_quadtree_spark.streaming.flows import geofence_ingest
+
+    fence = [17, 18, 21, 22, 33]
+    out = tmp_path / "gf_split"
+    out.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_ep", F.unix_timestamp("ts")
+    )
+    cuts = ev.approxQuantile("_ep", [0.33, 0.66], 0.0)
+    parts = [
+        ev.filter(F.col("_ep") < cuts[0]),
+        ev.filter((F.col("_ep") >= cuts[0]) & (F.col("_ep") < cuts[1])),
+        ev.filter(F.col("_ep") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        _write_part(p.drop("_ep"), out, i)
+    emitted = run_available_now(
+        geofence_ingest(_read_stream(spark, str(out)), fence, zoom=4),
+        "gf_stream",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "gf_ckpt"),
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.ep_s, r.kind) for r in emitted.collect()
+    )
+    exp = sorted(
+        (r.user_id, r.event_id, r.ep_s, r.kind)
+        for r in geofence_transitions(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), fence, zoom=4
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
