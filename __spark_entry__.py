@@ -1918,6 +1918,17 @@ def _q_host_pagerank(spark, sf_dir):
     return _graph.pagerank(_graph.host_link_edges(spark, sf_dir))
 
 
+def _q_host_hits(spark, sf_dir):
+    """Fixed-point integer HITS hubs/authorities over the host link
+    graph (round-3, operators/graph.py hits_scores): 3 unrolled
+    rounds, divide-by-quotient normalization keeps every intermediate
+    int64-safe at any graph size; (host, hub_fp, auth_fp). The
+    complementary link score to PageRank — hubs surface directories /
+    link farms, authorities surface canonical sources — both signals
+    real crawl-quality weighting uses."""
+    return _graph.hits_scores(_graph.host_link_edges(spark, sf_dir))
+
+
 # -------------------------------------------------------- alternate index
 GEOCELL_LEVEL = 6
 
@@ -2774,6 +2785,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_text": _q_extract_text,
         "domain_stats": _q_domain_stats,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "snapshot_diff": _q_snapshot_diff,
         "ranked_curation": _q_ranked_curation,
         "anchor_terms": _q_anchor_terms,
@@ -3547,6 +3559,7 @@ SELECT source AS site, COUNT(*) AS n_pages,
 FROM documents GROUP BY 1
 """,
         "host_pagerank": _graph.host_pagerank_sql_duck(),
+        "host_hits": _graph.host_hits_sql_duck(),
         "snapshot_diff": _snapshot_diff_oracle(),
         "ranked_curation": f"""
 WITH cur AS ({_text.curate_corpus_sql_duck()}),

@@ -670,6 +670,12 @@ def main() -> None:
     lmcov_rows = lm_bigram_coverage(_bdocs, min_count=5).count()
     timings["lm_bigram_coverage"] = time.time() - t0
 
+    t0 = _probe_mark("host_hits")
+    from linear_quadtree_spark.operators.graph import hits_scores, host_link_edges
+
+    hits_rows = hits_scores(host_link_edges(spark, SF_DIR)).count()
+    timings["host_hits"] = time.time() - t0
+
     t0 = _probe_mark("simplify_traj")
     from linear_quadtree_spark.operators.trajectory import (
         geofence_transitions,
@@ -1014,6 +1020,7 @@ def main() -> None:
             "bpe_pair_rows": bpe_rows,
             "bpe_segment_rows": bseg_rows,
             "lm_coverage_rows": lmcov_rows,
+            "hits_hosts": hits_rows,
             "simplify_kept_rows": simp_rows,
             "simplify_dp_rows": dp_rows,
             "geofence_rows": gf_rows,

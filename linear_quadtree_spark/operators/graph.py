@@ -38,6 +38,9 @@ __all__ = [
     "pagerank",
     "host_pagerank_sql_duck",
     "pagerank_unroll_ctes_duck",
+    "hits_scores",
+    "hits_unroll_ctes_duck",
+    "host_hits_sql_duck",
     "host_link_anchors",
     "anchor_terms",
     "anchor_terms_sql_duck",
@@ -228,6 +231,153 @@ edges AS (
     // hn.n_hosts) = h.idx
   WHERE d.source <> h.host),
 """ + pagerank_unroll_ctes_duck(iters, d_num, d_den, scale)
+
+
+HITS_ITERS = 3
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over a distinct
+    (src, dst) edge DataFrame → (host, hub_fp, auth_fp).
+
+    The recurrence per round, int64 end to end:
+
+        auth_raw(v) = Σ_{u→v} hub(u)
+        q_a         = max(1, max_v auth_raw DIV scale)
+        auth(v)     = auth_raw(v) DIV q_a          -- ≈ scale·a/amax
+        hub_raw(u)  = Σ_{u→v} auth(v)              -- uses the NEW auth
+        q_h, hub(u) analogous
+
+    The divide-by-quotient normalization (instead of the float
+    a·scale/amax) keeps every intermediate ≤ in_degree_max · scale —
+    int64-safe at any graph size — while staying a pure integer
+    formula both engines evaluate identically; the deliberate rounding
+    is part of the operator's definition (bit-reproducible beats
+    last-ulp-faithful here, the pagerank argument).
+
+    Plan: like pagerank — per round two hash joins of the thin score
+    state onto the cached edge relation + two aggregates. UNLIKE
+    pagerank the recurrence needs a data-dependent scalar (the max) per
+    half-round; it rides to the driver as ONE tiny aggregate job and
+    embeds as a LITERAL divisor (the kNN-ring discipline: a scalar per
+    round, never a relation). The first formulation kept the max as a
+    broadcast subtree instead — broadcast subtrees execute as separate
+    concurrent jobs that re-ran the whole prior lineage (measured 70+ s
+    for a 20-host graph); the scalar + per-round persist makes the
+    final plan flat projections over cached state. The DuckDB twin
+    needs the matching treatment (MATERIALIZED round CTEs — DuckDB
+    inlines CTEs by default, with exponential re-evaluation)."""
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = track(
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    e = track(edges.repartition("src"))
+    hub = nodes.select("host", F.expr(f"CAST({scale} AS BIGINT)").alias("hub_fp"))
+    auth = None
+
+    def _normalize(raw_col: str, full: DataFrame, out: str) -> DataFrame:
+        # ONE tiny job: the max rides back as a scalar and embeds as a
+        # LITERAL divisor, so no broadcast subtree ever re-runs the
+        # round lineage (the agg scan also populates `full`'s cache)
+        m = full.agg(F.max(raw_col).alias("m")).collect()[0]["m"] or 0
+        q = max(1, int(m) // scale)
+        return full.select(
+            "host", F.expr(f"{raw_col} div CAST({q} AS BIGINT)").alias(out)
+        )
+
+    for _ in range(iters):
+        araw = (
+            e.join(hub.select(F.col("host").alias("src"), "hub_fp"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("hub_fp").cast("long").alias("_a"))
+        )
+        afull = track(
+            nodes.join(araw, "host", "left").select(
+                "host", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("_a")
+            )
+        )
+        auth = _normalize("_a", afull, "auth_fp")
+        hraw = (
+            e.join(auth.select(F.col("host").alias("dst"), "auth_fp"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("auth_fp").cast("long").alias("_h"))
+        )
+        hfull = track(
+            nodes.join(hraw, "host", "left").select(
+                "host", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("_h")
+            )
+        )
+        hub = _normalize("_h", hfull, "hub_fp")
+    return hub.join(auth, "host").select("host", "hub_fp", "auth_fp")
+
+
+def hits_unroll_ctes_duck(iters: int = HITS_ITERS, scale: int = PR_SCALE) -> str:
+    """The identical integer-HITS recurrence unrolled as chained CTEs
+    over an ``edges`` CTE with (src, dst) — embed after
+    ``WITH ... edges AS (...),``. Ends with
+    ``SELECT host, hub_fp, auth_fp``."""
+    big = f"CAST({scale} AS BIGINT)"
+    q = f"""
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
+h0 AS (SELECT host, {big} AS hub_fp FROM nodes)
+"""
+    prev = "h0"
+    for i in range(1, iters + 1):
+        q += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS host, CAST(SUM(p.hub_fp) AS BIGINT) AS a
+  FROM edges e JOIN {prev} p ON p.host = e.src GROUP BY 1),
+af{i} AS (
+  SELECT nodes.host, COALESCE(a, CAST(0 AS BIGINT)) AS a
+  FROM nodes LEFT JOIN ar{i} USING (host)),
+qa{i} AS (
+  SELECT GREATEST(CAST(1 AS BIGINT), CAST(MAX(a) AS BIGINT) // {scale}) AS q
+  FROM af{i}),
+an{i} AS MATERIALIZED (SELECT host, a // q AS auth_fp FROM af{i} CROSS JOIN qa{i}),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS host, CAST(SUM(n.auth_fp) AS BIGINT) AS h
+  FROM edges e JOIN an{i} n ON n.host = e.dst GROUP BY 1),
+hf{i} AS (
+  SELECT nodes.host, COALESCE(h, CAST(0 AS BIGINT)) AS h
+  FROM nodes LEFT JOIN hr{i} USING (host)),
+qh{i} AS (
+  SELECT GREATEST(CAST(1 AS BIGINT), CAST(MAX(h) AS BIGINT) // {scale}) AS q
+  FROM hf{i}),
+hn{i} AS MATERIALIZED (SELECT host, h // q AS hub_fp FROM hf{i} CROSS JOIN qh{i})
+"""
+        prev = f"hn{i}"
+    return q + (
+        f"SELECT h.host, h.hub_fp, a.auth_fp FROM hn{iters} h "
+        f"JOIN an{iters} a USING (host)"
+    )
+
+
+def host_hits_sql_duck(
+    src: str = "documents", iters: int = HITS_ITERS, scale: int = PR_SCALE
+) -> str:
+    """DuckDB twin of host_link_edges + hits_scores (relational unroll
+    vs the Spark iterative-join loop, same rows bit for bit)."""
+    return f"""
+WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
+hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
+hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
+edges AS (
+  SELECT DISTINCT d.source AS src, h.host AS dst
+  FROM {src} d CROSS JOIN hn
+  JOIN hosts h ON (
+    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
+     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
+    // hn.n_hosts) = h.idx
+  WHERE d.source <> h.host),
+""" + hits_unroll_ctes_duck(iters, scale)
 
 
 def host_link_anchors(

@@ -173,3 +173,63 @@ def test_tile_rank_composition(spark, sf_dir):
     # a rank above the teleport floor requires inflow
     floor = (10**12 * 15 // 100) // nodes
     assert any(r.rank_fp > floor for r in rows)
+
+
+def _hits_py(edges, iters=3, scale=10**12):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: 0 for n in nodes}
+        for u, v in edges:
+            auth[v] += hub[u]
+        qa = max(1, max(auth.values()) // scale)
+        auth = {n: a // qa for n, a in auth.items()}
+        hub = {n: 0 for n in nodes}
+        for u, v in edges:
+            hub[u] += auth[v]
+        qh = max(1, max(hub.values()) // scale)
+        hub = {n: h // qh for n, h in hub.items()}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_python_ground_truth(spark):
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.graph import hits_scores
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r.host: (r.hub_fp, r.auth_fp) for r in hits_scores(df).collect()}
+    release_caches()
+    assert got == _hits_py(edges)
+    # c receives from everyone -> top authority; d links both strong
+    # authorities -> top hub
+    assert got["c"][1] == max(v[1] for v in got.values())
+    assert got["d"][0] == max(v[0] for v in got.values())
+
+
+def test_host_hits_engine_lockstep(spark, sf_dir):
+    import duckdb
+
+    from linear_quadtree_spark.cache import release_caches
+
+    from linear_quadtree_spark.operators.graph import (
+        hits_scores,
+        host_hits_sql_duck,
+        host_link_edges,
+    )
+
+    got = sorted(
+        tuple(r) for r in hits_scores(host_link_edges(spark, sf_dir)).collect()
+    )
+    release_caches()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = sorted(tuple(r) for r in con.execute(host_hits_sql_duck()).fetchall())
+    assert got == exp and len(got) > 5

@@ -627,3 +627,68 @@ def test_distance_decay_single_source_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s2cell_stats_single_aggregate_no_udf(spark, sf_dir):
+    """S2 encode is a map-only expression chain: the per-cell rollup
+    must show exactly the aggregate's shuffle (partial + final around
+    ONE Exchange) and no Python evaluation anywhere."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_s2cell_stats(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # distinct-agg rewrite: <= 2 stages
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_segment_stats_is_map_only(spark, sf_dir):
+    from linear_quadtree_spark.operators.tokenizer import bpe_segment_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bpe_segment_stats(docs))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+    # column pruning: only doc_id + text are read
+    assert "ReadSchema" in plan
+
+
+def test_bpe_pair_stats_single_agg_take_ordered(spark, sf_dir):
+    from linear_quadtree_spark.operators.tokenizer import bpe_pair_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bpe_pair_stats(docs, k=64))
+    # top-k must compile to TakeOrdered, never a global Sort
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_simplify_onepass_single_window_exchange(spark, sf_dir):
+    from linear_quadtree_spark.operators.trajectory import simplify_onepass
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(simplify_onepass(ev))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_geofence_single_window_exchange_no_join(spark, sf_dir):
+    from linear_quadtree_spark.operators.trajectory import geofence_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(geofence_transitions(ev, [17, 18, 21, 22, 33], zoom=4))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    # fence membership is an IN expression, never a geometry join
+    assert "Join" not in plan
+
+
+def test_s2_cap_query_broadcasts_ranges_and_sites(spark, sf_dir):
+    """The range prefilter must be a broadcast semi join (NOT an
+    OR-of-BETWEEN filter over the live chain — the documented plan-size
+    blowup), and the site dimension must broadcast."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_s2_cap_query(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
