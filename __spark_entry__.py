@@ -2510,6 +2510,52 @@ def _q_lm_bigram_coverage(spark, sf_dir):
     return lm_bigram_coverage(docs, min_count=5)
 
 
+# ---------------------------------------------------- sketch pyramid
+KMV_PYR_LEVEL = 6
+KMV_PYR_K = 16
+
+
+def _q_tile_kmv_visitors(spark, sf_dir):
+    """Distinct-visitor pyramid by KMV sketch merge (round-3,
+    operators/sketches.kmv_pyramid): per-tile bottom-k sketches at
+    zoom 6, every coarser zoom merged from children k-min sets — the
+    raw event relation is scanned ONCE; the oracle re-sketches each
+    level from scratch, so the hash match proves the MERGE LAW, not
+    just the arithmetic. k=16 keeps coarse levels in the estimator
+    regime (not the exact-below-k fast path)."""
+    from linear_quadtree_spark.functions.geocell import geocell_col
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.sketches import kmv_pyramid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        geocell_col(
+            geotag_x_sql("event_id"), geotag_y_sql("event_id"),
+            DEFAULT_BOUNDS, KMV_PYR_LEVEL,
+        ).alias("tile"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return kmv_pyramid(keyed, "tile", "uid", level=KMV_PYR_LEVEL, k=KMV_PYR_K)
+
+
+def _tile_kmv_oracle() -> str:
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+    from linear_quadtree_spark.operators.sketches import kmv_pyramid_sql_duck
+
+    cell = geocell_sql_duck(
+        geotag_x_sql("event_id"), geotag_y_sql("event_id"),
+        DEFAULT_BOUNDS, KMV_PYR_LEVEL,
+    )
+    return (
+        f"WITH vals AS (SELECT {cell} AS tile,"
+        f" CAST(user_id AS VARCHAR) AS uid FROM events)\n"
+        + kmv_pyramid_sql_duck(
+            "vals", "tile", "uid", level=KMV_PYR_LEVEL, k=KMV_PYR_K
+        )
+    )
+
+
 # ------------------------------------------ simplification / geofencing
 #: geofence tile set at zoom 4 (any polygon rasterizes to one via
 #: rasterize_polygons; constants keep the oracle static)
@@ -2806,6 +2852,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # trajectory simplification / geofencing
         "simplify_traj": _q_simplify_traj,
         "geofence_transitions": _q_geofence_transitions,
+        # sketch pyramid
+        "tile_kmv_visitors": _q_tile_kmv_visitors,
         "hilbert_bbox": _q_hilbert_bbox,
         "hex_focal_smooth": _q_hex_focal,
         "slippy_tile_stats": _q_slippy_tile_stats,
@@ -3595,6 +3643,7 @@ FROM pts GROUP BY 1
         "lm_bigram_coverage": _lm_bigram_coverage_oracle(),
         "simplify_traj": _simplify_traj_oracle(),
         "geofence_transitions": _geofence_oracle(),
+        "tile_kmv_visitors": _tile_kmv_oracle(),
         "hilbert_bbox": f"""
 WITH {_PTS_CTE}
 SELECT doc_id FROM pts

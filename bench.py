@@ -670,6 +670,12 @@ def main() -> None:
     lmcov_rows = lm_bigram_coverage(_bdocs, min_count=5).count()
     timings["lm_bigram_coverage"] = time.time() - t0
 
+    t0 = _probe_mark("tile_kmv_visitors")
+    import __spark_entry__ as _entry_kmv
+
+    kmv_pyr_rows = _entry_kmv._q_tile_kmv_visitors(spark, SF_DIR).count()
+    timings["tile_kmv_visitors"] = time.time() - t0
+
     t0 = _probe_mark("host_hits")
     from linear_quadtree_spark.operators.graph import hits_scores, host_link_edges
 
@@ -1021,6 +1027,7 @@ def main() -> None:
             "bpe_segment_rows": bseg_rows,
             "lm_coverage_rows": lmcov_rows,
             "hits_hosts": hits_rows,
+            "kmv_pyramid_rows": kmv_pyr_rows,
             "simplify_kept_rows": simp_rows,
             "simplify_dp_rows": dp_rows,
             "geofence_rows": gf_rows,

@@ -75,6 +75,8 @@ __all__ = [
     "kmv_distinct_sql_duck",
     "kmv_overlap",
     "kmv_overlap_sql_duck",
+    "kmv_pyramid",
+    "kmv_pyramid_sql_duck",
 ]
 
 #: Size of the composite hash space: h = m1 * P2 + m2 with m1 ∈ [0, P1),
@@ -276,3 +278,104 @@ SELECT n_common,
        {e.idiv(f'n_common * ({est_u})', 'm')} AS est_inter,
        {e.idiv('n_common * 1000000', 'm')} AS jaccard_ppm
 FROM ustats, astats, bstats"""
+
+
+# ---------------------------------------------------------------- pyramid
+def kmv_pyramid(
+    rel: DataFrame,
+    tile_col: str,
+    value_col: str,
+    level: int,
+    k: int = 64,
+    min_level: int = 0,
+) -> DataFrame:
+    """Multi-resolution distinct-count pyramid by SKETCH MERGE: per-tile
+    KMV sketches at the base ``level``, then every coarser level's
+    sketch built from its four children's k-min sets — the property
+    that makes bottom-k sketches the 100 TB way to serve "distinct
+    visitors in this region" at every zoom: the raw relation is
+    scanned ONCE (one corpus-sized dedup shuffle); each coarser level
+    is a window over ≤ 4k rows per parent, data-independent.
+
+    Merging is EXACT, not approximate-on-approximate: the k smallest
+    of a union's hashes are contained in the union of the children's
+    k-min sets, so the merged sketch — and therefore the estimate — is
+    IDENTICAL to re-sketching the raw data at that level (the law the
+    tests and the DuckDB oracle assert, each level re-computed from
+    scratch there — a deliberately different plan family).
+
+    Output: ``(level, tile, n_min, est_distinct)`` for every level in
+    [min_level, level], tile ids in each level's own coordinates
+    (parent = tile div 4, the quadkey algebra)."""
+    dedup = (
+        rel.select(
+            F.col(tile_col).alias("tile"),
+            F.expr(kmv_hash_expr(SPARK, value_col)).alias("h"),
+        )
+        .groupBy("tile", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy("tile").orderBy("h")
+
+    def _kmin(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def _level_out(df: DataFrame, lvl: int) -> DataFrame:
+        agg = df.groupBy("tile").agg(
+            F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_min")
+        )
+        return agg.select(
+            F.lit(lvl).cast("int").alias("level"),
+            "tile",
+            "n_min",
+            F.expr(_est_expr("kth", "n_min", k)).alias("est_distinct"),
+        )
+
+    cur = _kmin(dedup)
+    out = _level_out(cur, level)
+    for lvl in range(level - 1, min_level - 1, -1):
+        cur = _kmin(
+            cur.select(F.expr("tile div 4").alias("tile"), "h")
+            .groupBy("tile", "h")
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+        )
+        out = out.unionByName(_level_out(cur, lvl))
+    return out
+
+
+def kmv_pyramid_sql_duck(
+    vals_cte: str,
+    tile_col: str,
+    value_col: str,
+    level: int,
+    k: int = 64,
+    min_level: int = 0,
+) -> str:
+    """DuckDB twin by DIRECT RECOMPUTE: each level's sketch is built
+    from the raw values with the level's own tile key (tile div
+    4^(level-lvl)) — no merging anywhere, so agreement with the Spark
+    pyramid PROVES the merge law, not just the arithmetic."""
+    h = kmv_hash_expr(DUCK, value_col)
+    parts = []
+    for lvl in range(level, min_level - 1, -1):
+        t = f"(({tile_col}) // {4 ** (level - lvl)})"
+        parts.append(
+            f"""
+SELECT CAST({lvl} AS INT) AS level, tile, n_min,
+       {_est_expr('kth', 'n_min', k)} AS est_distinct
+FROM (
+  SELECT tile, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS n_min
+  FROM (
+    SELECT tile, h,
+           row_number() OVER (PARTITION BY tile ORDER BY h) AS rn
+    FROM (SELECT DISTINCT {t} AS tile, {h} AS h FROM {vals_cte})
+  ) WHERE rn <= {k} GROUP BY tile
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)

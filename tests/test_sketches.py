@@ -107,3 +107,50 @@ def test_window_group_limit_in_plan(spark):
     df = _vals_df(spark, [f"w{i}" for i in range(100)])
     plan = kmv_distinct(df, ["g"], "v", k=8)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pyramid_merge_equals_direct_recompute(spark):
+    """The mergeability law, engine-independent: the pyramid built by
+    MERGING children k-min sets equals per-level direct re-sketching
+    of the raw values (computed here via kmv_distinct on the derived
+    tile key)."""
+    from linear_quadtree_spark.operators.sketches import kmv_pyramid
+
+    rows = [(t % 7, f"u{(t * 37) % 53}") for t in range(4000)]
+    df = spark.createDataFrame(rows, "tile long, uid string")
+    pyr = kmv_pyramid(df, "tile", "uid", level=3, k=8, min_level=0)
+    got = sorted(tuple(r) for r in pyr.collect())
+    exp = []
+    for lvl in range(3, -1, -1):
+        d = kmv_distinct(
+            df.select(
+                (F.col("tile") / (4 ** (3 - lvl))).cast("long").alias("tile"),
+                "uid",
+            ),
+            ["tile"],
+            "uid",
+            k=8,
+        )
+        exp.extend((lvl, r.tile, r.n_min, r.est_distinct) for r in d.collect())
+    assert got == sorted(exp)
+
+
+def test_pyramid_duckdb_twin(spark):
+    from linear_quadtree_spark.operators.sketches import (
+        kmv_pyramid,
+        kmv_pyramid_sql_duck,
+    )
+
+    rows = [(t % 16, f"v{(t * 17) % 97}") for t in range(2000)]
+    df = spark.createDataFrame(rows, "tile long, uid string")
+    got = sorted(tuple(r) for r in kmv_pyramid(df, "tile", "uid", level=2, k=8).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals (tile BIGINT, uid VARCHAR)")
+    con.executemany("INSERT INTO vals VALUES (?, ?)", rows)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            kmv_pyramid_sql_duck("vals", "tile", "uid", level=2, k=8)
+        ).fetchall()
+    )
+    assert got == exp
