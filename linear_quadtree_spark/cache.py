@@ -92,7 +92,12 @@ def untrack(*dfs: DataFrame) -> int:
         ]
         removed += len(lst) - len(kept)
         lst[:] = kept
-    _ADOPTED.extend(handles)
+    # idempotent adoption: never register the same handle (or another
+    # handle of the same plan) twice — duplicates would both leak
+    # same-plan skips forever and add py4j calls to every release
+    for h in handles:
+        if id(h) not in {id(a) for a in _ADOPTED} and not _owned_elsewhere(h):
+            _ADOPTED.append(h)
     return removed
 
 
@@ -126,14 +131,17 @@ def cache_scope():
 
 
 def release_caches() -> int:
-    """Unpersist every globally-tracked cache; returns how many."""
-    n = len(_GLOBAL)
+    """Unpersist every globally-tracked cache; returns how many were
+    actually unpersisted (adopted-plan handles are dropped from the
+    registry without an unpersist and do not count)."""
+    n = 0
     while _GLOBAL:
         df = _GLOBAL.pop()
         if _owned_elsewhere(df):
             continue
         try:
             df.unpersist()
+            n += 1
         except Exception:
             pass
     return n

@@ -64,6 +64,7 @@ __all__ = [
     "s2_cell_py",
     "s2_cell_center_py",
     "s2_cap_cover",
+    "merge_ranges",
     "hilbert_d2xy_py",
 ]
 
@@ -400,11 +401,20 @@ def s2_cap_cover(
             )
             if _angle_rad(c, ctr) <= cap + rad:
                 hit.append(face * 4**level + pos)
-    hit.sort()
-    ranges: list[tuple[int, int]] = []
-    for cid in hit:
-        if ranges and cid == ranges[-1][1] + 1:
-            ranges[-1] = (ranges[-1][0], cid)
+    return merge_ranges((cid, cid) for cid in hit)
+
+
+def merge_ranges(
+    spans: "list[tuple[int, int]] | object",
+) -> list[tuple[int, int]]:
+    """Merge [lo, hi] integer spans: overlapping OR adjacent
+    (lo <= prev_hi + 1) spans coalesce. The ONE interval-merge used by
+    the cap planner, the cap query's multi-site union, and the bench —
+    the adjacency rule lives here only."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(spans):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
         else:
-            ranges.append((cid, cid))
-    return ranges
+            out.append((lo, hi))
+    return out

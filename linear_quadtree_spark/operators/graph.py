@@ -207,6 +207,23 @@ r{i} AS (
     return q + f"SELECT host{alias}, rank_fp FROM {prev}"
 
 
+def _host_edges_ctes_duck(src: str) -> str:
+    """Shared CTE prefix (hs/hosts/hn/edges) synthesizing the SAME
+    deterministic host link graph host_link_edges builds — ONE copy so
+    the Spark/DuckDB twins cannot silently diverge per operator."""
+    return f"""hs AS (SELECT DISTINCT source AS host FROM {src}),
+hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
+hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
+edges AS (
+  SELECT DISTINCT d.source AS src, h.host AS dst
+  FROM {src} d CROSS JOIN hn
+  JOIN hosts h ON (
+    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
+     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
+    // hn.n_hosts) = h.idx
+  WHERE d.source <> h.host)"""
+
+
 def host_pagerank_sql_duck(
     src: str = "documents",
     iters: int = PR_ITERS,
@@ -218,19 +235,12 @@ def host_pagerank_sql_duck(
     recurrence unrolled as chained CTEs (a different plan family from
     the Spark loop — relational unroll vs iterative joins — same rows
     bit for bit)."""
-    return f"""
-WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
-hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
-hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
-edges AS (
-  SELECT DISTINCT d.source AS src, h.host AS dst
-  FROM {src} d CROSS JOIN hn
-  JOIN hosts h ON (
-    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
-     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
-    // hn.n_hosts) = h.idx
-  WHERE d.source <> h.host),
-""" + pagerank_unroll_ctes_duck(iters, d_num, d_den, scale)
+    return (
+        "WITH "
+        + _host_edges_ctes_duck(src)
+        + ",\n"
+        + pagerank_unroll_ctes_duck(iters, d_num, d_den, scale)
+    )
 
 
 HITS_ITERS = 3
@@ -281,7 +291,11 @@ def hits_scores(
     )
     e = track(edges.repartition("src"))
     hub = nodes.select("host", F.expr(f"CAST({scale} AS BIGINT)").alias("hub_fp"))
-    auth = None
+    # iters=0 contract (the pagerank family rule): return the initial
+    # state — hub = auth = scale for every node
+    auth = nodes.select(
+        "host", F.expr(f"CAST({scale} AS BIGINT)").alias("auth_fp")
+    )
 
     def _normalize(raw_col: str, full: DataFrame, out: str) -> DataFrame:
         # ONE tiny job: the max rides back as a scalar and embeds as a
@@ -329,6 +343,8 @@ def hits_unroll_ctes_duck(iters: int = HITS_ITERS, scale: int = PR_SCALE) -> str
 nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
 h0 AS (SELECT host, {big} AS hub_fp FROM nodes)
 """
+    if iters == 0:
+        return q + f"SELECT host, {big} AS hub_fp, {big} AS auth_fp FROM nodes"
     prev = "h0"
     for i in range(1, iters + 1):
         q += f""",
@@ -365,19 +381,12 @@ def host_hits_sql_duck(
 ) -> str:
     """DuckDB twin of host_link_edges + hits_scores (relational unroll
     vs the Spark iterative-join loop, same rows bit for bit)."""
-    return f"""
-WITH hs AS (SELECT DISTINCT source AS host FROM {src}),
-hosts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS idx FROM hs),
-hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts),
-edges AS (
-  SELECT DISTINCT d.source AS src, h.host AS dst
-  FROM {src} d CROSS JOIN hn
-  JOIN hosts h ON (
-    (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P} % hn.n_hosts)
-     * (((d.doc_id * {_EDGE_A} + {_EDGE_C}) % {_EDGE_P}) % hn.n_hosts))
-    // hn.n_hosts) = h.idx
-  WHERE d.source <> h.host),
-""" + hits_unroll_ctes_duck(iters, scale)
+    return (
+        "WITH "
+        + _host_edges_ctes_duck(src)
+        + ",\n"
+        + hits_unroll_ctes_duck(iters, scale)
+    )
 
 
 def host_link_anchors(

@@ -150,6 +150,16 @@ def pairs_from_wrapped_expr(e: Eng, wrapped_col: str) -> str:
     return f"flatten({per_word})"
 
 
+def _str_lit(e: Eng, s: str) -> str:
+    """Engine-correct string literal: Spark literals are
+    backslash-escaped, DuckDB's are quote-doubled. Merge symbols come
+    from the DATA (punctuation runs can contain quotes/backslashes),
+    so embedding them unescaped breaks the generated SQL."""
+    if e.name == "spark":
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
 def apply_merges_expr(
     e: Eng, wrapped_col: str, merges: list[tuple[str, str]]
 ) -> str:
@@ -158,9 +168,9 @@ def apply_merges_expr(
     engines by the replace() contract (probed; see module docstring)."""
     out = wrapped_col
     for a, b in merges:
-        pat = f"{_TS}{a}{_TE}{_TS}{b}{_TE}"
-        rep = f"{_TS}{a}{b}{_TE}"
-        out = f"replace({out}, '{pat}', '{rep}')"
+        pat = _str_lit(e, f"{_TS}{a}{_TE}{_TS}{b}{_TE}")
+        rep = _str_lit(e, f"{_TS}{a}{b}{_TE}")
+        out = f"replace({out}, {pat}, {rep})"
     return out
 
 

@@ -1589,16 +1589,22 @@ def geofence_transitions_sql_duck(
     from linear_quadtree_spark.functions.geocell import geocell_sql_duck
     from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
 
-    tiles = ", ".join(str(int(t)) for t in (fence_tiles or []))
     cell = geocell_sql_duck(
         geotag_x_sql(event_id_col), geotag_y_sql(event_id_col), bounds, zoom
+    )
+    # empty fence: render the constant FALSE (matching Spark's
+    # isin([]) semantics) — "IN ()" is a parse error
+    inn = (
+        f"({cell}) IN ({', '.join(str(int(t)) for t in fence_tiles)})"
+        if fence_tiles
+        else "FALSE"
     )
     ordw = f"PARTITION BY {id_col} ORDER BY {ts_col}, {event_id_col}"
     return f"""
 WITH gfk AS (
   SELECT {id_col}, {event_id_col}, {ts_col},
          CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS ep_s,
-         ({cell}) IN ({tiles}) AS _in
+         {inn} AS _in
   FROM {src}
 ),
 gfl AS (

@@ -233,3 +233,26 @@ def test_host_hits_engine_lockstep(spark, sf_dir):
     )
     exp = sorted(tuple(r) for r in con.execute(host_hits_sql_duck()).fetchall())
     assert got == exp and len(got) > 5
+
+
+def test_hits_zero_iters_is_initial_state(spark):
+    import duckdb
+
+    from linear_quadtree_spark.cache import release_caches
+    from linear_quadtree_spark.operators.graph import (
+        PR_SCALE,
+        hits_scores,
+        host_hits_sql_duck,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    got = {r.host: (r.hub_fp, r.auth_fp) for r in hits_scores(df, iters=0).collect()}
+    release_caches()
+    assert got == {"a": (PR_SCALE, PR_SCALE), "b": (PR_SCALE, PR_SCALE)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(host_hits_sql_duck(iters=0)).fetchall()
+    assert all(h == PR_SCALE and a == PR_SCALE for _, h, a in rows)

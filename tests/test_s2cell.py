@@ -223,3 +223,13 @@ def test_stage_groups_are_topologically_ordered():
                 if tok in expr and tok not in (name,):
                     assert tok in seen or tok == name, (name, tok)
         seen |= {name for name, _ in grp}
+
+
+def test_merge_ranges():
+    from linear_quadtree_spark.functions.s2cell import merge_ranges
+
+    assert merge_ranges([]) == []
+    assert merge_ranges([(5, 6), (1, 2), (3, 4)]) == [(1, 6)]
+    assert merge_ranges([(5, 6), (1, 2), (3, 3)]) == [(1, 3), (5, 6)]
+    assert merge_ranges([(1, 2), (4, 5)]) == [(1, 2), (4, 5)]
+    assert merge_ranges([(1, 10), (2, 3), (12, 12)]) == [(1, 10), (12, 12)]

@@ -149,3 +149,10 @@ def test_dp_error_bound(spark):
                 else:
                     d2 = px * px + py * py
                 assert math.sqrt(d2) <= tol + 1e-9
+
+
+def test_geofence_duck_empty_fence_renders_false(con):
+    """Empty fence must match Spark's isin([]) (constant false, zero
+    transitions) — regression: 'IN ()' was a DuckDB parse error."""
+    sql = geofence_transitions_sql_duck(fence_tiles=[])
+    assert con.execute(sql).fetchall() == []

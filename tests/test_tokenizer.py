@@ -144,3 +144,26 @@ def test_wrapped_pairs_agree_with_python(spark):
             for i in range(len(w_) - 1)
         ]
         assert got[r.doc_id] == exp, r.doc_id
+
+
+def test_merge_symbols_with_quotes_and_backslashes(spark, con):
+    """Merge symbols come from the data; punctuation runs can contain
+    quotes and backslashes, which must be escaped per-engine in the
+    generated replace literals (regression: unescaped quote in a
+    trained merge produced an unterminated SQL literal)."""
+    rows = [(1, r"don't don't can't a\b a\b x''y"), (2, "''" * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con2.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for merges in ([("'", "'")], [("\\", "\\")], [("'", "t"), ("''", "''")]):
+        a = sorted(tuple(r) for r in bpe_segment_stats(df, merges).collect())
+        b = sorted(
+            tuple(r)
+            for r in con2.execute(bpe_segment_stats_sql_duck(merges=merges)).fetchall()
+        )
+        assert a == b, merges
+    # and the quote merge actually fires: '' run shrinks
+    got = {r.doc_id: (r.n_subtokens, r.n_merged)
+           for r in bpe_segment_stats(df, [("'", "'")]).collect()}
+    assert got[2][1] < got[2][0]
