@@ -156,3 +156,46 @@ def test_geofence_duck_empty_fence_renders_false(con):
     transitions) — regression: 'IN ()' was a DuckDB parse error."""
     sql = geofence_transitions_sql_duck(fence_tiles=[])
     assert con.execute(sql).fetchall() == []
+
+
+def test_polygon_fence_composes_with_rasterize(spark):
+    """The documented composition: ANY polygon becomes a geofence by
+    rasterizing it at the geofence zoom — rasterize_polygons emits
+    Morton tile ids in the SAME geocell id space geofence_transitions
+    filters on. A grid-aligned square (analytic tile set) pins both the
+    id-space compatibility and the end-to-end behavior."""
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.spatial import rasterize_polygons
+
+    zoom = 4
+    b = DEFAULT_BOUNDS
+    cw = (b.xend - b.xstart) / (1 << zoom)
+    # square spanning tile columns/rows 2..3 exactly
+    x0, x1 = b.xstart + 2 * cw, b.xstart + 4 * cw
+    y0, y1 = b.ystart + 2 * cw, b.ystart + 4 * cw
+    poly = spark.createDataFrame(
+        [(0, [x0, x1, x1, x0], [y0, y0, y1, y1])],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    fence = sorted(r.tile_id for r in rasterize_polygons(poly, zoom).collect())
+    # analytic: the 4 tiles whose centers fall inside [2,4)x[2,4) cells
+    exp = sorted(_morton(tx, ty, zoom) for tx in (2, 3) for ty in (2, 3))
+    assert fence == exp
+
+    ev = spark.read.parquet(EVENTS)
+    via_poly = sorted(
+        tuple(r) for r in geofence_transitions(ev, fence, zoom=zoom).collect()
+    )
+    via_list = sorted(
+        tuple(r)
+        for r in geofence_transitions(ev, [int(t) for t in exp], zoom=zoom).collect()
+    )
+    assert via_poly == via_list
+
+
+def _morton(tx: int, ty: int, level: int) -> int:
+    out = 0
+    for i in range(level):
+        out |= ((tx >> i) & 1) << (2 * i)
+        out |= ((ty >> i) & 1) << (2 * i + 1)
+    return out
