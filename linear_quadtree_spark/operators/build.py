@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from linear_quadtree_spark.cache import track
-from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS, MAX_SAFE_LEVEL
+from linear_quadtree_spark.config import Bounds, DEFAULT_BOUNDS
 from linear_quadtree_spark.functions.encode import encode_struct_udf, tile_id_col
 from linear_quadtree_spark.plans.cover import ZRange, cover_rect, ranges_to_predicate
 
@@ -163,20 +163,28 @@ class LQTTable:
             # cluster scale partition count is sized by bytes instead
             # (~input_bytes / 256 MB), which the caller passes explicitly.
             num_partitions = max(2 * df.sparkSession.sparkContext.defaultParallelism, 2)
-        if salt == "auto":
-            salt = cls.detect_salt(enc, num_partitions)
         if num_partitions == 1:
             # small-input fast path (the reference's single-block
             # lqt_create_cuda_noblock, lqt.cu:159-164): one partition
             # needs no range boundaries, so skip the RangePartitioner's
-            # sampling job entirely — coalesce + one local sort
+            # sampling job entirely — coalesce + one local sort. Salt
+            # resolution stays BELOW this branch: one partition never
+            # salts, so running detect_salt's sampling job first would
+            # be a whole Spark job whose answer is ignored.
             main = main.coalesce(1)
-        elif salt > 1:
-            tb = tiebreaker or x_col
-            main = main.withColumn("_salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(salt)))
-            main = main.repartitionByRange(num_partitions, "zs", "_salt").drop("_salt")
         else:
-            main = main.repartitionByRange(num_partitions, "zs")
+            if salt == "auto":
+                salt = cls.detect_salt(enc, num_partitions)
+            if salt > 1:
+                tb = tiebreaker or x_col
+                main = main.withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(salt))
+                )
+                main = main.repartitionByRange(
+                    num_partitions, "zs", "_salt"
+                ).drop("_salt")
+            else:
+                main = main.repartitionByRange(num_partitions, "zs")
         main = main.sortWithinPartitions(*sort_cols)
 
         if persist:
@@ -304,17 +312,31 @@ class LQTTable:
         )
 
     @staticmethod
-    def quads_for_ranges(ranges: list[ZRange], level: int) -> list[int]:
-        """Quadrant directories a zs range set can touch: the quadrant id
-        (top 2·level zkey bits) is monotone in zs, so each closed range
-        contributes the contiguous quad run [quad(lo), quad(hi)]."""
+    def quad_runs_for_ranges(ranges: list[ZRange], level: int) -> list[tuple[int, int]]:
+        """Quadrant directories a zs range set can touch, as MERGED
+        contiguous [q0, q1] runs: the quadrant id (top 2·level zkey
+        bits) is monotone in zs, so each closed range contributes the
+        run [quad(lo), quad(hi)]. Runs (not enumerated members): a
+        near-root range at a deep partition level would otherwise
+        materialize millions of ids on the driver and an equally wide
+        isin() literal in the plan."""
+        from linear_quadtree_spark.functions.s2cell import merge_ranges
+
         shift = 64 - 2 * level
-        qs: set[int] = set()
-        for r in ranges:
-            q0 = (r.lo + (1 << 63)) >> shift
-            q1 = (r.hi + (1 << 63)) >> shift
-            qs.update(range(q0, q1 + 1))
-        return sorted(qs)
+        spans = [
+            ((r.lo + (1 << 63)) >> shift, (r.hi + (1 << 63)) >> shift)
+            for r in ranges
+        ]
+        return merge_ranges(spans)
+
+    @staticmethod
+    def quads_for_ranges(ranges: list[ZRange], level: int) -> list[int]:
+        """Enumerated form of :meth:`quad_runs_for_ranges` — only safe
+        for coarse partition levels; prefer the runs."""
+        out: list[int] = []
+        for lo, hi in LQTTable.quad_runs_for_ranges(ranges, level):
+            out.extend(range(lo, hi + 1))
+        return out
 
     # ------------------------------------------------------------- candidates
     def candidates(self, ranges: list[ZRange]) -> DataFrame:
@@ -326,10 +348,11 @@ class LQTTable:
         is added so whole directories prune first."""
         pred = ranges_to_predicate(ranges, F.col("zs"))
         if self.quad_level is not None and self.main_quad is not None:
-            quads = self.quads_for_ranges(ranges, self.quad_level)
-            pruned = self.main_quad.filter(
-                F.col("quad").isin(quads) & pred
-            ).drop("quad")
+            runs = self.quad_runs_for_ranges(ranges, self.quad_level)
+            qpred = F.lit(False)
+            for lo, hi in runs:
+                qpred = qpred | F.col("quad").between(lo, hi)
+            pruned = self.main_quad.filter(qpred & pred).drop("quad")
         else:
             pruned = self.main.filter(pred)
         return pruned.unionByName(self.side)

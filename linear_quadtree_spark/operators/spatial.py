@@ -230,25 +230,34 @@ def point_in_polygon_join(
         )
     )
     cr = _EDGE_CROSSING_SQL.format(x1="x1v", y1="y1v", x2="x2v", y2="y2v")
-    return (
-        cand.join(F.broadcast(edges), "poly_id")
+    # parity is computed per DISTINCT candidate row, then a semi join
+    # restores multiplicity: grouping the raw candidates directly would
+    # merge fully-duplicate rows (tables built without a tiebreaker)
+    # and double their crossing counts — always-even parity, duplicates
+    # silently dropped (regression-tested vs refine='fold')
+    distinct_cand = cand.dropDuplicates(out_cols)
+    inside = (
+        distinct_cand.join(F.broadcast(edges), "poly_id")
         .withColumn("_cr", F.expr(cr))
         .groupBy(*out_cols)
         .agg(F.sum("_cr").alias("_crossings"))
         .filter(F.col("_crossings") % 2 == 1)
-        .drop("_crossings")
+        .select(*out_cols)
     )
+    return cand.select(*out_cols).join(inside, out_cols, "left_semi")
 
 
 def _interleave_expr(ix: str, iy: str, level: int) -> str:
     """Morton-interleave two level-``level`` grid indices into a zkey
-    prefix — pure JVM fold, no UDF: bit l of ix is the x decision at
-    depth level-1-l, landing at prefix bit 2l (y at 2l+1)."""
-    return (
-        f"aggregate(sequence(0, {level - 1}), CAST(0 AS BIGINT), (acc, l) -> "
-        f"acc + shiftleft(shiftright({ix}, l) & CAST(1 AS BIGINT), 2 * l)"
-        f"    + shiftleft(shiftright({iy}, l) & CAST(1 AS BIGINT), 2 * l + 1))"
+    prefix — delegates to the engine-generic geocell interleave (ONE
+    bit-algebra implementation in the package; equivalence probed
+    before the consolidation)."""
+    from linear_quadtree_spark.functions.geocell import (
+        _interleave_expr as _geocell_interleave,
     )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SENG
+
+    return _geocell_interleave(_SENG, f"({ix})", f"({iy})", level)
 
 
 def _grid_cells_df(unresolved: DataFrame, bounds, level: int) -> DataFrame:
@@ -268,16 +277,24 @@ def _grid_cells_df(unresolved: DataFrame, bounds, level: int) -> DataFrame:
     cw = (bounds.xend - bounds.xstart) / n_cells
     ch = (bounds.yend - bounds.ystart) / n_cells
 
-    def _lo(coord: str, start: float, w: float):
+    def _clamp(c):
+        # clamp BOTH ends into [0, n-1]: a query point outside the
+        # domain otherwise leaves lo unbounded above (or hi below), and
+        # Spark's sequence(start, stop) with start > stop counts DOWN —
+        # a far out-of-domain point would try to materialize a
+        # billion-element index array (regression-tested)
         return F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((F.col(coord) - F.col("r") - F.lit(start)) / F.lit(w)) - 1,
+            F.lit(0).cast("long"), F.least(F.lit(n_cells - 1).cast("long"), c)
+        )
+
+    def _lo(coord: str, start: float, w: float):
+        return _clamp(
+            F.floor((F.col(coord) - F.col("r") - F.lit(start)) / F.lit(w)) - 1
         )
 
     def _hi(coord: str, start: float, w: float):
-        return F.least(
-            F.lit(n_cells - 1).cast("long"),
-            F.floor((F.col(coord) + F.col("r") - F.lit(start)) / F.lit(w)) + 1,
+        return _clamp(
+            F.floor((F.col(coord) + F.col("r") - F.lit(start)) / F.lit(w)) + 1
         )
 
     return (
@@ -343,7 +360,6 @@ def knn_join(
 
     tb = tbl.tiebreaker or tbl.x_col
     xc, yc = F.col(tbl.x_col), F.col(tbl.y_col)
-    max_r = math.hypot(bw, bh) * 2
 
     def _lvl_for(r: float) -> int:
         # cell width ≈ r keeps the per-query cell count O(1) (≤ ~5×5)
@@ -351,10 +367,37 @@ def knn_join(
             return 1
         return max(1, min(max_level, int(math.floor(math.log2(max(bw, bh) / r)))))
 
+    # per-query geometry: every table point lies inside the domain, so
+    # (a) a query's search is COMPLETE once r reaches its distance to
+    # the FARTHEST domain corner (the per-query exhaustion bound —
+    # a global domain-diagonal bound silently returned empty results
+    # for queries far OUTSIDE the domain, regression-tested), and
+    # (b) r can start at the distance to the NEAREST domain point
+    # (jumpstart: a far query skips the useless small-r rounds).
+    dxn = F.greatest(
+        F.lit(0.0), F.lit(tbl.bounds.xstart) - F.col("qx"), F.col("qx") - F.lit(tbl.bounds.xend)
+    )
+    dyn = F.greatest(
+        F.lit(0.0), F.lit(tbl.bounds.ystart) - F.col("qy"), F.col("qy") - F.lit(tbl.bounds.yend)
+    )
+    dxf = F.greatest(
+        F.abs(F.col("qx") - F.lit(tbl.bounds.xstart)),
+        F.abs(F.col("qx") - F.lit(tbl.bounds.xend)),
+    )
+    dyf = F.greatest(
+        F.abs(F.col("qy") - F.lit(tbl.bounds.ystart)),
+        F.abs(F.col("qy") - F.lit(tbl.bounds.yend)),
+    )
     unresolved = track(
-        queries.select("qid", "qx", "qy").withColumn(
-            "r", F.lit(float(initial_radius))
+        queries.select("qid", "qx", "qy")
+        .withColumn(
+            "r",
+            F.greatest(
+                F.lit(float(initial_radius)),
+                F.sqrt(dxn * dxn + dyn * dyn) + F.lit(float(initial_radius)),
+            ),
         )
+        .withColumn("maxr", F.sqrt(dxf * dxf + dyf * dyf) * 2 + F.lit(1.0))
     )
     prev_unresolved = None
     r_min = r_max = float(initial_radius)
@@ -376,7 +419,7 @@ def knn_join(
             .drop("_cell", "cell")
         )
         cand_side = tbl.side.join(
-            F.broadcast(unresolved),
+            F.broadcast(unresolved.drop("maxr")),
             (xc >= F.col("qx") - F.col("r")) & (xc <= F.col("qx") + F.col("r"))
             & (yc >= F.col("qy") - F.col("r")) & (yc <= F.col("qy") + F.col("r")),
             "inner",
@@ -401,9 +444,10 @@ def knn_join(
             .filter(F.col("_cnt") < k)
         )
         # fewer than k rows exist in the whole table for these queries:
-        # their r already covers the entire domain, so the answer cannot
-        # improve — emit the partial result and retire them
-        exhausted = pending.filter(F.col("r") > max_r).select("qid")
+        # their r already covers the entire domain FROM THEIR POSITION
+        # (per-query bound), so the answer cannot improve — emit the
+        # partial result and retire them
+        exhausted = pending.filter(F.col("r") > F.col("maxr")).select("qid")
         results.append(topk.join(F.broadcast(exhausted), "qid", "semi"))
         grow = F.when(F.col("_cnt") <= 0, F.lit(8.0)).otherwise(
             F.least(
@@ -415,9 +459,9 @@ def knn_join(
             )
         )
         nxt = track(
-            pending.filter(F.col("r") <= max_r)
+            pending.filter(F.col("r") <= F.col("maxr"))
             .withColumn("r", F.col("r") * grow)
-            .select("qid", "qx", "qy", "r")
+            .select("qid", "qx", "qy", "r", "maxr")
         )
         # the ONE driver-side action per round: remaining count + the
         # next round's radius envelope in a single stats row
@@ -478,7 +522,15 @@ def distance_join(
     """
     if r <= 0:
         raise ValueError("r must be positive")
-    id_col = id_col or tbl.tiebreaker or tbl.x_col
+    id_col = id_col or tbl.tiebreaker
+    if id_col is None:
+        # falling back to a coordinate column would make id_l < id_r
+        # false both ways for same-cell pairs sharing that coordinate —
+        # silently dropped pairs, not an error
+        raise ValueError(
+            "distance_join needs a unique id column: pass id_col= or "
+            "build the table with a tiebreaker"
+        )
     xs, ys = tbl.bounds.xstart, tbl.bounds.ystart
     full = tbl.main.unionByName(tbl.side, allowMissingColumns=True)
     g = full.select(

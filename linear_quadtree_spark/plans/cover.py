@@ -211,7 +211,12 @@ def cover_cells(
             return level, [p for p, *_ in frontier]
         level -= 1
         if level <= 0:
-            return 0, [0]
+            # NEVER return level 0: the documented equi-join key is
+            # zkey >>> (64 - 2L), and the JVM masks shift distances
+            # mod 64, so >>> 64 is the identity — a level-0 "prefix 0"
+            # would match only zkey == 0. Four level-1 quads cover the
+            # whole domain and shift by the valid 62.
+            return 1, [0, 1, 2, 3]
 
 
 def ranges_to_predicate(ranges: list[ZRange], zs_col):

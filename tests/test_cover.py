@@ -68,3 +68,22 @@ def test_merge_ranges():
 
 def test_empty_rect():
     assert cover_rect(10, 5, 0, 1, DEFAULT_BOUNDS) == []
+
+
+def test_cover_cells_never_returns_level_zero():
+    """Coarsening floor is level 1 (four quads): at level 0 the
+    documented equi-join shift 64-2L is 64, which the JVM masks to 0 —
+    'prefix 0' would match only zkey == 0 (regression)."""
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.plans.cover import cover_cells
+
+    lvl, cells = cover_cells(
+        DEFAULT_BOUNDS.xstart,
+        DEFAULT_BOUNDS.xend,
+        DEFAULT_BOUNDS.ystart,
+        DEFAULT_BOUNDS.yend,
+        DEFAULT_BOUNDS,
+        level=10,
+        max_cells=2,
+    )
+    assert lvl == 1 and cells == [0, 1, 2, 3]

@@ -358,3 +358,71 @@ def test_tile_pyramid_rollup_invariants(tbl, points_pdf):
         for t, c in by_zoom[z_chi].items():
             rolled[t >> shift] = rolled.get(t >> shift, 0) + c
         assert rolled == by_zoom[z_par]
+
+
+def test_knn_out_of_domain_query_is_safe(spark, sf_dir):
+    """A query point far outside the domain must resolve by clamped
+    cell enumeration, not blow up (regression: the one-sided clamp let
+    sequence() count down from a ~1e10 start index)."""
+    from linear_quadtree_spark.operators.spatial import knn_join
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+    from linear_quadtree_spark.operators.build import LQTTable
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id", geotag_x("doc_id").alias("x"), geotag_y("doc_id").alias("y")
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id", persist=False)
+    q = spark.createDataFrame(
+        [(0, 1.0e9, 1050.0), (1, 500.0, 1050.0), (2, 1050.0, -3.0e7)],
+        "qid int, qx double, qy double",
+    )
+    out = knn_join(tbl, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 3 for v in by_q.values())
+    # brute-force check one of them
+    rows = pts.collect()
+    exp = sorted(rows, key=lambda r: (r.x - 1.0e9) ** 2 + (r.y - 1050.0) ** 2)[:3]
+    assert {r.doc_id for r in by_q[0]} == {r.doc_id for r in exp}
+
+
+def test_pip_edges_mode_keeps_duplicate_rows(spark):
+    """Tables without a unique key can hold fully duplicate rows; both
+    refine modes must return them all (regression: edges mode grouped
+    duplicates together, doubling crossing counts — even parity, rows
+    dropped)."""
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.build import LQTTable
+    from linear_quadtree_spark.operators.spatial import point_in_polygon_join
+
+    pts = spark.createDataFrame(
+        [(1050.5, 1050.5), (1050.5, 1050.5), (1001.0, 1001.0)],
+        "x double, y double",
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, persist=False)
+    poly = spark.createDataFrame(
+        [(0, [1040.0, 1060.0, 1060.0, 1040.0], [1040.0, 1040.0, 1060.0, 1060.0])],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    fold = point_in_polygon_join(tbl, poly, refine="fold").count()
+    edges = point_in_polygon_join(tbl, poly, refine="edges").count()
+    assert fold == edges == 2
+
+
+def test_distance_join_requires_unique_id(spark):
+    import pytest
+
+    from linear_quadtree_spark.config import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.build import LQTTable
+    from linear_quadtree_spark.operators.spatial import distance_join
+
+    pts = spark.createDataFrame(
+        [(1050.0, 1050.0), (1050.0, 1051.0)], "x double, y double"
+    )
+    tbl = LQTTable.build(pts, DEFAULT_BOUNDS, persist=False)  # no tiebreaker
+    with pytest.raises(ValueError, match="unique id"):
+        distance_join(tbl, r=5.0)
