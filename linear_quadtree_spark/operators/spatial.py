@@ -339,10 +339,13 @@ def knn_join(
     everyone and itself converges in log₈ instead of log₄ rounds. The
     shared cell level per round spans the in-flight radius range
     (matched to the smallest r, capped 3 levels below the largest so no
-    query fans out more than ~19² cells). Queries whose r exceeds the
-    domain diagonal emit their (necessarily complete-as-possible)
-    partial result and leave the set; every r grows ≥×2 per round, so
-    the loop is O(log(domain/r₀)) rounds and always terminates.
+    query fans out more than ~19² cells). A query whose r exceeds ITS
+    OWN distance to the farthest domain corner has seen every row —
+    it emits its (complete-as-possible) partial result and leaves the
+    set; out-of-domain queries start at their distance to the domain
+    (jumpstart) so they never burn rounds on radii that cannot reach a
+    point. Every r grows ≥×2 per round → O(log(span/r₀)) rounds,
+    always terminates.
 
     Returns (qid, qx, qy, payload columns..., dist2, rn). Distance:
     squared Euclidean float64, ties broken by the tiebreaker. Round
