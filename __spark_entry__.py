@@ -2045,6 +2045,31 @@ def _q_surt_canonical(spark, sf_dir):
     )
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """Query-parameter URL canonicalization (round-3): four messy query
+    spellings per logical page (tracking params, permuted order, a
+    fragment) collapse to one canonical URL — the crawl-frontier dedup
+    SURT leaves to the query facet (operators/crawl.py
+    canonical_url_expr: drop fragment, strip TRACKING_PARAM_RE, SORT
+    surviving params). One narrow map + one hash aggregate on the
+    canonical string."""
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+    from linear_quadtree_spark.operators.crawl import (
+        canonical_urls,
+        url_param_variants_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = url_param_variants_expr(_S, "doc_id")
+    return canonical_urls(docs.select("doc_id", F.expr(u).alias("url")))
+
+
+def _canonical_urls_oracle() -> str:
+    from linear_quadtree_spark.operators.crawl import canonical_urls_sql_duck
+
+    return canonical_urls_sql_duck()
+
+
 HEX_RES = 6
 SLIPPY_ZOOM = 4
 
@@ -2854,6 +2879,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "slippy_tile_stats": _q_slippy_tile_stats,
         "geohash_stats": _q_geohash_stats,
         "surt_canonical": _q_surt_canonical,
+        "canonical_urls": _q_canonical_urls,
         "cdx_range_scan": _q_cdx_range_scan,
         "haversine_sites": _q_haversine_sites,
         "geo_bbox": _q_geo_bbox,
@@ -3649,6 +3675,7 @@ WHERE px >= {HILBERT_RECT[0]!r} AND px <= {HILBERT_RECT[1]!r}
         "slippy_tile_stats": _slippy_oracle(),
         "geohash_stats": _geohash_oracle(),
         "surt_canonical": _crawl_surt_oracle(),
+        "canonical_urls": _canonical_urls_oracle(),
         "cdx_range_scan": _cdx_oracle(),
         "haversine_sites": _haversine_oracle(),
         "geo_bbox": _geo_bbox_oracle(),

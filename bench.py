@@ -665,6 +665,18 @@ def main() -> None:
     lmcov_rows = lm_bigram_coverage(_bdocs, min_count=5).count()
     timings["lm_bigram_coverage"] = time.time() - t0
 
+    t0 = _probe_mark("canonical_urls")
+    from linear_quadtree_spark.operators.crawl import (
+        canonical_urls as _curls,
+        url_param_variants_expr as _upve,
+    )
+
+    _udocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curl_rows = _curls(
+        _udocs.select("doc_id", F.expr(_upve(_SENG, "doc_id")).alias("url"))
+    ).count()
+    timings["canonical_urls"] = time.time() - t0
+
     t0 = _probe_mark("tile_kmv_visitors")
     import __spark_entry__ as _entry_kmv
 
@@ -1021,6 +1033,7 @@ def main() -> None:
             "bpe_pair_rows": bpe_rows,
             "bpe_segment_rows": bseg_rows,
             "lm_coverage_rows": lmcov_rows,
+            "canonical_url_groups": curl_rows,
             "hits_hosts": hits_rows,
             "kmv_pyramid_rows": kmv_pyr_rows,
             "simplify_kept_rows": simp_rows,

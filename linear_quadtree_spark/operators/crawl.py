@@ -22,6 +22,11 @@ __all__ = [
     "extract_text",
     "extract_text_expr",
     "url_variants_expr",
+    "TRACKING_PARAM_RE",
+    "canonical_url_expr",
+    "url_param_variants_expr",
+    "canonical_urls",
+    "canonical_urls_sql_duck",
     "surt_key_expr",
     "surt_keys",
     "surt_canonical_sql_duck",
@@ -486,4 +491,108 @@ SELECT COALESCE(o.url, n.url) AS url,
        COALESCE(o_len, CAST(-1 AS BIGINT)) AS old_len,
        COALESCE(n_len, CAST(-1 AS BIGINT)) AS new_len
 FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+
+# ------------------------------------------------- query canonicalization
+#: tracking / session parameters every public canonicalizer strips
+#: (the utm_* family is Google Analytics' public spec; click ids and
+#: session ids are the standard additions)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|dclid|ref|ref_src"
+    r"|mc_cid|mc_eid|sessionid|phpsessid|jsessionid|sid)="
+)
+
+
+def _rlike(e, s: str, pat: str) -> str:
+    if e.name == "spark":
+        esc = pat.replace("\\", "\\\\")
+        return f"({s} RLIKE '{esc}')"
+    return f"regexp_matches({s}, '{pat}')"
+
+
+def canonical_url_expr(e, url_col: str) -> str:
+    """Query-level URL canonicalization — the facet SURT leaves to the
+    caller: drop the fragment, drop tracking/session parameters
+    (TRACKING_PARAM_RE), SORT the surviving parameters (param order is
+    not semantic), and reassemble. Composes with surt_key_expr (host
+    facet) for the full canonical key. Pure engine-portable
+    string/regexp/HOF expressions — no UDF."""
+    base = e.re_replace_all(
+        f"CAST({url_col} AS {'STRING' if e.name == 'spark' else 'VARCHAR'})",
+        r"#.*$",
+        "",
+    )
+    pre = f"regexp_extract({base}, '^([^?]*)', 1)"
+    query = f"regexp_extract({base}, '[?](.*)$', 1)"
+    params = e.filt(
+        e.split_re(f"({query})", r"&"),
+        "pr",
+        f"pr <> '' AND NOT {_rlike(e, 'pr', TRACKING_PARAM_RE)}",
+    )
+    joined = (
+        f"array_join({e.asort(params)}, '&')"
+        if e.name == "spark"
+        else f"list_aggregate({e.asort(params)}, 'string_agg', '&')"
+    )
+    return (
+        f"CASE WHEN coalesce({joined}, '') = '' THEN {pre} "
+        f"ELSE CONCAT({pre}, '?', {joined}) END"
+    )
+
+
+def url_param_variants_expr(e, id_col: str) -> str:
+    """Deterministic messy-QUERY url synth: four query spellings of the
+    same logical page (page identity = ``id div 4`` — consecutive ids
+    are the same page in different spellings) — tracking params
+    appended, param order permuted, a fragment added — all of which
+    canonical_url_expr collapses to ``...?id=<page>&v=1``."""
+    cast = "STRING" if e.name == "spark" else "VARCHAR"
+    page = f"CAST(({id_col}) div 4 AS {cast})" if e.name == "spark" else f"CAST(({id_col}) // 4 AS {cast})"
+    base = f"CONCAT('https://example.org/catalog/item-', {page})"
+    return (
+        f"CASE CAST(({id_col}) % 4 AS INT) "
+        f"WHEN 0 THEN CONCAT({base}, '?id=', {page}, '&v=1') "
+        f"WHEN 1 THEN CONCAT({base}, '?v=1&id=', {page}, '&utm_source=feed') "
+        f"WHEN 2 THEN CONCAT({base}, '?utm_campaign=x&gclid=abc&id=', {page}, '&v=1') "
+        f"ELSE CONCAT({base}, '?id=', {page}, '&v=1#section-2') END"
+    )
+
+
+def canonical_urls(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup rollup: (canonical_url, n_variants, n_pages,
+    first_id) — the crawl-frontier collapse that keeps one fetch per
+    logical page. One narrow map (the canonicalizer) + one hash
+    aggregate keyed by the canonical string; distinct-variant counting
+    rides the same aggregate."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+
+    canon = canonical_url_expr(SPARK, url_col)
+    return (
+        pages.select(
+            F.col(id_col), F.col(url_col), F.expr(canon).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct(url_col).alias("n_variants"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min(id_col).alias("first_id"),
+        )
+    )
+
+
+def canonical_urls_sql_duck(src: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin over the same messy synth."""
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    u = url_param_variants_expr(DUCK, id_col)
+    canon = canonical_url_expr(DUCK, "url")
+    return f"""
+WITH pages AS (SELECT {id_col}, {u} AS url FROM {src}),
+canon AS (SELECT {id_col}, url, {canon} AS canonical_url FROM pages)
+SELECT canonical_url,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+       COUNT(*) AS n_pages,
+       MIN({id_col}) AS first_id
+FROM canon GROUP BY 1
 """

@@ -65,3 +65,59 @@ def test_duckdb_lockstep(spark):
     exp = sorted(map(tuple, con.execute(
         "WITH RECURSIVE " + resolve_redirects_sql_duck("e")).fetchall()))
     assert got == exp
+
+
+def test_canonical_url_vectors(spark):
+    """Hand vectors for the query canonicalizer: fragment dropped,
+    tracking params stripped, surviving params SORTED, '?' dropped when
+    nothing survives — identical text in both engines."""
+    import duckdb
+
+    from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+    from linear_quadtree_spark.operators.crawl import canonical_url_expr
+    from pyspark.sql import functions as F
+
+    vectors = [
+        ("https://a.b/p?z=2&a=1", "https://a.b/p?a=1&z=2"),
+        ("https://a.b/p?utm_source=x&a=1#frag", "https://a.b/p?a=1"),
+        ("https://a.b/p?utm_source=x&gclid=1", "https://a.b/p"),
+        ("https://a.b/p", "https://a.b/p"),
+        ("https://a.b/p#only-frag", "https://a.b/p"),
+        ("https://a.b/p?sessionid=9&b=2&a=1", "https://a.b/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], "url string")
+    got = [
+        r.c
+        for r in df.select(
+            F.expr(canonical_url_expr(SPARK, "url")).alias("c")
+        ).collect()
+    ]
+    assert got == [c for _, c in vectors]
+    con = duckdb.connect()
+    for u, c in vectors:
+        (d,) = con.execute(
+            f"SELECT {canonical_url_expr(DUCK, chr(39) + u + chr(39))}"
+        ).fetchone()
+        assert d == c, u
+
+
+def test_canonical_urls_collapse_law(spark, sf_dir):
+    """Every logical page's four messy spellings collapse to ONE
+    canonical group of exactly 4 pages / ≥3 distinct raw variants
+    (two spellings differ only by the fragment after canonicalization
+    of the raw string — still distinct raw URLs)."""
+    from linear_quadtree_spark.functions.textexpr import SPARK
+    from linear_quadtree_spark.operators.crawl import (
+        canonical_urls,
+        url_param_variants_expr,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    u = url_param_variants_expr(SPARK, "doc_id")
+    out = canonical_urls(docs.select("doc_id", F.expr(u).alias("url"))).collect()
+    assert sum(r.n_pages for r in out) == n
+    full = [r for r in out if r.n_pages == 4]
+    assert len(full) == n // 4
+    assert all(r.n_variants == 4 for r in full)
