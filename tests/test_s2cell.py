@@ -233,3 +233,46 @@ def test_merge_ranges():
     assert merge_ranges([(5, 6), (1, 2), (3, 3)]) == [(1, 3), (5, 6)]
     assert merge_ranges([(1, 2), (4, 5)]) == [(1, 2), (4, 5)]
     assert merge_ranges([(1, 10), (2, 3), (12, 12)]) == [(1, 10), (12, 12)]
+
+
+# ------------------------------------------------------- property fuzzing
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except Exception:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    lonlat = st.tuples(
+        st.floats(min_value=-179.999, max_value=179.999,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=-89.0, max_value=89.0,
+                  allow_nan=False, allow_infinity=False),
+    )
+
+    @given(lonlat)
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_parent_truncation(p):
+        lon, lat = p
+        fine = s2_cell_py(lon, lat, 8)
+        coarse = s2_cell_py(lon, lat, 3)
+        assert fine // 4 ** (8 - 3) == coarse
+
+    @given(lonlat)
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_cell_center_stays_in_cell(p):
+        lon, lat = p
+        cid = s2_cell_py(lon, lat, 5)
+        clon, clat = s2_cell_center_py(cid, 5)
+        assert s2_cell_py(clon, clat, 5) == cid
+
+    @given(lonlat, st.integers(min_value=1, max_value=9))
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_children_range_contains_point(p, lvl):
+        lon, lat = p
+        coarse = s2_cell_py(lon, lat, lvl)
+        fine = s2_cell_py(lon, lat, min(lvl + 3, 12))
+        lo, hi = s2_children_range(coarse, lvl, min(lvl + 3, 12))
+        assert lo <= fine <= hi
