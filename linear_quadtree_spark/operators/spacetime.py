@@ -892,8 +892,8 @@ def emerging_hotspots(
         .selectExpr(
             "tile", "tx", "ty",
             _hot_flag_expr(z_hot) + " AS hot",
-            "CASE WHEN d = dmax THEN " + _hot_flag_expr(z_hot)
-            + " ELSE 0 END AS lh",
+            "CAST(CASE WHEN d = dmax THEN " + _hot_flag_expr(z_hot)
+            + " ELSE 0 END AS BIGINT) AS lh",
         )
         .groupBy("tile", "tx", "ty")
         .agg(

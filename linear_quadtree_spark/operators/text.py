@@ -830,7 +830,7 @@ c AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT bucket, ((cum - n_tokens) // {budget}) AS seq_id,
+SELECT bucket, CAST((cum - n_tokens) // {budget} AS BIGINT) AS seq_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN({id_col}) AS first_doc
