@@ -1028,14 +1028,19 @@ def focal_smooth(tbl: LQTTable, zoom: int) -> DataFrame:
     of a heatmap pipeline, and the canonical "each cell needs its
     neighbors" raster operator.
 
-    Scale shape: the convolution runs SCATTER-GATHER — the per-tile
-    aggregate (map-side combine, one shuffle of the raw rows) is
-    exploded 9x, each occupied tile scattering its count to the cells
-    of its own 3x3 window, then ONE equi-join-shaped groupBy on the
-    target cell gathers the sums. No inequality join, no window over a
-    cross product, and the 9x fanout applies to the TILE relation
-    (<= 4^zoom rows), never the data. Boundary cells use their true
-    (smaller) window size, computed in closed form.
+    Scale shape: the convolution runs SCATTER-GATHER with NO JOIN — the
+    per-tile aggregate (map-side combine, one shuffle of the raw rows)
+    is exploded 9x, each occupied tile scattering its count to the
+    cells of its own 3x3 window, then ONE groupBy on the target cell
+    gathers the sums AND recovers the center tile's own attributes in
+    the same aggregate (``max(case when dx=0 and dy=0 ...)``) — the
+    (0,0) offset row doubles as the "this cell is occupied" witness, so
+    the gather-side equi-join (and the persist + second scan of the
+    tile relation it required) disappears. Two shuffles total, no
+    inequality join, no window over a cross product; the 9x fanout
+    applies to the TILE relation (<= 4^zoom rows), never the data.
+    Boundary cells use their true (smaller) window size, computed in
+    closed form.
 
     Output per OCCUPIED tile: (tile_id, tx, ty, n_points, focal_sum,
     n_occupied_nbrs, window_sz, focal_mean)."""
@@ -1047,7 +1052,6 @@ def focal_smooth(tbl: LQTTable, zoom: int) -> DataFrame:
         .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0)))
         .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
     )
-    per_tile = track(per_tile)
     offs = F.expr(
         "explode(array(" + ", ".join(
             f"named_struct('dx', {dx}, 'dy', {dy})"
@@ -1055,29 +1059,39 @@ def focal_smooth(tbl: LQTTable, zoom: int) -> DataFrame:
         ) + "))"
     )
     contrib = (
-        per_tile.select("tx", "ty", "n_points", offs.alias("o"))
+        per_tile.select("tile_id", "tx", "ty", "n_points", offs.alias("o"))
         .select(
             (F.col("tx") + F.col("o.dx")).alias("ctx"),
             (F.col("ty") + F.col("o.dy")).alias("cty"),
             "n_points",
+            F.expr(
+                "CASE WHEN o.dx = 0 AND o.dy = 0 THEN tile_id END"
+            ).alias("center_tile"),
+            F.expr(
+                "CASE WHEN o.dx = 0 AND o.dy = 0 THEN n_points END"
+            ).alias("center_n"),
         )
         .filter(
             (F.col("ctx") >= 0) & (F.col("ctx") <= m)
             & (F.col("cty") >= 0) & (F.col("cty") <= m)
         )
     )
-    focal = contrib.groupBy("ctx", "cty").agg(
-        F.sum("n_points").alias("focal_sum"),
-        F.count(F.lit(1)).alias("n_occupied_nbrs"),
-    )
-    out = per_tile.join(
-        focal,
-        (per_tile["tx"] == focal["ctx"]) & (per_tile["ty"] == focal["cty"]),
+    focal = (
+        contrib.groupBy("ctx", "cty")
+        .agg(
+            F.sum("n_points").alias("focal_sum"),
+            F.count(F.lit(1)).alias("n_occupied_nbrs"),
+            F.max("center_tile").alias("tile_id"),
+            F.max("center_n").alias("n_points"),
+        )
+        .filter(F.col("tile_id").isNotNull())
+        .withColumnRenamed("ctx", "tx")
+        .withColumnRenamed("cty", "ty")
     )
     wx = F.least(F.col("tx") + 1, F.lit(m)) - F.greatest(F.col("tx") - 1, F.lit(0)) + 1
     wy = F.least(F.col("ty") + 1, F.lit(m)) - F.greatest(F.col("ty") - 1, F.lit(0)) + 1
     return (
-        out.withColumn("window_sz", (wx * wy).cast("bigint"))
+        focal.withColumn("window_sz", (wx * wy).cast("bigint"))
         .withColumn(
             "focal_mean",
             F.col("focal_sum").cast("double") / F.col("window_sz"),

@@ -543,6 +543,24 @@ def test_emerging_hotspots_no_inequality_join(spark, sf_dir):
     )
 
 
+def test_focal_smooth_is_join_free(spark, tbl):
+    """The 3x3 convolution gathers center attributes inside the scatter
+    aggregate (max-of-case on the (0,0) offset row), so the plan must
+    contain NO join of any kind and at most the two aggregation
+    shuffles (tile agg + gather agg)."""
+    from linear_quadtree_spark.operators.spatial import focal_smooth
+
+    plan = _plan(focal_smooth(tbl, zoom=3))
+    for join in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ):
+        assert join not in plan, join
+    # two aggregation shuffles + the substrate's range exchange, which
+    # appears nested inside the InMemoryRelation's plan text
+    assert plan.count("Exchange") <= 3
+
+
 def test_local_moran_broadcasts_denominator(spark, tbl):
     from linear_quadtree_spark.operators.hotspot import local_moran
 
