@@ -443,6 +443,15 @@ FROM r WHERE rn <= {k}
 
 # ------------------------------------------------- sampled-k-means IVF
 IVF_KMEANS_ITERS = 2
+#: Hard cap on the driver-side training sample for BOTH k-means-family
+#: trainers (IVF coarse quantizer and PQ codebooks): whatever
+#: ``sample_mod`` leaves, only the first ``TRAIN_MAX_SAMPLE`` ids (in id
+#: order — a deterministic TakeOrdered, not a random sample) are
+#: collected, so the driver memory is O(10^5 · dim) at ANY corpus size.
+#: 10^5 vectors is far past the k·d·iters statistics either trainer
+#: needs (nlist/ksub ≤ 256 here); the id-order prefix keeps the DuckDB
+#: twins bit-identical (ORDER BY id LIMIT n on both engines).
+TRAIN_MAX_SAMPLE = 100_000
 #: 2^20 fixed-point quantum for the cross-engine centroid mean: member
 #: vectors are floor-quantized to integers, summed EXACTLY (int64, so the
 #: reduction is order-independent in any engine), and divided once — the
@@ -484,6 +493,7 @@ def train_ivf_kmeans(
     sample_mod: int = 1,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> DataFrame:
     """Sampled Lloyd's k-means coarse quantizer: (cid, c_emb) centroids.
 
@@ -511,6 +521,7 @@ def train_ivf_kmeans(
         embs.filter(F.expr(f"{id_col} % {sample_mod} = 0"))
         .select(id_col, emb_col)
         .orderBy(id_col)
+        .limit(int(max_sample))
         .collect()
     )
     m = len(rows)
@@ -551,13 +562,16 @@ def ann_topk_ivf_kmeans(
     sample_mod: int = 1,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> DataFrame:
     """``ann_topk_ivf`` with the sampled-k-means quantizer: data-adaptive
     Voronoi cells instead of stride picks, same assignment / probe /
     exact-rerank plan — measurably better recall at equal nprobe (see
     tests/test_similarity.py)."""
     embs = track(embs)
-    cents = train_ivf_kmeans(embs, nlist, iters, sample_mod, emb_col, id_col)
+    cents = train_ivf_kmeans(
+        embs, nlist, iters, sample_mod, emb_col, id_col, max_sample
+    )
     return ann_topk_ivf(
         embs, query_ids, k, nprobe, stride=None, emb_col=emb_col,
         id_col=id_col, centroids=cents,
@@ -572,6 +586,7 @@ def ivf_kmeans_cents_ctes_duck(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     dim: int = EMB_DIM,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> str:
     """CTE chain ending in ``kmcents(cid, c_emb)`` — the unrolled SQL twin
     of ``train_ivf_kmeans`` (same sample, init, fold cosine, tie rule,
@@ -584,7 +599,8 @@ def ivf_kmeans_cents_ctes_duck(
     )
     parts = [
         f"""samp AS (SELECT {id_col} AS vid, {emb_col} AS emb FROM {src}
-         WHERE {id_col} % {sample_mod} = 0),
+         WHERE {id_col} % {sample_mod} = 0
+         ORDER BY {id_col} LIMIT {int(max_sample)}),
 sr AS (SELECT vid, emb, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM samp),
 prm AS (SELECT {nlist_sql} AS nlist,
                GREATEST(1, COUNT(*) // {nlist_sql}) AS j
@@ -621,6 +637,7 @@ def ann_topk_ivf_kmeans_sql_duck(
     src: str = "emb_corpus",
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> str:
     """DuckDB twin of ann_topk_ivf_kmeans (trained centroids in SQL, then
     the identical assignment / probe / exact-rerank chain)."""
@@ -629,7 +646,7 @@ def ann_topk_ivf_kmeans_sql_duck(
     qcos = _cos_duck("c.c_emb", f"q.{emb_col}")
     rcos = _cos_duck("cd.q_emb", f"cd.{emb_col}")
     return f"""
-WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col)},
+WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col, max_sample=max_sample)},
 asg AS (
   SELECT {id_col}, {emb_col}, list_id FROM (
     SELECT s.{id_col}, s.{emb_col}, c.cid AS list_id,
@@ -756,6 +773,7 @@ def semantic_dedup(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     collapse_exact: bool = True,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the sampled-k-means coarse quantizer, then WITHIN each cluster
@@ -800,7 +818,9 @@ def semantic_dedup(
     the uncollapsed quadratic-in-cluster scan: different plan family,
     same rows)."""
     embs = track(embs)
-    cents = train_ivf_kmeans(embs, nlist, iters, sample_mod, emb_col, id_col)
+    cents = train_ivf_kmeans(
+        embs, nlist, iters, sample_mod, emb_col, id_col, max_sample
+    )
     copies = None
     scan = embs
     if collapse_exact:
@@ -870,13 +890,14 @@ def semantic_dedup_sql_duck(
     src: str = "emb_corpus",
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> str:
     """DuckDB twin of semantic_dedup (trained centroids in SQL, identical
     assignment, pair scan, and keep rule)."""
     ccos = _cos_duck("c.c_emb", f"s.{emb_col}")
     pcos = _cos_duck(f"x.{emb_col}", f"y.{emb_col}")
     return f"""
-WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col)},
+WITH {ivf_kmeans_cents_ctes_duck(src, nlist, iters, sample_mod, emb_col, id_col, max_sample=max_sample)},
 asg AS (
   SELECT {id_col}, {emb_col}, list_id FROM (
     SELECT s.{id_col}, s.{emb_col}, c.cid AS list_id,
@@ -935,6 +956,7 @@ def train_pq_codebooks(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     dim: int = EMB_DIM,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> DataFrame:
     """Per-subspace Lloyd's k-means on QUANTIZED INTEGER subvectors →
     (sub, cid, cq) codebooks. Same offline-train/broadcast split as
@@ -956,6 +978,7 @@ def train_pq_codebooks(
         embs.filter(F.expr(f"{id_col} % {sample_mod} = 0"))
         .select(id_col, emb_col)
         .orderBy(id_col)
+        .limit(int(max_sample))
         .collect()
     )
     if not rows:
@@ -1044,6 +1067,7 @@ def ann_topk_pq(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     dim: int = EMB_DIM,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> DataFrame:
     """PQ/ADC top-k with exact rerank: (qid, vec_id, d2q, rn).
 
@@ -1072,7 +1096,9 @@ def ann_topk_pq(
     same plan."""
     dsub = dim // m
     embs = track(embs)
-    books = train_pq_codebooks(embs, m, ksub, iters, sample_mod, emb_col, id_col, dim)
+    books = train_pq_codebooks(
+        embs, m, ksub, iters, sample_mod, emb_col, id_col, dim, max_sample
+    )
     codes = pq_encode(embs, books, m, emb_col, id_col, dim)
     ids = ", ".join(str(int(q)) for q in query_ids)
     qsubs = _pq_subvectors(
@@ -1131,6 +1157,7 @@ def pq_codebooks_ctes_duck(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     dim: int = EMB_DIM,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> str:
     """CTE chain ending in ``pqcb(sub, cid, cq)`` — the unrolled SQL twin
     of ``train_pq_codebooks`` (same sample, quantization, init, integer
@@ -1140,7 +1167,8 @@ def pq_codebooks_ctes_duck(
     parts = [
         f"""pq_qz AS (SELECT {id_col} AS vid,
         {_quantize_expr(DUCK, emb_col)} AS qv FROM {src}
-        WHERE {id_col} % {sample_mod} = 0),
+        WHERE {id_col} % {sample_mod} = 0
+        ORDER BY {id_col} LIMIT {int(max_sample)}),
 pq_sr AS (SELECT vid, qv, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM pq_qz),
 pq_gs AS (SELECT CAST(g.j AS INTEGER) AS sub
           FROM UNNEST(generate_series(0, {m - 1})) AS g(j)),
@@ -1184,6 +1212,7 @@ def ann_topk_pq_sql_duck(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     dim: int = EMB_DIM,
+    max_sample: int = TRAIN_MAX_SAMPLE,
 ) -> str:
     """DuckDB twin of ann_topk_pq: trained codebooks in SQL, the same
     encode / LUT / ADC-shortlist / exact-rerank chain."""
@@ -1192,7 +1221,7 @@ def ann_topk_pq_sql_duck(
     dist = l2q_expr(DUCK, "a.qs", "c.cq", dsub)
     full = l2q_expr(DUCK, "v.qv", "q.qv", dim)
     head = f"""
-WITH {pq_codebooks_ctes_duck(src, m, ksub, iters, sample_mod, emb_col, id_col, dim)},
+WITH {pq_codebooks_ctes_duck(src, m, ksub, iters, sample_mod, emb_col, id_col, dim, max_sample)},
 all_qz AS (SELECT {id_col}, {_quantize_expr(DUCK, emb_col)} AS qv FROM {src}),
 all_ss AS (SELECT q.{id_col}, gs.sub,
                   list_slice(q.qv, gs.sub * {dsub} + 1, (gs.sub + 1) * {dsub}) AS qs

@@ -251,3 +251,47 @@ def test_pq_codebook_truncated_division_parity(spark, sf_dir, duck):
     assert got == exp
     # …and some centroid really does carry a negative component
     assert any(v < 0 for _, _, cq in got for v in cq)
+
+
+def test_trainer_sample_bounded_and_invariant_under_corpus_growth(spark, sf_dir):
+    """VERDICT r3 #4: the k-means/PQ trainers collect a driver-side
+    sample that must be O(max_sample) at ANY corpus size. The cap is an
+    id-ordered prefix, so training on a corpus 10x larger (extra rows
+    all at HIGHER ids) with the same cap must produce bit-identical
+    centroids/codebooks — proving the collected sample saw exactly the
+    same max_sample rows, i.e. sample size is invariant under growth."""
+    embs = corpus_embs(spark, sf_dir)
+    cap = 64
+    # grow: append a shifted-id mirror above every existing id
+    top = embs.agg({"vec_id": "max"}).collect()[0][0] + 1
+    import pyspark.sql.functions as F
+
+    grown = embs.unionByName(
+        embs.withColumn("vec_id", F.col("vec_id") + F.lit(top))
+    )
+    grown10 = grown
+    for _ in range(3):  # 2x -> 4x -> 8x -> 16x the original corpus
+        t = grown10.agg({"vec_id": "max"}).collect()[0][0] + 1
+        grown10 = grown10.unionByName(
+            grown10.withColumn("vec_id", F.col("vec_id") + F.lit(t))
+        )
+
+    km_small = sorted(
+        (r.cid, tuple(r.c_emb))
+        for r in S.train_ivf_kmeans(embs, nlist=4, max_sample=cap).collect()
+    )
+    km_big = sorted(
+        (r.cid, tuple(r.c_emb))
+        for r in S.train_ivf_kmeans(grown10, nlist=4, max_sample=cap).collect()
+    )
+    assert km_small == km_big
+
+    pq_small = sorted(
+        (r.sub, r.cid, tuple(r.cq))
+        for r in S.train_pq_codebooks(embs, max_sample=cap).collect()
+    )
+    pq_big = sorted(
+        (r.sub, r.cid, tuple(r.cq))
+        for r in S.train_pq_codebooks(grown10, max_sample=cap).collect()
+    )
+    assert pq_small == pq_big
