@@ -322,7 +322,11 @@ def ripley_k(tbl: LQTTable, radii: list[float]) -> DataFrame:
             for i, r in enumerate(radii)
         ]
     )
-    n_pts = tbl.main.unionByName(tbl.side, allowMissingColumns=True).count()
+    # the build already counted every row when eager_count was on —
+    # reuse it (the knn_join pattern) instead of re-scanning both caches
+    n_pts = tbl.build_metrics.get("rows")
+    if n_pts is None:
+        n_pts = tbl.main.unionByName(tbl.side, allowMissingColumns=True).count()
     structs = ", ".join(
         "named_struct('r_index', {i}, 'r', CAST({r} AS DOUBLE),"
         " 'n_pairs', coalesce(p{i}, 0L))".format(i=i, r=repr(float(r)))

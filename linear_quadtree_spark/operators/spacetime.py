@@ -395,14 +395,14 @@ def tile_concentration(
             F.sum("c").alias("n_events"),
             F.count(F.lit(1)).alias("n_users"),
             F.max("c").alias("top_user_events"),
-            F.sum(F.col("c") * F.col("c")).alias("_ss"),
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("_ss"),
         )
         .select(
             "tile",
             "n_events",
             "n_users",
             "top_user_events",
-            F.expr("(1000000 * _ss) div (n_events * n_events)").alias("hhi_ppm"),
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(_ss AS DECIMAL(38,0))) div (CAST(n_events AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))) AS BIGINT)").alias("hhi_ppm"),
         )
     )
 
@@ -426,10 +426,10 @@ agg AS (
   SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
          CAST(COUNT(*) AS BIGINT) AS n_users,
          CAST(MAX(c) AS BIGINT) AS top_user_events,
-         CAST(SUM(c * c) AS BIGINT) AS ss
+         SUM(CAST(c AS HUGEINT) * c) AS ss
   FROM per_user GROUP BY 1)
 SELECT tile, n_events, n_users, top_user_events,
-       (1000000 * ss) // (n_events * n_events) AS hhi_ppm
+       CAST((1000000 * ss) // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS hhi_ppm
 FROM agg
 """
 
@@ -1751,7 +1751,7 @@ def tile_type_mix(
     roll = tc.groupBy("tile").agg(
         F.sum("c").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
-        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("_ss"),
     )
     w = Window.partitionBy("tile").orderBy(F.col("c").desc(), F.col("ty"))
     top = (
@@ -1761,7 +1761,7 @@ def tile_type_mix(
     )
     return roll.join(top, "tile").selectExpr(
         "tile", "n_events", "n_types", "top_type", "top_n",
-        "(1000000 * _ss) div (n_events * n_events) AS mix_hhi_ppm",
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(_ss AS DECIMAL(38,0))) div (CAST(n_events AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))) AS BIGINT) AS mix_hhi_ppm",
     )
 
 
@@ -1785,14 +1785,14 @@ tmc AS (SELECT tile, ty, CAST(COUNT(*) AS BIGINT) AS c
         FROM tmk GROUP BY 1, 2),
 tmr AS (SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
                CAST(COUNT(*) AS BIGINT) AS n_types,
-               CAST(SUM(c * c) AS BIGINT) AS ss
+               SUM(CAST(c AS HUGEINT) * c) AS ss
         FROM tmc GROUP BY 1),
 tmt AS (SELECT tile, ty AS top_type, c AS top_n
         FROM (SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY tile ORDER BY c DESC, ty) AS rk FROM tmc)
         WHERE rk = 1)
 SELECT tmr.tile, n_events, n_types, top_type, top_n,
-       (1000000 * ss) // (n_events * n_events) AS mix_hhi_ppm
+       CAST((1000000 * ss) // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS mix_hhi_ppm
 FROM tmr JOIN tmt ON tmr.tile = tmt.tile
 """
 
@@ -1838,7 +1838,7 @@ def tile_diurnal(
     roll = hc.groupBy("tile").agg(
         F.sum("c").alias("n_events"),
         F.count(F.lit(1)).alias("n_hours"),
-        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("_ss"),
         F.sum(F.when(F.col("h") < night_end_hour, F.col("c")).otherwise(F.lit(0)))
         .alias("_night"),
     )
@@ -1851,7 +1851,7 @@ def tile_diurnal(
     return roll.join(peak, "tile").selectExpr(
         "tile", "n_events", "n_hours", "peak_hour", "peak_n",
         "(1000000 * peak_n) div n_events AS peak_ppm",
-        "(1000000 * _ss) div (n_events * n_events) AS hour_hhi_ppm",
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(_ss AS DECIMAL(38,0))) div (CAST(n_events AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))) AS BIGINT) AS hour_hhi_ppm",
         "(1000000 * _night) div n_events AS night_ppm",
     )
 
@@ -1879,7 +1879,7 @@ dic AS (SELECT tile, h, CAST(COUNT(*) AS BIGINT) AS c
         FROM dik GROUP BY 1, 2),
 dir AS (SELECT tile, CAST(SUM(c) AS BIGINT) AS n_events,
                CAST(COUNT(*) AS BIGINT) AS n_hours,
-               CAST(SUM(c * c) AS BIGINT) AS ss,
+               SUM(CAST(c AS HUGEINT) * c) AS ss,
                CAST(SUM(CASE WHEN h < {night_end_hour} THEN c ELSE 0 END)
                     AS BIGINT) AS night
         FROM dic GROUP BY 1),
@@ -1889,7 +1889,7 @@ dip AS (SELECT tile, h AS peak_hour, c AS peak_n
         WHERE rk = 1)
 SELECT dir.tile, n_events, n_hours, peak_hour, peak_n,
        (1000000 * peak_n) // n_events AS peak_ppm,
-       (1000000 * ss) // (n_events * n_events) AS hour_hhi_ppm,
+       CAST((1000000 * ss) // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS hour_hhi_ppm,
        (1000000 * night) // n_events AS night_ppm
 FROM dir JOIN dip ON dir.tile = dip.tile
 """

@@ -427,3 +427,37 @@ def test_tile_diurnal_validation(spark, sf_dir):
         tile_diurnal(ev, night_end_hour=0)
     with pytest.raises(ValueError):
         tile_diurnal(ev, night_end_hour=24)
+
+
+def test_hhi_ppm_survives_int64_overflow(spark):
+    """ADVICE r3: 1000000 * ss exceeds int64 once a tile holds ~3.04M
+    events (ss can reach n^2). The ppm arithmetic must run in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and agree bit-for-bit past
+    the wrap point: ss just under int64 max, so 1000000 * ss wrapped
+    under the old BIGINT expression."""
+    import duckdb
+
+    hhi = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0)))"
+        " div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"
+        " AS BIGINT)"
+    )
+    rows = [(9223372036854775000, 3100000000), (50, 10), (1, 1)]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(rows, "ss: long, n: long")
+        .selectExpr(f"{hhi} AS hhi")
+        .orderBy("hhi")
+        .collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST((1000000 * CAST(ss AS HUGEINT)) //"
+            " (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi FROM (VALUES"
+            + ", ".join(f"({ss}, {n})" for ss, n in rows)
+            + ") t(ss, n) ORDER BY hhi"
+        ).fetchall()
+    ]
+    assert got == exp
+    assert all(0 < v <= 1_000_000 for v in got)  # a ppm, not a wrap
