@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linear_quadtree_spark.functions.hilbert import _step, hilbert_xy2d_py
+from linear_quadtree_spark.intervals import merge_spans
 from linear_quadtree_spark.functions.mercator import EARTH_RADIUS_KM
 from linear_quadtree_spark.functions.textexpr import DUCK, SPARK, Eng, dlit
 
@@ -404,17 +405,6 @@ def s2_cap_cover(
     return merge_ranges((cid, cid) for cid in hit)
 
 
-def merge_ranges(
-    spans: "list[tuple[int, int]] | object",
-) -> list[tuple[int, int]]:
-    """Merge [lo, hi] integer spans: overlapping OR adjacent
-    (lo <= prev_hi + 1) spans coalesce. The ONE interval-merge used by
-    the cap planner, the cap query's multi-site union, and the bench —
-    the adjacency rule lives here only."""
-    out: list[tuple[int, int]] = []
-    for lo, hi in sorted(spans):
-        if out and lo <= out[-1][1] + 1:
-            out[-1] = (out[-1][0], max(out[-1][1], hi))
-        else:
-            out.append((lo, hi))
-    return out
+# The cap planner's interval merge is the package-wide one — re-exported
+# under the historical name so cap-planner callers keep working.
+merge_ranges = merge_spans

@@ -320,14 +320,14 @@ class LQTTable:
         near-root range at a deep partition level would otherwise
         materialize millions of ids on the driver and an equally wide
         isin() literal in the plan."""
-        from linear_quadtree_spark.functions.s2cell import merge_ranges
+        from linear_quadtree_spark.intervals import merge_spans
 
         shift = 64 - 2 * level
         spans = [
             ((r.lo + (1 << 63)) >> shift, (r.hi + (1 << 63)) >> shift)
             for r in ranges
         ]
-        return merge_ranges(spans)
+        return merge_spans(spans)
 
     @staticmethod
     def quads_for_ranges(ranges: list[ZRange], level: int) -> list[int]:

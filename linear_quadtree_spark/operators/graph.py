@@ -307,6 +307,13 @@ def hits_scores(
             "host", F.expr(f"{raw_col} div CAST({q} AS BIGINT)").alias(out)
         )
 
+    # Only the LIVE (afull, hfull) pair stays cached: once round i's
+    # state has materialized (the collect() inside _normalize is the
+    # barrier), round i-1's relation is dead and is unpersisted —
+    # without this, 2*iters node-sized cached DataFrames accumulate in
+    # executor storage until the next global release boundary (ADVICE
+    # r3). The final pair is left cached for the returned join.
+    prev_afull = prev_hfull = None
     for _ in range(iters):
         araw = (
             e.join(hub.select(F.col("host").alias("src"), "hub_fp"), "src")
@@ -318,7 +325,9 @@ def hits_scores(
                 "host", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("_a")
             )
         )
-        auth = _normalize("_a", afull, "auth_fp")
+        auth = _normalize("_a", afull, "auth_fp")  # afull now cached
+        if prev_hfull is not None:
+            prev_hfull.unpersist()
         hraw = (
             e.join(auth.select(F.col("host").alias("dst"), "auth_fp"), "dst")
             .groupBy(F.col("src").alias("host"))
@@ -329,7 +338,10 @@ def hits_scores(
                 "host", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("_h")
             )
         )
-        hub = _normalize("_h", hfull, "hub_fp")
+        hub = _normalize("_h", hfull, "hub_fp")  # hfull now cached
+        if prev_afull is not None:
+            prev_afull.unpersist()
+        prev_afull, prev_hfull = afull, hfull
     return hub.join(auth, "host").select("host", "hub_fp", "auth_fp")
 
 

@@ -1515,9 +1515,15 @@ def simplify_dp(
                 stack.append((m, j))
         return pdf.loc[keep, [id_col, event_id_col]]
 
-    return keyed.groupBy(id_col).applyInPandas(
-        _dp, schema=f"{id_col} long, {event_id_col} long"
+    # derive the output schema from the input's actual field types —
+    # string or int32 id columns must pass through unchanged, not be
+    # coerced to long (ADVICE r3)
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [keyed.schema[id_col], keyed.schema[event_id_col]]
     )
+    return keyed.groupBy(id_col).applyInPandas(_dp, schema=out_schema)
 
 
 # ----------------------------------------------------------- geofencing

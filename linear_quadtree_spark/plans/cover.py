@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from linear_quadtree_spark.config import DEPTH, MAX_SAFE_LEVEL, SIGN_BIT, Bounds
+from linear_quadtree_spark.intervals import merge_spans
 
 __all__ = ["ZRange", "cover_rect", "cover_cells", "ranges_to_predicate", "merge_ranges"]
 
@@ -47,19 +48,11 @@ class ZRange:
 
 def merge_ranges(ranges: list[ZRange]) -> list[ZRange]:
     """Coalesce adjacent/overlapping closed ranges (z-order rect covers are
-    full of contiguous quadrants)."""
-    if not ranges:
-        return []
-    rs = sorted(ranges, key=lambda r: r.lo)
-    out = [rs[0]]
-    for r in rs[1:]:
-        last = out[-1]
-        if r.lo <= last.hi + 1:
-            if r.hi > last.hi:
-                out[-1] = ZRange(last.lo, r.hi)
-        else:
-            out.append(r)
-    return out
+    full of contiguous quadrants) — a ZRange-typed wrapper over the
+    package-wide `intervals.merge_spans`."""
+    return [
+        ZRange(lo, hi) for lo, hi in merge_spans((r.lo, r.hi) for r in ranges)
+    ]
 
 
 def cover_rect(

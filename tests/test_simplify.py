@@ -199,3 +199,17 @@ def _morton(tx: int, ty: int, level: int) -> int:
         out |= ((tx >> i) & 1) << (2 * i)
         out |= ((ty >> i) & 1) << (2 * i + 1)
     return out
+
+
+def test_simplify_dp_preserves_id_column_type(spark):
+    """ADVICE r3: the applyInPandas output schema must derive from the
+    input's actual field types — a STRING user id must come back as a
+    string, not be coerced to (or rejected as) long."""
+    ev = (
+        spark.read.parquet(EVENTS)
+        .withColumn("user_id", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    out = simplify_dp(ev, tol=5.0)
+    assert out.schema["user_id"].dataType.simpleString() == "string"
+    rows = out.limit(5).collect()
+    assert rows and all(r.user_id.startswith("u") for r in rows)
