@@ -1960,6 +1960,20 @@ def _q_grid_dbscan(spark, sf_dir):
     )
 
 
+def _q_grid_dbscan_points(spark, sf_dir):
+    """Per-point DBSCAN labels with classic border assignment
+    (operators/cluster.py grid_dbscan_points): points in non-core cells
+    8-adjacent to a core cell join the smallest adjacent cluster;
+    isolated non-core cells are noise (kept, cluster_id NULL). The
+    point relation is touched twice — the cell aggregate and one final
+    hash join onto the cell-sized label relation."""
+    from linear_quadtree_spark.operators.cluster import grid_dbscan_points
+
+    return grid_dbscan_points(
+        geotagged_docs(spark, sf_dir), level=DBSCAN_LEVEL, minpts=DBSCAN_MINPTS
+    )
+
+
 def _q_quadtree_compact(spark, sf_dir):
     """Linear region-quadtree compaction (operators/cluster.py): minimal
     maximal-quadrant decomposition of the occupied-cell set — the classic
@@ -2857,6 +2871,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "anchor_terms": _q_anchor_terms,
         # spatial analysis
         "grid_dbscan": _q_grid_dbscan,
+        "grid_dbscan_points": _q_grid_dbscan_points,
         "quadtree_compact": _q_quadtree_compact,
         "adaptive_tiling": _q_adaptive_tiling,
         # alternate index
@@ -3373,6 +3388,20 @@ def _grid_dbscan_oracle() -> str:
     )
 
 
+def _grid_dbscan_points_oracle() -> str:
+    """DuckDB twin of _q_grid_dbscan_points — |Δ|<=1 adjacency joins for
+    both the core graph and the border assignment, recursive-closure
+    labels (operators/cluster.py)."""
+    from linear_quadtree_spark.operators.cluster import grid_dbscan_points_sql_duck
+
+    return (
+        f"WITH RECURSIVE {_PTS_CTE},\n"
+        + grid_dbscan_points_sql_duck(
+            "pts", DBSCAN_LEVEL, DBSCAN_MINPTS, DEFAULT_BOUNDS
+        )
+    )
+
+
 def _quadtree_compact_oracle() -> str:
     """DuckDB twin of _q_quadtree_compact — the bottom-up full-quadrant
     recurrence unrolled as one CTE per level."""
@@ -3643,6 +3672,7 @@ GROUP BY 1, 2
         "anchor_terms": _graph.anchor_terms_sql_duck(),
         # ---- spatial analysis
         "grid_dbscan": _grid_dbscan_oracle(),
+        "grid_dbscan_points": _grid_dbscan_points_oracle(),
         "quadtree_compact": _quadtree_compact_oracle(),
         "adaptive_tiling": _adaptive_tiling_oracle(),
         # ---- alternate index

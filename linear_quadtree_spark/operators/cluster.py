@@ -65,6 +65,8 @@ from linear_quadtree_spark.operators.components import (
 
 __all__ = [
     "grid_dbscan",
+    "grid_dbscan_points",
+    "grid_dbscan_points_sql_duck",
     "grid_dbscan_sql_duck",
     "quadtree_compact",
     "quadtree_compact_sql_duck",
@@ -96,19 +98,39 @@ def grid_dbscan(
     them; border-point assignment is a per-point join the caller adds if
     needed).
     """
-    cells = (
+    cells, labeled = _dbscan_cells_and_core_labels(
+        pts, level, minpts, bounds, x_col, y_col, id_col
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_id").alias("sum_doc_id"),
+    )
+
+
+def _dbscan_cells_and_core_labels(
+    pts: DataFrame,
+    level: int,
+    minpts: int,
+    bounds: Bounds,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared grid-DBSCAN core: the per-cell aggregate (the ONE shuffle
+    of the point relation) and the component-labeled core-cell relation
+    ``(cell, n_points, sum_id, tx, ty, cluster_id)``."""
+    cells = track(
         pts.withColumn("cell", geocell_col(x_col, y_col, bounds, level))
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.sum(id_col).alias("sum_id"),
         )
-    )
-    core = track(
-        cells.filter(F.col("n_points") >= minpts)
         .withColumn("tx", F.expr(cell_axis_expr(SPARK, "cell", level, 0)))
         .withColumn("ty", F.expr(cell_axis_expr(SPARK, "cell", level, 1)))
     )
+    core = track(cells.filter(F.col("n_points") >= minpts))
     stencil = F.expr(
         "array(" + ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)" for dx, dy in _STENCIL) + ")"
     )
@@ -137,10 +159,78 @@ def grid_dbscan(
     labeled = core.join(
         comp.withColumnRenamed("id", "cell"), "cell", "left"
     ).withColumn("cluster_id", F.coalesce(F.col("comp"), F.col("cell")))
-    return labeled.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("n_points").alias("n_points"),
-        F.sum("sum_id").alias("sum_doc_id"),
+    return cells, labeled
+
+
+def grid_dbscan_points(
+    pts: DataFrame,
+    level: int = 6,
+    minpts: int = 3,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-POINT grid-DBSCAN labels WITH border assignment — the join
+    `grid_dbscan`'s docstring told callers to add, as a first-class
+    operator: ``(doc_id, cell, cluster_id, kind)`` for every input
+    point, kind ∈ {'core', 'border', 'noise'}.
+
+    Classic DBSCAN border semantics on the grid: a point in a non-core
+    cell that is 8-adjacent to >= 1 core cell is a *border* point of
+    (deterministically) the SMALLEST adjacent cluster_id; non-core
+    cells with no core neighbor are *noise* (cluster_id NULL — kept in
+    the output, unlike `grid_dbscan`'s cluster rollup which drops
+    them).
+
+    Scale shape: the point relation is touched exactly twice — the cell
+    aggregate (one shuffle, shared with `grid_dbscan`) and ONE final
+    hash join of points onto the per-cell label relation on `cell`
+    (cell-sized right side: broadcast when small, co-partitioned hash
+    join otherwise). Border labels are computed entirely on the CELL
+    relation: each labeled core cell scatters its cluster_id to its 8
+    neighbors (explode on the *core* side, the smaller one), one
+    min-aggregate gathers per target cell, and an equi-join onto the
+    non-core cells picks out real border cells. No point ever joins a
+    stencil."""
+    cells, labeled = _dbscan_cells_and_core_labels(
+        pts, level, minpts, bounds, x_col, y_col, id_col
+    )
+    stencil = F.expr(
+        "array(" + ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)" for dx, dy in _STENCIL) + ")"
+    )
+    scatter = (
+        labeled.select("tx", "ty", "cluster_id")
+        .withColumn("o", F.explode(stencil))
+        .select(
+            (F.col("tx") + F.col("o.dx")).alias("tx"),
+            (F.col("ty") + F.col("o.dy")).alias("ty"),
+            "cluster_id",
+        )
+        .groupBy("tx", "ty")
+        .agg(F.min("cluster_id").alias("b_cluster_id"))
+    )
+    border = (
+        cells.filter(F.col("n_points") < minpts)
+        .join(scatter, ["tx", "ty"])
+        .select("cell", F.col("b_cluster_id").alias("cluster_id"),
+                F.lit("border").alias("kind"))
+    )
+    cell_label = labeled.select(
+        "cell", "cluster_id", F.lit("core").alias("kind")
+    ).unionByName(border)
+    pcell = pts.select(
+        F.col(id_col),
+        geocell_col(x_col, y_col, bounds, level).alias("cell"),
+    )
+    return (
+        pcell.join(cell_label, "cell", "left")
+        .select(
+            id_col,
+            "cell",
+            "cluster_id",
+            F.coalesce(F.col("kind"), F.lit("noise")).alias("kind"),
+        )
     )
 
 
@@ -179,6 +269,52 @@ SELECT cluster_id, COUNT(*) AS n_cells,
        CAST(SUM(n_points) AS BIGINT) AS n_points,
        CAST(SUM(sum_id) AS BIGINT) AS sum_doc_id
 FROM labeled GROUP BY 1"""
+
+
+def grid_dbscan_points_sql_duck(
+    pts_cte: str,
+    level: int = 6,
+    minpts: int = 3,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    x_col: str = "px",
+    y_col: str = "py",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `grid_dbscan_points` — same cell expressions and
+    keep rule; adjacency (both core-core and border-core) by the
+    |Δtx|<=1 ∧ |Δty|<=1 join (a deliberately different family from the
+    Spark stencil scatter), labels by the recursive-closure DEFINITION.
+    Embed after a ``WITH RECURSIVE`` opener and the points CTE."""
+    cell = geocell_sql_duck(x_col, y_col, bounds, level)
+    tx = cell_axis_expr(DUCK, "cell", level, 0)
+    ty = cell_axis_expr(DUCK, "cell", level, 1)
+    return f"""cells AS (
+  SELECT {cell} AS cell, COUNT(*) AS n_points
+  FROM {pts_cte} GROUP BY 1),
+cellsxy AS (SELECT cell, n_points, {tx} AS tx, {ty} AS ty FROM cells),
+core AS (SELECT * FROM cellsxy WHERE n_points >= {minpts}),
+cpairs AS (
+  SELECT a.cell AS id_a, b.cell AS id_b
+  FROM core a JOIN core b
+    ON abs(a.tx - b.tx) <= 1 AND abs(a.ty - b.ty) <= 1 AND a.cell < b.cell),
+{components_ctes_duck("cpairs")},
+clab AS (
+  SELECT c.cell, c.tx, c.ty, COALESCE(k.comp, c.cell) AS cluster_id
+  FROM core c LEFT JOIN comp k ON k.id = c.cell),
+blab AS (
+  SELECT n.cell, MIN(c.cluster_id) AS cluster_id
+  FROM cellsxy n JOIN clab c
+    ON abs(n.tx - c.tx) <= 1 AND abs(n.ty - c.ty) <= 1
+  WHERE n.n_points < {minpts} GROUP BY 1),
+pcell AS (SELECT {id_col}, {cell} AS cell FROM {pts_cte})
+SELECT p.{id_col}, p.cell,
+       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id,
+       CASE WHEN c.cell IS NOT NULL THEN 'core'
+            WHEN b.cell IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS kind
+FROM pcell p
+LEFT JOIN clab c ON c.cell = p.cell
+LEFT JOIN blab b ON b.cell = p.cell"""
 
 
 def quadtree_compact(

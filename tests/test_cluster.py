@@ -338,3 +338,65 @@ def test_overlap_empty_side_yields_zero(spark):
     assert (r.jaccard_ppm, r.cover_a_ppm, r.cover_b_ppm) == (0, 0, 0)
     both = spatial_overlap(empty, empty, level=LEVEL4, bounds=GRID).collect()[0]
     assert (both.jaccard_ppm, both.cover_a_ppm, both.cover_b_ppm) == (0, 0, 0)
+
+
+def test_dbscan_points_border_and_noise(spark):
+    """Per-point labels with border assignment: a 2-point cell adjacent
+    to a core cluster is 'border' of that cluster; a 2-point cell with
+    no core neighbor is 'noise' (cluster_id NULL); core points carry
+    their cluster. Every input point appears exactly once."""
+    from linear_quadtree_spark.operators.cluster import grid_dbscan_points
+
+    pts = _pts(
+        spark,
+        {
+            (1, 1): 3,
+            (1, 2): 4,       # core chain with (1,1)
+            (2, 3): 2,       # border: diagonal neighbor of core (1,2)
+            (10, 10): 5,     # isolated core
+            (5, 5): 2,       # noise: no core neighbor
+        },
+    )
+    out = grid_dbscan_points(pts, level=LEVEL4, minpts=3, bounds=GRID).collect()
+    assert len(out) == 16  # one row per input point
+    a = min(_cell(1, 1), _cell(1, 2))
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert {r["cluster_id"] for r in by_kind["core"]} == {a, _cell(10, 10)}
+    assert len(by_kind["core"]) == 12
+    assert len(by_kind["border"]) == 2
+    assert all(r["cluster_id"] == a for r in by_kind["border"])
+    assert len(by_kind["noise"]) == 2
+    assert all(r["cluster_id"] is None for r in by_kind["noise"])
+
+
+def test_dbscan_points_lockstep(spark, sf_dir, duck):
+    """Full-corpus per-point lockstep vs the |Δ|<=1-join twin."""
+    from linear_quadtree_spark.operators.cluster import (
+        grid_dbscan_points,
+        grid_dbscan_points_sql_duck,
+    )
+    from linear_quadtree_spark.sources.synth import geotagged_docs
+
+    got = (
+        grid_dbscan_points(geotagged_docs(spark, sf_dir), level=4, minpts=3)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = duck.execute(f"""
+WITH RECURSIVE pts AS (SELECT doc_id,
+        CAST({geotag_x_sql('doc_id')} AS DOUBLE) AS px,
+        CAST({geotag_y_sql('doc_id')} AS DOUBLE) AS py FROM documents),
+{grid_dbscan_points_sql_duck('pts', 4, 3, DEFAULT_BOUNDS)}
+ORDER BY doc_id
+""").fetch_df()
+    assert len(got) == len(exp) > 1
+    assert set(got["kind"]) >= {"core"}
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cell", "cluster_id", "kind"]],
+        exp[["doc_id", "cell", "cluster_id", "kind"]],
+        check_dtype=False,
+    )
