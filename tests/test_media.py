@@ -57,3 +57,23 @@ def test_sample_frames_oracle(spark, sf_dir, duck):
 def test_real_decoder_is_gated():
     with pytest.raises((NotImplementedError, Exception)):
         M.decode_image_real(b"IMG1|1|1|x")
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="pillow not installed in this container",
+)
+def test_real_decoder_roundtrip_with_pil():
+    """When a codec IS available, decode_image_real must return a real
+    PIL image for a real payload (VERDICT r3 #8). Skipped where the
+    container ships no pillow; the gated-NotImplementedError path is
+    covered by test_real_decoder_is_gated."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2), (10, 20, 30)).save(buf, format="PNG")
+    img = M.decode_image_real(buf.getvalue())
+    assert img.size == (3, 2)
+    assert img.convert("RGB").getpixel((0, 0)) == (10, 20, 30)
