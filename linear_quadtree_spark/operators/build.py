@@ -97,10 +97,18 @@ class LQTTable:
     #: `main_quad` is the quad-bearing scan candidates() filters.
     quad_level: int | None = None
     main_quad: DataFrame | None = None
+    #: memoized per-zoom occupied-tile aggregates — see tile_counts()
+    tile_counts_cache: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
         """Release the encoded staging cache and any persisted relations."""
-        for df in (self.enc_cache, self.main, self.side):
+        from linear_quadtree_spark.cache import disown
+
+        tiles = list(self.tile_counts_cache.values())
+        self.tile_counts_cache.clear()
+        if tiles:
+            disown(*tiles)
+        for df in (self.enc_cache, self.main, self.side, *tiles):
             if df is not None:
                 try:
                     df.unpersist()
@@ -399,3 +407,43 @@ class LQTTable:
         (SURVEY §2.9): tile = zkey >>> (64-2z)."""
         full = self.main.unionByName(self.side)
         return full.withColumn("tile_id", tile_id_col(F.col("zkey"), zoom))
+
+    def tile_counts(self, zoom: int) -> DataFrame:
+        """Memoized occupied-tile aggregate at ``zoom``:
+        ``(tile_id, tx, ty, n_points)`` — the shared substrate of the
+        whole raster-statistics suite (focal smoothing, Moran's I,
+        Gi*, Geary's C, General G, quadrat, gini, join counts, ...).
+
+        Computed and persisted ONCE per (table, zoom) and OWNED by the
+        table: the relation is adopted via ``cache.untrack`` so
+        per-query ``release_caches()`` boundaries skip it (the
+        enc_cache discipline), and ``unpersist()`` releases it. Every
+        statistic then starts from a tile-sized cached scan instead of
+        re-aggregating the corpus — at cluster scale this is the
+        materialized zoom-level rollup a tile-serving layer keeps
+        anyway, one data shuffle amortized across the suite. Before
+        this, each statistic re-ran the corpus aggregate (or, worse,
+        silently shared a neighbor's track()-cache through
+        CacheManager plan-matching and regressed when that neighbor
+        changed — the round-3 focal_smooth story)."""
+        df = self.tile_counts_cache.get(zoom)
+        if df is None:
+            from linear_quadtree_spark.cache import untrack
+            from linear_quadtree_spark.functions.geocell import cell_axis_expr
+            from linear_quadtree_spark.functions.textexpr import SPARK
+
+            df = (
+                self.tiles(zoom)
+                .groupBy("tile_id")
+                .agg(F.count(F.lit(1)).alias("n_points"))
+                .withColumn(
+                    "tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0))
+                )
+                .withColumn(
+                    "ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1))
+                )
+                .persist()
+            )
+            untrack(df)
+            self.tile_counts_cache[zoom] = df
+        return df

@@ -71,14 +71,11 @@ __all__ = [
 
 
 def _tile_counts(tbl: LQTTable, zoom: int) -> DataFrame:
-    """Occupied-tile relation (tile_id, tx, ty, x = point count)."""
-    return (
-        tbl.tiles(zoom)
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0)))
-        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
-    )
+    """Occupied-tile relation (tile_id, tx, ty, x = point count) — a
+    rename over the table's MEMOIZED per-zoom aggregate
+    (`LQTTable.tile_counts`), so the whole statistics suite shares one
+    cached corpus shuffle instead of each re-aggregating."""
+    return tbl.tile_counts(zoom).withColumnRenamed("n_points", "x")
 
 
 # ------------------------------------------------------------ Moran's I

@@ -1045,13 +1045,7 @@ def focal_smooth(tbl: LQTTable, zoom: int) -> DataFrame:
     Output per OCCUPIED tile: (tile_id, tx, ty, n_points, focal_sum,
     n_occupied_nbrs, window_sz, focal_mean)."""
     m = (1 << zoom) - 1
-    per_tile = (
-        tbl.tiles(zoom)
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .withColumn("tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0)))
-        .withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
-    )
+    per_tile = tbl.tile_counts(zoom)
     offs = F.expr(
         "explode(array(" + ", ".join(
             f"named_struct('dx', {dx}, 'dy', {dy})"
