@@ -760,14 +760,11 @@ def tile_pyramid(tbl: LQTTable, zooms: list[int]) -> DataFrame:
         raise ValueError("zooms must be non-empty")
     zooms = sorted(set(zooms))
     finest = zooms[-1]
-    # track(): every union branch references the finest aggregate — the
-    # cache pins the (tile-count-sized) relation so Catalyst doesn't
-    # rescan the raw data once per zoom level
-    base = track(
-        tbl.tiles(finest)
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
+    # the table's MEMOIZED per-zoom aggregate: already persisted, so
+    # every union branch reads the cached tile-count-sized relation
+    # instead of rescanning the raw data once per zoom level — and the
+    # corpus shuffle is shared with the whole statistics suite
+    base = tbl.tile_counts(finest).select("tile_id", "n_points")
     levels = [
         base.select(
             F.lit(finest).cast("int").alias("zoom"), "tile_id", "n_points"
@@ -804,14 +801,7 @@ def tile_polygons(tbl: LQTTable, zoom: int) -> DataFrame:
     toward the tile their *key* names, exactly like the reference's own
     key→tile arithmetic; rows with ``zlvl >= zoom`` are guaranteed to
     lie geometrically inside their tile polygon (tested)."""
-    per_tile = (
-        tbl.tiles(zoom)
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
-    out = per_tile.withColumn(
-        "tx", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 0))
-    ).withColumn("ty", F.expr(cell_axis_expr(SPARK, "tile_id", zoom, 1)))
+    out = tbl.tile_counts(zoom)  # memoized (tile_id, n_points, tx, ty)
     rect = cell_rect_sql(SPARK, "tx", "ty", tbl.bounds, zoom)
     for name in ("x0", "y0", "x1", "y1"):
         out = out.withColumn(name, F.expr(rect[name]))
