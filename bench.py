@@ -235,6 +235,15 @@ def main() -> None:
     tile_rows = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = time.time() - t0
 
+    # the z8 per-tile substrate the whole tile/statistics suite shares
+    # (LQTTable.tile_counts memoization): its ONE corpus shuffle is timed
+    # HERE, explicitly, BEFORE the first consumer (tile_polygons_z8), so
+    # every downstream query reports its true marginal cost instead of
+    # whichever runs first silently absorbing the suite's shared aggregate
+    t0 = _probe_mark("tile_substrate_z8")
+    substrate_rows = tbl.tile_counts(8).count()
+    timings["tile_substrate_z8"] = time.time() - t0
+
     t0 = _probe_mark("tile_polygons_z8")
     from linear_quadtree_spark.operators.spatial import tile_polygons
     tpoly_rows = tile_polygons(tbl, zoom=8).count()
@@ -328,15 +337,6 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=4
     ).count()
     timings["tile_activity"] = time.time() - t0
-
-    # the z8 per-tile substrate the whole statistics suite shares
-    # (LQTTable.tile_counts memoization): its ONE corpus shuffle is
-    # timed HERE, explicitly, so every statistic below reports its true
-    # marginal cost instead of whichever query runs first silently
-    # absorbing the suite's shared aggregate
-    t0 = _probe_mark("tile_substrate_z8")
-    substrate_rows = tbl.tile_counts(8).count()
-    timings["tile_substrate_z8"] = time.time() - t0
 
     t0 = _probe_mark("focal_smooth_z8")
     from linear_quadtree_spark.operators.spatial import focal_smooth
