@@ -1180,7 +1180,20 @@ def main() -> None:
         "detail_file": detail_path.name,
     }
     line = json.dumps(compact)
-    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    # the final stdout line MUST stay parseable inside the driver's 2,000
+    # char tail buffer — if a future field pushes it over, DEGRADE (drop
+    # the per-query timings, then truncate-proof minimal fields) rather
+    # than raise: an exception here would lose the whole record, the
+    # exact round-3 failure this line exists to fix
+    if len(line) >= 1500:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    if len(line) >= 1500:
+        line = json.dumps({
+            "metric": compact["metric"], "value": compact["value"],
+            "unit": compact["unit"], "sf": compact["sf"],
+            "build_clean": compact["build_clean"],
+        })
     print(line)
 
 

@@ -89,11 +89,20 @@ def type_drift(spark_df, con, sql: str) -> list[str]:
     du = dict(zip(rel.columns, (_canon_duck(t) for t in rel.types)))
     if sorted(sp) != sorted(du):
         return [f"columns {sorted(sp)} vs {sorted(du)}"]
-    return [
-        f"{c}: spark {sp[c]} vs duckdb {du[c]}"
-        for c in sorted(sp)
-        if sp[c] != du[c]
-    ]
+    drift = []
+    for c in sorted(sp):
+        if sp[c] == du[c]:
+            continue
+        if sp[c][0] == "other" and du[c][0] == "other":
+            # unmapped family (struct/map/interval/...): the two engines
+            # SPELL types differently, so inequality here proves nothing —
+            # warn for a manual look instead of hard-failing a query whose
+            # values may hash identically
+            print(f"    WARNING {c}: unmapped type family, not comparable —"
+                  f" spark {sp[c][1]} vs duckdb {du[c][1]}")
+            continue
+        drift.append(f"{c}: spark {sp[c]} vs duckdb {du[c]}")
+    return drift
 
 
 def main() -> int:

@@ -426,9 +426,19 @@ class LQTTable:
         silently shared a neighbor's track()-cache through
         CacheManager plan-matching and regressed when that neighbor
         changed — the round-3 focal_smooth story)."""
+        from linear_quadtree_spark.cache import untrack
+
         df = self.tile_counts_cache.get(zoom)
+        if df is not None and not df.is_cached:
+            # healed memo: the CacheManager entry is PLAN-keyed and can be
+            # shared with another table built over the same lineage — if
+            # that table's unpersist() dropped the shared entry, this
+            # handle is still memoized but no longer cached; re-persist
+            # (and re-adopt — untrack is idempotent) instead of silently
+            # re-running the corpus aggregate on every downstream action
+            df = df.persist()
+            untrack(df)
         if df is None:
-            from linear_quadtree_spark.cache import untrack
             from linear_quadtree_spark.functions.geocell import cell_axis_expr
             from linear_quadtree_spark.functions.textexpr import SPARK
 

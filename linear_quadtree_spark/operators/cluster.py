@@ -116,11 +116,18 @@ def _dbscan_cells_and_core_labels(
     x_col: str,
     y_col: str,
     id_col: str,
+    cache_cells: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared grid-DBSCAN core: the per-cell aggregate (the ONE shuffle
     of the point relation) and the component-labeled core-cell relation
-    ``(cell, n_points, sum_id, tx, ty, cluster_id)``."""
-    cells = track(
+    ``(cell, n_points, sum_id, tx, ty, cluster_id)``.
+
+    ``cache_cells``: persist the FULL occupied-cell relation (non-core
+    cells included). Only `grid_dbscan_points` reads it a second time
+    (the border filter); the rollup path consumes it once to derive
+    `core` and must not spend executor storage on the non-core
+    majority."""
+    cells = (
         pts.withColumn("cell", geocell_col(x_col, y_col, bounds, level))
         .groupBy("cell")
         .agg(
@@ -130,6 +137,8 @@ def _dbscan_cells_and_core_labels(
         .withColumn("tx", F.expr(cell_axis_expr(SPARK, "cell", level, 0)))
         .withColumn("ty", F.expr(cell_axis_expr(SPARK, "cell", level, 1)))
     )
+    if cache_cells:
+        cells = track(cells)
     core = track(cells.filter(F.col("n_points") >= minpts))
     stencil = F.expr(
         "array(" + ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)" for dx, dy in _STENCIL) + ")"
@@ -194,7 +203,7 @@ def grid_dbscan_points(
     non-core cells picks out real border cells. No point ever joins a
     stencil."""
     cells, labeled = _dbscan_cells_and_core_labels(
-        pts, level, minpts, bounds, x_col, y_col, id_col
+        pts, level, minpts, bounds, x_col, y_col, id_col, cache_cells=True
     )
     stencil = F.expr(
         "array(" + ", ".join(f"struct({dx}L AS dx, {dy}L AS dy)" for dx, dy in _STENCIL) + ")"

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from linear_quadtree_spark.cache import track
 from linear_quadtree_spark.functions.geocell import cell_axis_expr
-from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+from linear_quadtree_spark.functions.textexpr import DUCK
 from linear_quadtree_spark.operators.build import LQTTable
 
 __all__ = [

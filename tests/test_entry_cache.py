@@ -43,3 +43,35 @@ def test_untrack_transfers_ownership(spark):
     assert df.storageLevel.useMemory, "untracked handle must not be released"
     df.unpersist()
     assert untrack(df) == 0  # already removed; identity-based, idempotent
+
+
+def test_tile_counts_memo_heals_after_sibling_unpersist(spark, sf_dir):
+    """Two tables over the SAME lineage share one plan-keyed CacheManager
+    entry for their tile_counts substrate; the first table's unpersist()
+    drops it for both. The memo must detect the dropped entry and
+    re-persist instead of handing out an uncached handle that re-runs
+    the corpus aggregate on every downstream action."""
+    from linear_quadtree_spark import DEFAULT_BOUNDS
+    from linear_quadtree_spark.operators.build import LQTTable
+    from linear_quadtree_spark.functions.geotag import geotag_x, geotag_y
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        geotag_x("doc_id").alias("x"),
+        geotag_y("doc_id").alias("y"),
+    )
+    a = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    b = LQTTable.build(pts, DEFAULT_BOUNDS, tiebreaker="doc_id")
+    exp = a.tile_counts(4).count()
+    got_b = b.tile_counts(4)
+    assert got_b.count() == exp
+
+    a.unpersist()  # drops the SHARED plan-keyed cache entry
+    healed = b.tile_counts(4)
+    assert healed.count() == exp
+    assert healed.is_cached, (
+        "memoized substrate must re-persist after a same-plan sibling's"
+        " unpersist dropped the shared CacheManager entry"
+    )
+    b.unpersist()
