@@ -1718,6 +1718,9 @@ def _q_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RASTERIZE_ZOOM = 6
+#: the IoU fixture needs a DENSER dimension than the rasterize one so the
+#: pair relation is non-trivial (48 polys -> 46 intersecting pairs at z6)
+IOU_POLYGONS = 48
 
 
 def _q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1731,16 @@ def _q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linear_quadtree_spark.operators.spatial import rasterize_polygons
 
     return rasterize_polygons(polygons_df(spark, N_POLYGONS), RASTERIZE_ZOOM)
+
+
+def _q_polygon_tile_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence near-duplicate pass: pairwise IoU of rasterized polygon
+    footprints — candidate pairs from ONE cell-id equi-self-join (the
+    LSH shape on geometry, never all-pairs), integer cell counts,
+    one shared double IoU expression."""
+    from linear_quadtree_spark.operators.spatial import polygon_tile_iou
+
+    return polygon_tile_iou(polygons_df(spark, IOU_POLYGONS), RASTERIZE_ZOOM)
 
 
 # ---------------------------------------------------- incremental build
@@ -2782,6 +2795,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "focal_smooth": _q_focal_smooth,
         "tile_polygons": _q_tile_polygons,
         "rasterize_polygons": _q_rasterize_polygons,
+        "polygon_tile_iou": _q_polygon_tile_iou,
         "nearest_site": _q_nearest_site,
         "tile_pyramid": _q_tile_pyramid,
         "occupancy_hist": _q_occupancy_hist,
@@ -2978,6 +2992,19 @@ def _rasterize_oracle() -> str:
 WITH edges(poly_id, x1v, y1v, x2v, y2v) AS (VALUES
     {polygon_edges_values_sql(N_POLYGONS)}),
 {rasterize_polygons_sql_duck('edges', RASTERIZE_ZOOM)}
+"""
+
+
+def _polygon_tile_iou_oracle() -> str:
+    """DuckDB twin of _q_polygon_tile_iou: exact-literal edge VALUES +
+    the shared rasterization CTEs + the definitional cell-bucketed pair
+    join and identical IoU expression."""
+    from linear_quadtree_spark.operators.spatial import polygon_tile_iou_sql_duck
+
+    return f"""
+WITH edges(poly_id, x1v, y1v, x2v, y2v) AS (VALUES
+    {polygon_edges_values_sql(IOU_POLYGONS)}),
+{polygon_tile_iou_sql_duck('edges', RASTERIZE_ZOOM)}
 """
 
 
@@ -3440,6 +3467,7 @@ FROM refenc GROUP BY 1 ORDER BY 1
         "focal_smooth": _focal_smooth_oracle(),
         "tile_polygons": _tile_polygons_oracle(),
         "rasterize_polygons": _rasterize_oracle(),
+        "polygon_tile_iou": _polygon_tile_iou_oracle(),
         "nearest_site": _nearest_site_oracle(),
         "tile_pyramid": f"""
 WITH {_PTS_CTE},

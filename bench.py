@@ -305,6 +305,17 @@ def main() -> None:
     rast_rows = rasterize_polygons(polygons_df(spark, 16), zoom=8).count()
     timings["rasterize_z8"] = time.time() - t0
 
+    # geofence near-dup: pairwise tile-IoU over a 2k-polygon dimension —
+    # candidate pairs from ONE cell-id equi-self-join (the LSH shape on
+    # geometry), never all-pairs over the dimension
+    t0 = _probe_mark("polygon_tile_iou_2k")
+    from linear_quadtree_spark.operators.spatial import polygon_tile_iou
+    from linear_quadtree_spark.sources.synth import polygons_df_distributed
+    iou_rows = polygon_tile_iou(
+        polygons_df_distributed(spark, 2000, r_scale=0.25), zoom=8
+    ).count()
+    timings["polygon_tile_iou_2k"] = time.time() - t0
+
     # supercover rasterization of 600k GPS-trace-like hops (±3 units,
     # ~4 cells each at zoom 6) — map-only cell enumeration, one
     # aggregate shuffle. Full-domain hops are the same plan at ~10x the
@@ -1124,6 +1135,7 @@ def main() -> None:
             "emb_neardup_rows": nd_rows,
             "incremental_bbox_rows": incr_rows,
             "rasterize_rows": rast_rows,
+            "polygon_iou_pairs": iou_rows,
             "tile_activity_rows": ta_rows,
             "incremental_dedup_rows": incr_ded_rows,
             "vocab_rows": vocab_rows,

@@ -38,6 +38,8 @@ __all__ = [
     "tile_polygons",
     "rasterize_polygons",
     "rasterize_polygons_sql_duck",
+    "polygon_tile_iou",
+    "polygon_tile_iou_sql_duck",
     "tile_pyramid",
     "occupancy_hist",
     "focal_smooth",
@@ -905,6 +907,17 @@ def rasterize_polygons_sql_duck(edges_cte: str, zoom: int, bounds=None) -> str:
     arithmetic, bbox from the edge list's start vertices (every vertex
     starts exactly one edge, so MIN(x1v) == array_min(xs)).
     ``edges_cte`` is the NAME of a CTE (poly_id, x1v, y1v, x2v, y2v)."""
+    return (
+        _rasterize_ctes_duck(edges_cte, zoom, bounds)
+        + "\nSELECT poly_id, tile_id, tx, ty FROM rcells"
+    )
+
+
+def _rasterize_ctes_duck(edges_cte: str, zoom: int, bounds=None) -> str:
+    """The rasterization as a CTE CHAIN ending in ``rcells(poly_id,
+    tile_id, tx, ty)`` — embeddable by downstream twins (tile IoU) that
+    keep querying the raster, where the bare final SELECT of
+    `rasterize_polygons_sql_duck` could not be extended."""
     from linear_quadtree_spark.config import DEFAULT_BOUNDS
     from linear_quadtree_spark.functions.geocell import (
         _interleave_expr,
@@ -940,11 +953,104 @@ cr AS (SELECT c.poly_id, c.tx, c.ty,
                    ELSE 0 END AS cross_flag
        FROM cand c JOIN {edges_cte} e ON c.poly_id = e.poly_id),
 rast AS (SELECT poly_id, tx, ty FROM cr
-         GROUP BY 1, 2, 3 HAVING SUM(cross_flag) % 2 = 1)
-SELECT CAST(poly_id AS INTEGER) AS poly_id,
-       {_interleave_expr(DUCK, 'tx', 'ty', zoom)} AS tile_id,
-       tx, ty
-FROM rast"""
+         GROUP BY 1, 2, 3 HAVING SUM(cross_flag) % 2 = 1),
+rcells AS (SELECT CAST(poly_id AS INTEGER) AS poly_id,
+                  {_interleave_expr(DUCK, 'tx', 'ty', zoom)} AS tile_id,
+                  tx, ty
+           FROM rast)"""
+
+
+def _iou_expr() -> str:
+    """The one shared double expression for IoU from integer cell
+    counts (verbatim in both engines)."""
+    return (
+        "CAST(cells_shared AS DOUBLE)"
+        " / CAST(cells_a + cells_b - cells_shared AS DOUBLE)"
+    )
+
+
+def polygon_tile_iou(
+    polygons: DataFrame, zoom: int, min_iou: float = 0.0, bounds=None
+) -> DataFrame:
+    """Pairwise intersection-over-union of rasterized polygon footprints
+    — geofence/region NEAR-DUPLICATE detection, the geometric analog of
+    the MinHash-LSH document pass: two overlapping delivery zones, two
+    redrawn geofence revisions, two copies of the same admin boundary
+    collapse onto the same high-IoU pair.
+
+    Scale shape (the LSH shape, applied to geometry): polygons are
+    rasterized to zoom-``zoom`` cells (`rasterize_polygons`, pure
+    Catalyst), and candidate pairs come from ONE equi-self-join on the
+    CELL id — only polygons that physically share a tile ever meet, so
+    the join is bucketed by spatial density, never all-pairs over the
+    dimension. Map-side partial counts collapse the per-cell pair rows
+    to per-pair intersection counts; per-polygon areas are a
+    polygon-count-sized relation, broadcast onto the pair relation.
+    Exact set semantics on the raster: |A∩B| and |A|,|B| are integer
+    cell counts, IoU = shared/(a+b−shared) is ONE shared double
+    expression — hash-checkable vs the DuckDB twin.
+
+    Output per intersecting unordered pair (poly_a < poly_b):
+    (poly_a, poly_b, cells_a, cells_b, cells_shared, iou),
+    filtered to iou >= ``min_iou`` when given."""
+    rast = track(
+        rasterize_polygons(polygons, zoom, bounds).select("poly_id", "tile_id")
+    )
+    area = rast.groupBy("poly_id").agg(F.count(F.lit(1)).alias("cells"))
+    shared = (
+        rast.select(F.col("poly_id").alias("poly_a"), "tile_id")
+        .join(rast.select(F.col("poly_id").alias("poly_b"), "tile_id"), "tile_id")
+        .filter(F.col("poly_a") < F.col("poly_b"))
+        .groupBy("poly_a", "poly_b")
+        .agg(F.count(F.lit(1)).alias("cells_shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(
+                area.select(
+                    F.col("poly_id").alias("poly_a"), F.col("cells").alias("cells_a")
+                )
+            ),
+            "poly_a",
+        )
+        .join(
+            F.broadcast(
+                area.select(
+                    F.col("poly_id").alias("poly_b"), F.col("cells").alias("cells_b")
+                )
+            ),
+            "poly_b",
+        )
+        .withColumn("iou", F.expr(_iou_expr()))
+        .select("poly_a", "poly_b", "cells_a", "cells_b", "cells_shared", "iou")
+    )
+    if min_iou > 0.0:
+        out = out.filter(F.expr(f"iou >= {min_iou!r}"))
+    return out
+
+
+def polygon_tile_iou_sql_duck(
+    edges_cte: str, zoom: int, min_iou: float = 0.0, bounds=None
+) -> str:
+    """DuckDB twin of `polygon_tile_iou` — identical rasterization CTEs,
+    the same cell-bucketed pair join by the DEFINITION, the identical
+    final IoU expression. Embed after a CTE providing ``edges_cte``."""
+    where = f"\nWHERE {_iou_expr()} >= {min_iou!r}" if min_iou > 0.0 else ""
+    return f"""{_rasterize_ctes_duck(edges_cte, zoom, bounds)},
+parea AS (SELECT poly_id, COUNT(*) AS cells FROM rcells GROUP BY 1),
+pshared AS (SELECT a.poly_id AS poly_a, b.poly_id AS poly_b,
+                   COUNT(*) AS cells_shared
+            FROM rcells a JOIN rcells b
+              ON a.tile_id = b.tile_id AND a.poly_id < b.poly_id
+            GROUP BY 1, 2),
+pj AS (SELECT s.poly_a, s.poly_b, aa.cells AS cells_a, ab.cells AS cells_b,
+              s.cells_shared
+       FROM pshared s
+       JOIN parea aa ON aa.poly_id = s.poly_a
+       JOIN parea ab ON ab.poly_id = s.poly_b)
+SELECT poly_a, poly_b, cells_a, cells_b, cells_shared,
+       {_iou_expr()} AS iou
+FROM pj{where}"""
 
 
 # ---------------------------------------------------- nearest-site assign

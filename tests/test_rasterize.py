@@ -53,3 +53,39 @@ def test_rasterize_tile_ids_match_morton_interleave(spark):
             expect |= ((r["tx"] >> i) & 1) << (2 * i)
             expect |= ((r["ty"] >> i) & 1) << (2 * i + 1)
         assert r["tile_id"] == expect
+
+
+def test_polygon_tile_iou_matches_set_brute_force(spark):
+    """IoU pairs must equal the brute-force set arithmetic over the
+    independently-computed numpy rasterization: every pair of polygons
+    with intersecting tile sets appears exactly once (a < b), with
+    exact integer cell counts and IoU = shared / union."""
+    from linear_quadtree_spark.operators.spatial import polygon_tile_iou
+
+    m = 48
+    out = polygon_tile_iou(polygons_df(spark, m), ZOOM).collect()
+    tiles = {p: _brute_tiles(p) for p in range(m)}
+    exp = {}
+    for a in range(m):
+        for b in range(a + 1, m):
+            shared = len(tiles[a] & tiles[b])
+            if shared:
+                exp[(a, b)] = (len(tiles[a]), len(tiles[b]), shared)
+    got = {(r["poly_a"], r["poly_b"]): (r["cells_a"], r["cells_b"], r["cells_shared"])
+           for r in out}
+    assert got == exp
+    for r in out:
+        union = r["cells_a"] + r["cells_b"] - r["cells_shared"]
+        assert r["iou"] == r["cells_shared"] / union
+        assert 0.0 < r["iou"] <= 1.0
+
+
+def test_polygon_tile_iou_min_iou_filters(spark):
+    from linear_quadtree_spark.operators.spatial import polygon_tile_iou
+
+    full = polygon_tile_iou(polygons_df(spark, 48), ZOOM).collect()
+    thresh = sorted(r["iou"] for r in full)[len(full) // 2]
+    kept = polygon_tile_iou(polygons_df(spark, 48), ZOOM, min_iou=thresh).collect()
+    assert {(r["poly_a"], r["poly_b"]) for r in kept} == {
+        (r["poly_a"], r["poly_b"]) for r in full if r["iou"] >= thresh
+    }
