@@ -460,6 +460,23 @@ def _tile_diurnal_oracle() -> str:
     return tile_diurnal_sql_duck("events", zoom=4)
 
 
+def _tile_time_cube_oracle() -> str:
+    from linear_quadtree_spark.operators.spacetime import tile_time_cube_sql_duck
+
+    return tile_time_cube_sql_duck("events", zoom=4)
+
+
+def _q_tile_time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity tile/time OLAP cube (operators/spacetime.py):
+    ROLLUP(tile, dow, hour) in ONE Expand + ONE hash aggregate — three
+    grains, one shuffle; portable epoch day-of-week, order-free MAX so
+    every column hashes bit-identically across engines."""
+    from linear_quadtree_spark.operators.spacetime import tile_time_cube
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_time_cube(ev, zoom=4)
+
+
 def _q_distance_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-decay curve (operators/trajectory.py): od_flows trips
     bucketed by squared grid distance into power-of-two bins via the
@@ -2938,6 +2955,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_type_mix": _q_tile_type_mix,
         "commute_matrix": _q_commute_matrix,
         "tile_diurnal": _q_tile_diurnal,
+        "tile_time_cube": _q_tile_time_cube,
         "distance_decay": _q_distance_decay,
         "user_jaccard_pairs": _q_user_jaccard_pairs,
         "idw_surface": _q_idw_surface,
@@ -3792,6 +3810,7 @@ GROUP BY 1
         "tile_type_mix": _tile_type_mix_oracle(),
         "commute_matrix": _commute_matrix_oracle(),
         "tile_diurnal": _tile_diurnal_oracle(),
+        "tile_time_cube": _tile_time_cube_oracle(),
         "distance_decay": _distance_decay_oracle(),
         "user_jaccard_pairs": _user_jaccard_pairs_oracle(),
         "idw_surface": _idw_surface_oracle(),

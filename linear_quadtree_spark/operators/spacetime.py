@@ -42,6 +42,8 @@ __all__ = [
     "tile_type_mix_sql_duck",
     "tile_diurnal",
     "tile_diurnal_sql_duck",
+    "tile_time_cube",
+    "tile_time_cube_sql_duck",
     "tile_activity", "tile_activity_sql_duck", "tile_activity_stream",
     "tile_trend", "tile_trend_sql_duck",
     "colocation_pairs", "colocation_pairs_sql_duck",
@@ -1892,4 +1894,91 @@ SELECT dir.tile, n_events, n_hours, peak_hour, peak_n,
        CAST((1000000 * ss) // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS hour_hhi_ppm,
        (1000000 * night) // n_events AS night_ppm
 FROM dir JOIN dip ON dir.tile = dip.tile
+"""
+
+
+def tile_time_cube(
+    events: DataFrame,
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-granularity tile/time OLAP cube in ONE declared pass:
+    ``ROLLUP(tile, dow, hour)`` — per (tile, day-of-week, hour-of-day),
+    per (tile, day-of-week), and per tile, the grand-total row dropped.
+    This is the precomputed rollup a tile-serving dashboard reads at
+    every zoom of its time axis, and the idiomatic Catalyst shape for
+    it: the ROLLUP lowers to one Expand (3 grouping sets) feeding ONE
+    hash aggregate with map-side partial combine, so all three
+    granularities cost a single shuffle of the (already tile-bounded)
+    expand output — not three scans of the events relation.
+
+    Day-of-week is the PORTABLE epoch formula ``((epoch_days) + 4) % 7``
+    (0 = Sunday; 1970-01-01 was a Thursday): Spark's ``dayofweek`` is
+    1-7 Sunday-first while DuckDB's is 0-6, so neither builtin can be
+    the shared definition. Session timezone is pinned UTC (oracle
+    parity). ``max_value`` rather than a float sum: double addition is
+    order-dependent across engines; MAX is order-free, so every output
+    column hashes bit-identically.
+
+    Output: (tile, dow, hour, gid, n_events, n_users, max_value) where
+    gid ∈ {0 (tile,dow,hour), 1 (tile,dow), 3 (tile)} disambiguates the
+    NULLed-out grain columns exactly like SQL GROUPING_ID."""
+    keyed = _with_keys(events, zoom, bounds, geotag_col, ts_col)
+    d = keyed.select(
+        "tile",
+        F.expr(
+            f"((CAST(unix_timestamp({ts_col}) AS BIGINT) div 86400) + 4) % 7"
+        ).alias("dow"),
+        F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        F.col(user_col),
+        F.col(value_col),
+    )
+    return (
+        d.rollup("tile", "dow", "hour")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.max(value_col).alias("max_value"),
+        )
+        .filter(F.col("gid") < 7)
+        .select("tile", "dow", "hour", "gid", "n_events", "n_users", "max_value")
+    )
+
+
+def tile_time_cube_sql_duck(
+    src: str = "events",
+    zoom: int = 4,
+    bounds: Bounds = DEFAULT_BOUNDS,
+    geotag_col: str = "event_id",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin — identical keying, the same epoch day-of-week
+    formula, GROUP BY ROLLUP with GROUPING() as the grain id."""
+    from linear_quadtree_spark.functions.geocell import geocell_sql_duck
+    from linear_quadtree_spark.functions.geotag import geotag_x_sql, geotag_y_sql
+
+    cell = geocell_sql_duck(
+        geotag_x_sql(geotag_col), geotag_y_sql(geotag_col), bounds, zoom
+    )
+    return f"""
+WITH ck AS (SELECT {cell} AS tile,
+                   ((CAST(epoch({ts_col}) AS BIGINT) // 86400) + 4) % 7 AS dow,
+                   CAST(hour({ts_col}) AS INT) AS hour,
+                   {user_col}, {value_col}
+            FROM {src})
+SELECT tile, dow, hour,
+       CAST(GROUPING(tile, dow, hour) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT {user_col}) AS BIGINT) AS n_users,
+       MAX({value_col}) AS max_value
+FROM ck
+GROUP BY ROLLUP(tile, dow, hour)
+HAVING GROUPING(tile, dow, hour) < 7
 """
