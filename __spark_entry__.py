@@ -244,6 +244,21 @@ def _q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(tbl, zoom=4)
 
 
+GAPS_ZOOM = 5
+GAPS_BBOX = (1010.0, 1010.0, 1060.0, 1060.0)
+
+
+def _q_tile_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-hole detection (operators/spatial.py): every unoccupied
+    zoom-5 lattice tile inside the query bbox — distributed div/mod
+    lattice generation LEFT-ANTI-joined against the memoized occupied
+    aggregate, both sides bbox-bounded."""
+    from linear_quadtree_spark.operators.spatial import tile_coverage_gaps
+
+    tbl = _build_table(spark, sf_dir)
+    return tile_coverage_gaps(tbl, GAPS_ZOOM, *GAPS_BBOX)
+
+
 def _q_trip_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trip-length (hop displacement) histogram
     (operators/trajectory.py): squared-distance bins with a shared
@@ -2938,6 +2953,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "morans_i": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
         "local_moran": _q_local_moran,
+        "tile_coverage_gaps": _q_tile_coverage_gaps,
         "general_g": _q_general_g,
         "quadrat_test": _q_quadrat_test,
         "ripley_k": _q_ripley_k,
@@ -3134,6 +3150,16 @@ def _gi_star_oracle() -> str:
         f"WITH {_PTS_CTE},\n"
         f"{ref_prefix_cte_duck('pts', 4, DEFAULT_BOUNDS)},"
         f"{gi_star_sql_duck(4)}"
+    )
+
+
+def _tile_coverage_gaps_oracle() -> str:
+    from linear_quadtree_spark.operators.spatial import tile_coverage_gaps_sql_duck
+
+    return (
+        f"WITH {_PTS_CTE},\n"
+        f"{ref_prefix_cte_duck('pts', GAPS_ZOOM, DEFAULT_BOUNDS)},"
+        f"{tile_coverage_gaps_sql_duck(DEFAULT_BOUNDS, GAPS_ZOOM, *GAPS_BBOX)}"
     )
 
 
@@ -3793,6 +3819,7 @@ GROUP BY 1
         "morans_i": _morans_i_oracle(),
         "gi_star_hotspots": _gi_star_oracle(),
         "local_moran": _local_moran_oracle(),
+        "tile_coverage_gaps": _tile_coverage_gaps_oracle(),
         "general_g": _general_g_oracle(),
         "quadrat_test": _quadrat_oracle(),
         "ripley_k": _ripley_k_oracle(),

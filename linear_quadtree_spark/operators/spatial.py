@@ -40,6 +40,8 @@ __all__ = [
     "rasterize_polygons_sql_duck",
     "polygon_tile_iou",
     "polygon_tile_iou_sql_duck",
+    "tile_coverage_gaps",
+    "tile_coverage_gaps_sql_duck",
     "tile_pyramid",
     "occupancy_hist",
     "focal_smooth",
@@ -1225,3 +1227,95 @@ SELECT tile_id, tx, ty, n_points, focal_sum, n_occupied_nbrs,
          / ((LEAST(tx + 1, {m}) - GREATEST(tx - 1, 0) + 1)
             * (LEAST(ty + 1, {m}) - GREATEST(ty - 1, 0) + 1)) AS focal_mean
 FROM nb"""
+
+
+def _bbox_tile_range(bounds, zoom: int, x0: float, y0: float, x1: float, y1: float):
+    """Driver-side clamped tile-index range of a bbox — the SAME
+    floor((v − start) · n/(end − start)) grid arithmetic the axis-index
+    expressions use, computed once so the Spark lattice and the DuckDB
+    twin enumerate the identical cells."""
+    n = 1 << zoom
+    sx = n / (bounds.xend - bounds.xstart)
+    sy = n / (bounds.yend - bounds.ystart)
+
+    def _clamp(v: float, s: float, start: float) -> int:
+        return int(min(max(math.floor((v - start) * s), 0), n - 1))
+
+    return (
+        _clamp(x0, sx, bounds.xstart), _clamp(x1, sx, bounds.xstart),
+        _clamp(y0, sy, bounds.ystart), _clamp(y1, sy, bounds.ystart),
+    )
+
+
+def tile_coverage_gaps(
+    tbl: LQTTable, zoom: int, x0: float, y0: float, x1: float, y1: float
+) -> DataFrame:
+    """Coverage-hole detection: every UNOCCUPIED tile of the zoom-level
+    lattice inside the query bbox — "where has the crawl/sensor sweep
+    never landed", the complement query none of the occupancy rollups
+    answer (they only describe occupied cells).
+
+    Scale shape: the lattice is generated DISTRIBUTED — ``spark.range``
+    over the bbox's cell count with div/mod index arithmetic, so a
+    million-cell window parallelizes instead of exploding from one row —
+    and the occupied side is the table's MEMOIZED per-zoom aggregate
+    (`LQTTable.tile_counts`) pre-filtered to the same index range, so
+    the LEFT ANTI equi-join is bbox-bounded on both sides. Tile ids are
+    reference key semantics (collapsed keys name their coarser tile),
+    identical to every other tile query; the twin enumerates the same
+    lattice with the same driver-computed clamped range.
+
+    Output per gap tile: (tile_id, tx, ty)."""
+    from linear_quadtree_spark.functions.geocell import _interleave_expr
+
+    tx0, tx1, ty0, ty1 = _bbox_tile_range(tbl.bounds, zoom, x0, y0, x1, y1)
+    ntx, nty = tx1 - tx0 + 1, ty1 - ty0 + 1
+    spark = tbl.main.sparkSession
+    lat = spark.range(ntx * nty).select(
+        (F.lit(tx0) + F.expr("id div " + str(nty))).alias("tx"),
+        (F.lit(ty0) + F.col("id") % nty).alias("ty"),
+    )
+    occ = tbl.tile_counts(zoom).select("tx", "ty").filter(
+        (F.col("tx") >= tx0) & (F.col("tx") <= tx1)
+        & (F.col("ty") >= ty0) & (F.col("ty") <= ty1)
+    )
+    return (
+        lat.join(occ, ["tx", "ty"], "left_anti")
+        .select(
+            F.expr(_interleave_expr(SPARK, "tx", "ty", zoom)).alias("tile_id"),
+            "tx",
+            "ty",
+        )
+    )
+
+
+def tile_coverage_gaps_sql_duck(
+    bounds, zoom: int, x0: float, y0: float, x1: float, y1: float
+) -> str:
+    """DuckDB twin — the identical driver-computed lattice range, the
+    same div/mod enumeration over ``range()``, NOT EXISTS against the
+    reference-prefix occupied set. Embed after a CTE chain providing
+    ``refenc(pref)``."""
+    from linear_quadtree_spark.functions.geocell import (
+        _interleave_expr,
+        cell_axis_expr,
+    )
+    from linear_quadtree_spark.functions.textexpr import DUCK
+
+    tx0, tx1, ty0, ty1 = _bbox_tile_range(bounds, zoom, x0, y0, x1, y1)
+    ntx, nty = tx1 - tx0 + 1, ty1 - ty0 + 1
+    return f"""
+occ AS (SELECT DISTINCT pref AS tile_id FROM refenc),
+occ2 AS (SELECT {cell_axis_expr(DUCK, 'tile_id', zoom, 0)} AS tx,
+                {cell_axis_expr(DUCK, 'tile_id', zoom, 1)} AS ty
+         FROM occ),
+lat AS (SELECT CAST({tx0} + (i // {nty}) AS BIGINT) AS tx,
+               CAST({ty0} + (i % {nty}) AS BIGINT) AS ty
+        FROM range({ntx * nty}) t(i)),
+gaps AS (SELECT l.tx, l.ty FROM lat l
+         WHERE NOT EXISTS (SELECT 1 FROM occ2 o
+                           WHERE o.tx = l.tx AND o.ty = l.ty
+                             AND o.tx BETWEEN {tx0} AND {tx1}
+                             AND o.ty BETWEEN {ty0} AND {ty1}))
+SELECT {_interleave_expr(DUCK, 'tx', 'ty', zoom)} AS tile_id, tx, ty
+FROM gaps"""
