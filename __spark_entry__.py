@@ -1574,6 +1574,26 @@ def _q_ann_topk_ivf_km(spark, sf_dir):
     return _sim.ann_topk_ivf_kmeans(corpus_embs(spark, sf_dir), ANN_QIDS, k=10)
 
 
+def _q_ann_recall_ivf(spark, sf_dir):
+    """Recall@10 of the IVF index vs exact brute force per query — the
+    acceptance gate an approximate index must pass before it replaces
+    the exact scan. Both top-k relations are query-count x k sized."""
+    embs = corpus_embs(spark, sf_dir)
+    return _sim.ann_recall(
+        _sim.ann_topk_bruteforce(embs, ANN_QIDS, k=10),
+        _sim.ann_topk_ivf(embs, ANN_QIDS, k=10),
+    )
+
+
+def _q_ann_recall_lsh(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH index vs exact brute force."""
+    embs = corpus_embs(spark, sf_dir)
+    return _sim.ann_recall(
+        _sim.ann_topk_bruteforce(embs, ANN_QIDS, k=10),
+        _sim.ann_topk_lsh(embs, ANN_QIDS, k=10),
+    )
+
+
 def _q_ann_topk_pq(spark, sf_dir):
     """PQ/ADC approximate top-k: per-subspace integer k-means codebooks
     (8 subspaces × 16 centroids over the 64-dim corpus → 8-byte codes,
@@ -2891,6 +2911,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "ann_recall_lsh": _q_ann_recall_lsh,
         "ann_topk_ivf_km": _q_ann_topk_ivf_km,
         "ann_topk_pq": _q_ann_topk_pq,
         "emb_neardup_pairs": _q_emb_neardup,
@@ -3683,6 +3705,12 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ann_topk": _emb_corpus(_sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_lsh": _emb_corpus(_sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_ivf": _emb_corpus(_sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10)),
+        "ann_recall_ivf": _emb_corpus(_sim.ann_recall_sql_duck(
+            _sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10),
+            _sim.ann_topk_ivf_sql_duck(ANN_QIDS, k=10))),
+        "ann_recall_lsh": _emb_corpus(_sim.ann_recall_sql_duck(
+            _sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10),
+            _sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10))),
         "ann_topk_ivf_km": _emb_corpus(_sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_pq": _emb_corpus(_sim.ann_topk_pq_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),

@@ -41,6 +41,8 @@ from linear_quadtree_spark.functions.textexpr import (
 )
 
 __all__ = [
+    "ann_recall",
+    "ann_recall_sql_duck",
     "EMB_DIM",
     "HYPERPLANES",
     "ann_topk_bruteforce",
@@ -1263,3 +1265,61 @@ r2 AS (SELECT qid, {id_col}, d2q,
 SELECT qid, {id_col}, d2q, CAST(rn AS INTEGER) AS rn FROM r2 WHERE rn <= {k}
 """
     )
+
+
+def ann_recall(
+    truth: DataFrame, approx: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Recall@k evaluation of an ANN variant against exact brute-force
+    ground truth — the acceptance gate every approximate index needs
+    before it replaces the exact scan in a retrieval pipeline.
+
+    ``truth``/``approx`` are any two (qid, id_col, ...) top-k relations
+    (`ann_topk_bruteforce` vs `ann_topk_lsh`/`ann_topk_ivf`/...).
+    Scale shape: both inputs are query-count × k relations — tiny by
+    construction regardless of corpus size — so the equi-join and the
+    two aggregates are trivially bounded; the expensive part is
+    producing the top-k inputs, whose plans are audited separately.
+    Integer-exact: recall_ppm = 10^6·|truth ∩ approx| div k_truth.
+
+    Output per query: (qid, k_truth, n_hit, recall_ppm)."""
+    t = truth.select("qid", id_col)
+    a = approx.select("qid", id_col)
+    hit = (
+        t.join(a, ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = t.groupBy("qid").agg(F.count(F.lit(1)).alias("k_truth"))
+    return (
+        base.join(hit, "qid", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("long"))
+        .selectExpr(
+            "qid",
+            "k_truth",
+            "n_hit",
+            "(1000000 * n_hit) div k_truth AS recall_ppm",
+        )
+    )
+
+
+def ann_recall_sql_duck(
+    truth_sql: str, approx_sql: str, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin — the two full top-k twin queries embedded as derived
+    tables (each carries its own nested WITH; outer CTEs like the
+    corpus remain visible), identical integer recall arithmetic."""
+    z = "CAST(0 AS BIGINT)"
+    return f"""
+WITH truth AS (SELECT qid, {id_col} FROM ({truth_sql})),
+approx AS (SELECT qid, {id_col} FROM ({approx_sql})),
+hits AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM truth t JOIN approx a
+           ON a.qid = t.qid AND a.{id_col} = t.{id_col}
+         GROUP BY 1),
+base AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k_truth
+         FROM truth GROUP BY 1)
+SELECT b.qid, b.k_truth, COALESCE(h.n_hit, {z}) AS n_hit,
+       (1000000 * COALESCE(h.n_hit, {z})) // b.k_truth AS recall_ppm
+FROM base b LEFT JOIN hits h ON h.qid = b.qid
+"""

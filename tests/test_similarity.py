@@ -295,3 +295,45 @@ def test_trainer_sample_bounded_and_invariant_under_corpus_growth(spark, sf_dir)
         for r in S.train_pq_codebooks(grown10, max_sample=cap).collect()
     )
     assert pq_small == pq_big
+
+
+def test_ann_recall_semantics(spark):
+    """recall_ppm is exact integer set arithmetic: identical top-k →
+    10^6; disjoint → 0 with the query still emitted; partial → floor."""
+    from linear_quadtree_spark.operators.similarity import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "qid long, vec_id long",
+    )
+    same = ann_recall(truth, truth).collect()
+    assert all(r["recall_ppm"] == 1_000_000 and r["n_hit"] == 3 for r in same)
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 98), (2, 77), (2, 78), (2, 79)],
+        "qid long, vec_id long",
+    )
+    out = {r["qid"]: r for r in ann_recall(truth, approx).collect()}
+    assert out[1]["n_hit"] == 1 and out[1]["recall_ppm"] == 333_333
+    assert out[2]["n_hit"] == 0 and out[2]["recall_ppm"] == 0
+    assert out[2]["k_truth"] == 3
+
+
+def test_ann_recall_ivf_is_high_on_corpus(spark, sf_dir):
+    """The IVF index must actually be a usable index on the synthetic
+    corpus: macro recall@10 >= 0.5 (deterministic fixture)."""
+    import __spark_entry__ as entrymod
+    from linear_quadtree_spark.operators.similarity import (
+        ann_recall,
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    embs = entrymod.corpus_embs(spark, sf_dir)
+    rows = ann_recall(
+        ann_topk_bruteforce(embs, entrymod.ANN_QIDS, k=10),
+        ann_topk_ivf(embs, entrymod.ANN_QIDS, k=10),
+    ).collect()
+    assert len(rows) == len(entrymod.ANN_QIDS)
+    macro = sum(r["recall_ppm"] for r in rows) / len(rows)
+    assert macro >= 500_000, f"IVF macro recall collapsed: {macro}"
