@@ -1504,6 +1504,19 @@ def _q_minhash_lsh(spark, sf_dir):
     return _dedup.minhash_lsh_pairs(corpus_docs(spark, sf_dir))
 
 
+def _q_minhash_pair_recall(spark, sf_dir):
+    """Banding acceptance gate: recall/precision of the MinHash-LSH pair
+    pass vs the EXACT inverted-index Jaccard ground truth at the same
+    tau (cap off). Verify step makes precision 1 by construction; recall
+    measures band-collision misses — the number that justifies the
+    16-perm / 4x4 banding choice."""
+    corpus = corpus_docs(spark, sf_dir)
+    return _dedup.pair_recall(
+        _dedup.ngram_jaccard_pairs(corpus, tau_pct=80, max_doc_freq=None),
+        _dedup.minhash_lsh_pairs(corpus, tau_pct=80),
+    )
+
+
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup-group resolution: MinHash near-dup pairs →
     distributed connected components (min-label propagation + pointer
@@ -2901,6 +2914,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_pair_recall": _q_minhash_pair_recall,
         "dedup_groups": _q_dedup_groups,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -3693,6 +3707,9 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "incremental_dedup": _corpus(_text.dedup_against_sql_duck(
             "corpus", "doc_id % 2 = 0", "doc_id % 2 = 1")),
         "minhash_lsh_pairs": _corpus(_dedup.minhash_lsh_pairs_sql_duck("corpus")),
+        "minhash_pair_recall": _corpus(_dedup.pair_recall_sql_duck(
+            _dedup.ngram_jaccard_pairs_sql_duck("corpus", tau_pct=80, max_doc_freq=None),
+            _dedup.minhash_lsh_pairs_sql_duck("corpus", tau_pct=80))),
         "dedup_groups": _dedup_groups_oracle(),
         "simhash": _dedup.simhash_sketch_sql_duck(),
         "simhash_pairs": _corpus(_dedup.simhash_pairs_sql_duck("corpus")),

@@ -48,6 +48,8 @@ __all__ = [
     "simhash_pairs_sql_duck",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_sql_duck",
+    "pair_recall",
+    "pair_recall_sql_duck",
     "ngram_containment_pairs",
     "ngram_containment_pairs_sql_duck",
     "dup_spans",
@@ -543,4 +545,67 @@ FROM joined WHERE inter * 100 >= {tau_pct} * na
 UNION ALL
 SELECT id_b AS id_sub, id_a AS id_sup, inter, nb AS n_sub, na AS n_sup
 FROM joined WHERE inter * 100 >= {tau_pct} * nb
+"""
+
+
+def pair_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Candidate-generation recall/precision of a near-dup pair pass
+    against exact ground truth — the acceptance gate for the banding
+    parameters (bands × rows trade recall for join fan-out; this is the
+    measurement that justifies the choice).
+
+    ``truth``: the exact pair relation (e.g. `ngram_jaccard_pairs` with
+    the doc-freq cap off); ``approx``: the candidate pass under test
+    (e.g. `minhash_lsh_pairs` at the same tau — its verify step makes
+    precision 1 by construction, so the interesting number is recall:
+    the true pairs whose signatures never collided in any band).
+
+    Scale shape: three count aggregates and one equi-join on the pair
+    key — all over PAIR relations, which the inverted-index/banding
+    discipline already bounds far below n². Output is ONE row:
+    (n_truth, n_approx, n_hit, recall_ppm, precision_ppm), integer ppm,
+    NULL when the respective denominator is empty."""
+    t = truth.select(a_col, b_col)
+    a = approx.select(a_col, b_col)
+    nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    na = a.agg(F.count(F.lit(1)).alias("n_approx"))
+    nh = t.join(a, [a_col, b_col]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return nt.crossJoin(na).crossJoin(nh).selectExpr(
+        "n_truth",
+        "n_approx",
+        "n_hit",
+        "CASE WHEN n_truth = 0 THEN NULL"
+        " ELSE (1000000 * n_hit) div n_truth END AS recall_ppm",
+        "CASE WHEN n_approx = 0 THEN NULL"
+        " ELSE (1000000 * n_hit) div n_approx END AS precision_ppm",
+    )
+
+
+def pair_recall_sql_duck(
+    truth_sql: str,
+    approx_sql: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> str:
+    """DuckDB twin — the two full pair twins as derived tables (each
+    carries its own nested WITH), identical integer ppm arithmetic."""
+    return f"""
+WITH truth AS (SELECT {a_col}, {b_col} FROM ({truth_sql})),
+approx AS (SELECT {a_col}, {b_col} FROM ({approx_sql})),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+       FROM truth t JOIN approx a
+         ON a.{a_col} = t.{a_col} AND a.{b_col} = t.{b_col})
+SELECT n_truth, n_approx, n_hit,
+       CASE WHEN n_truth = 0 THEN NULL
+            ELSE (1000000 * n_hit) // n_truth END AS recall_ppm,
+       CASE WHEN n_approx = 0 THEN NULL
+            ELSE (1000000 * n_hit) // n_approx END AS precision_ppm
+FROM nt, na, nh
 """
