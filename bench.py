@@ -530,6 +530,14 @@ def main() -> None:
     ).count()
     timings["tile_diurnal"] = time.time() - t0
 
+    # three-grain ROLLUP in one Expand + one hash aggregate
+    t0 = _probe_mark("tile_time_cube")
+    from linear_quadtree_spark.operators.spacetime import tile_time_cube
+    cube_rows = tile_time_cube(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), zoom=6
+    ).count()
+    timings["tile_time_cube"] = time.time() - t0
+
     t0 = _probe_mark("distance_decay")
     from linear_quadtree_spark.operators.trajectory import distance_decay
     decay_rows = distance_decay(
@@ -1098,6 +1106,7 @@ def main() -> None:
             "type_mix_tiles": mix_rows,
             "commute_pairs": commute_rows,
             "diurnal_tiles": diurnal_rows,
+            "time_cube_rows": cube_rows,
             "decay_bins": decay_rows,
             "user_jaccard_pairs": ujp_rows,
             "idw_grid_cells": idw_rows,
