@@ -1517,6 +1517,19 @@ def _q_minhash_pair_recall(spark, sf_dir):
     )
 
 
+def _q_simhash_pair_recall(spark, sf_dir):
+    """The pigeonhole-exactness claim MEASURED: banded simhash_pairs vs
+    the all-pairs hamming ground truth at the same bound — recall and
+    precision must both read exactly 10^6 (the banded join provably
+    loses nothing at hamming <= bands-1 and the xor filter removes all
+    false candidates)."""
+    corpus = corpus_docs(spark, sf_dir)
+    return _dedup.pair_recall(
+        _dedup.simhash_bruteforce_pairs(corpus, max_hamming=3),
+        _dedup.simhash_pairs(corpus, max_hamming=3),
+    )
+
+
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup-group resolution: MinHash near-dup pairs →
     distributed connected components (min-label propagation + pointer
@@ -1604,6 +1617,26 @@ def _q_ann_recall_lsh(spark, sf_dir):
     return _sim.ann_recall(
         _sim.ann_topk_bruteforce(embs, ANN_QIDS, k=10),
         _sim.ann_topk_lsh(embs, ANN_QIDS, k=10),
+    )
+
+
+def _q_ann_recall_ivf_km(spark, sf_dir):
+    """Recall@10 of the k-means-quantizer IVF index vs brute force."""
+    embs = corpus_embs(spark, sf_dir)
+    return _sim.ann_recall(
+        _sim.ann_topk_bruteforce(embs, ANN_QIDS, k=10),
+        _sim.ann_topk_ivf_kmeans(embs, ANN_QIDS, k=10),
+    )
+
+
+def _q_ann_recall_pq(spark, sf_dir):
+    """Recall@10 of the product-quantization index (ADC scan + exact
+    rerank) vs brute force — the acceptance number for the 8-byte-code
+    memory story."""
+    embs = corpus_embs(spark, sf_dir)
+    return _sim.ann_recall(
+        _sim.ann_topk_bruteforce(embs, ANN_QIDS, k=10),
+        _sim.ann_topk_pq(embs, ANN_QIDS, k=10),
     )
 
 
@@ -2915,6 +2948,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "minhash_pair_recall": _q_minhash_pair_recall,
+        "simhash_pair_recall": _q_simhash_pair_recall,
         "dedup_groups": _q_dedup_groups,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -2927,6 +2961,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_recall_ivf": _q_ann_recall_ivf,
         "ann_recall_lsh": _q_ann_recall_lsh,
+        "ann_recall_ivf_km": _q_ann_recall_ivf_km,
+        "ann_recall_pq": _q_ann_recall_pq,
         "ann_topk_ivf_km": _q_ann_topk_ivf_km,
         "ann_topk_pq": _q_ann_topk_pq,
         "emb_neardup_pairs": _q_emb_neardup,
@@ -3707,6 +3743,9 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "incremental_dedup": _corpus(_text.dedup_against_sql_duck(
             "corpus", "doc_id % 2 = 0", "doc_id % 2 = 1")),
         "minhash_lsh_pairs": _corpus(_dedup.minhash_lsh_pairs_sql_duck("corpus")),
+        "simhash_pair_recall": _corpus(_dedup.pair_recall_sql_duck(
+            _dedup.simhash_bruteforce_pairs_sql_duck("corpus", max_hamming=3),
+            _dedup.simhash_pairs_sql_duck("corpus", max_hamming=3))),
         "minhash_pair_recall": _corpus(_dedup.pair_recall_sql_duck(
             _dedup.ngram_jaccard_pairs_sql_duck("corpus", tau_pct=80, max_doc_freq=None),
             _dedup.minhash_lsh_pairs_sql_duck("corpus", tau_pct=80))),
@@ -3728,6 +3767,12 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         "ann_recall_lsh": _emb_corpus(_sim.ann_recall_sql_duck(
             _sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10),
             _sim.ann_topk_lsh_sql_duck(ANN_QIDS, k=10))),
+        "ann_recall_ivf_km": _emb_corpus(_sim.ann_recall_sql_duck(
+            _sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10),
+            _sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10))),
+        "ann_recall_pq": _emb_corpus(_sim.ann_recall_sql_duck(
+            _sim.ann_topk_bruteforce_sql_duck(ANN_QIDS, k=10),
+            _sim.ann_topk_pq_sql_duck(ANN_QIDS, k=10))),
         "ann_topk_ivf_km": _emb_corpus(_sim.ann_topk_ivf_kmeans_sql_duck(ANN_QIDS, k=10)),
         "ann_topk_pq": _emb_corpus(_sim.ann_topk_pq_sql_duck(ANN_QIDS, k=10)),
         "emb_neardup_pairs": _emb_corpus(_sim.emb_neardup_pairs_sql_duck()),

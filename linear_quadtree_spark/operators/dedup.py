@@ -49,6 +49,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_sql_duck",
     "pair_recall",
+    "simhash_bruteforce_pairs",
+    "simhash_bruteforce_pairs_sql_duck",
     "pair_recall_sql_duck",
     "ngram_containment_pairs",
     "ngram_containment_pairs_sql_duck",
@@ -608,4 +610,47 @@ SELECT n_truth, n_approx, n_hit,
        CASE WHEN n_approx = 0 THEN NULL
             ELSE (1000000 * n_hit) // n_approx END AS precision_ppm
 FROM nt, na, nh
+"""
+
+
+def simhash_bruteforce_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_BANDS - 1,
+) -> DataFrame:
+    """EVALUATION-ONLY ground truth for `simhash_pairs`: ALL-PAIRS
+    hamming over the sketch relation — O(n²), run it on evaluation
+    fixtures, never the corpus (the banded pass is the production
+    plan). Exists so the pigeonhole-exactness claim (≤ SIMHASH_BANDS−1
+    differing bits ⇒ some band collides ⇒ the banded join loses
+    nothing) is MEASURED as recall 10^6 by `pair_recall`, not just
+    proven on paper."""
+    sk = simhash_sketch(docs, text_col, id_col)
+    a = sk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_bruteforce_pairs_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_BANDS - 1,
+) -> str:
+    """DuckDB twin — the same sketch CTEs, the definitional cross join."""
+    e = DUCK
+    return f"""
+WITH t AS (SELECT {id_col}, {tokens_expr(e, text_col)} AS toks FROM {src}),
+w AS (SELECT {id_col}, {word_hashes_expr(e, "toks")} AS wh FROM t),
+sk AS (SELECT {id_col}, {simhash_expr(e, "wh", SIMHASH_BITS)} AS simhash FROM w)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sk a JOIN sk b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """

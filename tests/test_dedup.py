@@ -27,3 +27,15 @@ def test_minhash_precision_is_one_on_corpus(spark, sf_dir):
     r = entrymod.queries()["minhash_pair_recall"](spark, sf_dir).first()
     assert r["precision_ppm"] == 1_000_000
     assert 0 < r["recall_ppm"] <= 1_000_000
+
+
+def test_simhash_pigeonhole_measured_exact(spark, sf_dir):
+    """Banded simhash vs all-pairs ground truth: recall AND precision
+    must be exactly 10^6 at hamming <= bands-1 — the pigeonhole theorem
+    as a measurement."""
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["simhash_pair_recall"](spark, sf_dir).first()
+    assert r["recall_ppm"] == 1_000_000
+    assert r["precision_ppm"] == 1_000_000
+    assert r["n_truth"] == r["n_approx"] == r["n_hit"]
