@@ -84,6 +84,10 @@ def connected_components(
         jumped = stepped.join(parent, stepped["lbl"] == parent["p_id"]).select(
             "id", F.col("p_lbl").alias("lbl")
         )
+        # EAGER checkpoint, measured: the lazy variant (eager=False,
+        # letting the convergence aggregate materialize) reads ~25%
+        # SLOWER here — the agg job then carries the full lineage plus
+        # the block write, and loses to the dedicated materialization
         labels = jumped.localCheckpoint()
         s = labels.agg(F.sum("lbl")).first()[0]
         if s == prev_sum:
