@@ -39,16 +39,28 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _canon_spark(t) -> tuple:
-    """Canonical type family for a Spark DataType (hash-relevant only)."""
+    """Canonical type family for a Spark DataType (hash-relevant only).
+
+    TOTAL over the engine's composable surface — scalar families plus
+    array/struct/map/interval recurse, so the only way to reach the
+    ("other", ...) sentinel is a genuinely new type family, which the
+    gate treats as a hard failure (fail-closed, never warn-and-pass)."""
+    import pyspark.sql.types as T
+
+    if isinstance(t, T.ArrayType):
+        return ("arr",) + _canon_spark(t.elementType)
+    if isinstance(t, T.StructType):
+        return ("struct",) + tuple(
+            (f.name, _canon_spark(f.dataType)) for f in t.fields
+        )
+    if isinstance(t, T.MapType):
+        return ("map", _canon_spark(t.keyType), _canon_spark(t.valueType))
+    if isinstance(t, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+        return ("interval",)
     s = t.simpleString()
     if s.startswith("decimal("):
         p, sc = s[8:-1].split(",")
         return ("dec", int(sc))
-    if s.startswith("array<"):
-        import pyspark.sql.types as T
-
-        assert isinstance(t, T.ArrayType)
-        return ("arr",) + _canon_spark(t.elementType)
     return {
         "bigint": ("int", 64), "int": ("int", 32),
         "smallint": ("int", 16), "tinyint": ("int", 8),
@@ -59,31 +71,47 @@ def _canon_spark(t) -> tuple:
     }.get(s, ("other", s))
 
 
+#: DuckDB scalar type-id → canonical family (DuckDBPyType.id spelling).
+_DUCK_SCALARS = {
+    "bigint": ("int", 64), "integer": ("int", 32), "int": ("int", 32),
+    "smallint": ("int", 16), "tinyint": ("int", 8),
+    "hugeint": ("int", 128), "ubigint": ("uint", 64),
+    "uinteger": ("uint", 32), "usmallint": ("uint", 16),
+    "utinyint": ("uint", 8), "double": ("float", 64),
+    "float": ("float", 32), "real": ("float", 32),
+    "varchar": ("str",), "boolean": ("bool",), "date": ("date",),
+    "timestamp": ("ts",), "timestamp with time zone": ("ts",),
+    "timestamp_ns": ("ts",), "timestamp_ms": ("ts",), "timestamp_s": ("ts",),
+    "blob": ("bin",), "interval": ("interval",),
+}
+
+
 def _canon_duck(t) -> tuple:
-    """Canonical type family for a DuckDB type (str(DuckDBPyType))."""
-    s = str(t).upper()
-    if s.endswith("[]"):
-        return ("arr",) + _canon_duck(s[:-2])
-    if s.startswith("DECIMAL("):
-        p, sc = s[8:-1].split(",")
-        return ("dec", int(sc))
-    return {
-        "BIGINT": ("int", 64), "INTEGER": ("int", 32), "INT": ("int", 32),
-        "SMALLINT": ("int", 16), "TINYINT": ("int", 8),
-        "HUGEINT": ("int", 128), "UBIGINT": ("uint", 64),
-        "UINTEGER": ("uint", 32), "DOUBLE": ("float", 64),
-        "FLOAT": ("float", 32), "REAL": ("float", 32),
-        "VARCHAR": ("str",), "BOOLEAN": ("bool",), "DATE": ("date",),
-        "TIMESTAMP": ("ts",), "TIMESTAMP WITH TIME ZONE": ("ts",),
-        "TIMESTAMP_NS": ("ts",), "TIMESTAMP_MS": ("ts",),
-        "BLOB": ("bin",),
-    }.get(s, ("other", s))
+    """Canonical type family for a DuckDBPyType — nested families
+    (list/struct/map/decimal) via `.id` + `.children`, scalars via the
+    id table. Same totality contract as `_canon_spark`."""
+    tid = str(getattr(t, "id", str(t))).lower()
+    if tid == "list":
+        return ("arr",) + _canon_duck(t.children[0][1])
+    if tid == "struct":
+        return ("struct",) + tuple(
+            (name, _canon_duck(ct)) for name, ct in t.children
+        )
+    if tid == "map":
+        kids = dict(t.children)
+        return ("map", _canon_duck(kids["key"]), _canon_duck(kids["value"]))
+    if tid == "decimal":
+        return ("dec", int(dict(t.children)["scale"]))
+    return _DUCK_SCALARS.get(tid, ("other", str(t)))
 
 
 def type_drift(spark_df, con, sql: str) -> list[str]:
     """Return per-column canonical-type mismatches between a (lazy)
     Spark plan and a (lazy) DuckDB relation — the driver-hash-visible
-    drift class. Empty list == type-exact."""
+    drift class. Empty list == type-exact. An UNMAPPED family on either
+    side is itself drift (the canonical maps are total over the types
+    the registry may produce; reaching the sentinel means the map needs
+    extending, and the gate fails rather than warns until it is)."""
     rel = con.sql(sql)
     sp = {f.name: _canon_spark(f.dataType) for f in spark_df.schema.fields}
     du = dict(zip(rel.columns, (_canon_duck(t) for t in rel.types)))
@@ -91,18 +119,28 @@ def type_drift(spark_df, con, sql: str) -> list[str]:
         return [f"columns {sorted(sp)} vs {sorted(du)}"]
     drift = []
     for c in sorted(sp):
-        if sp[c] == du[c]:
-            continue
-        if sp[c][0] == "other" and du[c][0] == "other":
-            # unmapped family (struct/map/interval/...): the two engines
-            # SPELL types differently, so inequality here proves nothing —
-            # warn for a manual look instead of hard-failing a query whose
-            # values may hash identically
-            print(f"    WARNING {c}: unmapped type family, not comparable —"
-                  f" spark {sp[c][1]} vs duckdb {du[c][1]}")
-            continue
-        drift.append(f"{c}: spark {sp[c]} vs duckdb {du[c]}")
+        for side, canon in (("spark", sp[c]), ("duckdb", du[c])):
+            if "other" in _flatten_canon(canon):
+                drift.append(
+                    f"{c}: UNMAPPED {side} type family {canon} — extend the "
+                    "canonical map in jobs/check_oracles.py"
+                )
+        if sp[c] != du[c]:
+            drift.append(f"{c}: spark {sp[c]} vs duckdb {du[c]}")
     return drift
+
+
+def _flatten_canon(canon) -> list:
+    """Every atom of a (possibly nested) canonical tuple."""
+    out = []
+    stack = [canon]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, tuple):
+            stack.extend(x)
+        else:
+            out.append(x)
+    return out
 
 
 def main() -> int:

@@ -289,7 +289,16 @@ def ngram_jaccard_pairs(
     mirrored by the oracle twin) drops shingle postings longer than the
     cap before the join — the guard against boilerplate shingles whose
     postings would otherwise explode quadratically at web scale. Pass
-    None for the fully exact unguarded join."""
+    None for the fully exact unguarded join — EVALUATION-ONLY (ground
+    truth for `pair_recall`): that path is row-count-guarded (raises
+    above EVAL_MAX_DOCS, evalguard.py) because without the doc-freq cap
+    a single hot shingle makes the self-join O(n²)."""
+    if max_doc_freq is None:
+        from linear_quadtree_spark.evalguard import eval_corpus_guard
+
+        eval_corpus_guard(
+            docs.select(id_col), "ngram_jaccard_pairs(max_doc_freq=None)"
+        )
     sets = track(with_shingles(docs, text_col).select(id_col, "shd"))
     sizes = sets.select(F.col(id_col), F.expr(SPARK.size("shd")).cast("long").alias("nsh"))
     post = sets.select(id_col, F.explode("shd").alias("s"))
@@ -569,11 +578,17 @@ def pair_recall(
 
     Scale shape: three count aggregates and one equi-join on the pair
     key — all over PAIR relations, which the inverted-index/banding
-    discipline already bounds far below n². Output is ONE row:
+    discipline already bounds far below n². Both inputs are projected
+    DISTINCT on (a_col, b_col): a duplicated pair row in either
+    relation would otherwise inflate n_hit through the equi-join and
+    let recall_ppm/precision_ppm exceed 10⁶ (every current caller
+    already emits distinct pairs; the projection makes the gate
+    correct by construction rather than by caller discipline).
+    Output is ONE row:
     (n_truth, n_approx, n_hit, recall_ppm, precision_ppm), integer ppm,
     NULL when the respective denominator is empty."""
-    t = truth.select(a_col, b_col)
-    a = approx.select(a_col, b_col)
+    t = truth.select(a_col, b_col).distinct()
+    a = approx.select(a_col, b_col).distinct()
     nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
     na = a.agg(F.count(F.lit(1)).alias("n_approx"))
     nh = t.join(a, [a_col, b_col]).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -595,10 +610,11 @@ def pair_recall_sql_duck(
     b_col: str = "id_b",
 ) -> str:
     """DuckDB twin — the two full pair twins as derived tables (each
-    carries its own nested WITH), identical integer ppm arithmetic."""
+    carries its own nested WITH), identical integer ppm arithmetic and
+    the same DISTINCT pair projection."""
     return f"""
-WITH truth AS (SELECT {a_col}, {b_col} FROM ({truth_sql})),
-approx AS (SELECT {a_col}, {b_col} FROM ({approx_sql})),
+WITH truth AS (SELECT DISTINCT {a_col}, {b_col} FROM ({truth_sql})),
+approx AS (SELECT DISTINCT {a_col}, {b_col} FROM ({approx_sql})),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
 na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx),
 nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -625,7 +641,12 @@ def simhash_bruteforce_pairs(
     plan). Exists so the pigeonhole-exactness claim (≤ SIMHASH_BANDS−1
     differing bits ⇒ some band collides ⇒ the banded join loses
     nothing) is MEASURED as recall 10^6 by `pair_recall`, not just
-    proven on paper."""
+    proven on paper. Guarded: raises above EVAL_MAX_DOCS input rows so
+    a registry sweep at a production scale factor cannot silently run
+    the n² join (linear_quadtree_spark/evalguard.py)."""
+    from linear_quadtree_spark.evalguard import eval_corpus_guard
+
+    eval_corpus_guard(docs.select(id_col), "simhash_bruteforce_pairs")
     sk = simhash_sketch(docs, text_col, id_col)
     a = sk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))

@@ -111,7 +111,17 @@ def ann_topk_bruteforce(
     """(qid, vec_id, rn, cos_ppm): exact top-k by cosine for each query
     vector (queries are rows of the table itself, excluded from their own
     result). Broadcast query side → shuffle-free linear scan + window
-    top-k."""
+    top-k. O(n·|q|): the baseline/ground-truth for the recall gates, so
+    |q| is bounded at EVAL_MAX_QUERIES (evalguard.py) — a |q| ≈ n call
+    would be the all-pairs similarity matrix in disguise."""
+    from linear_quadtree_spark.evalguard import EVAL_MAX_QUERIES
+
+    if len(query_ids) > EVAL_MAX_QUERIES:
+        raise ValueError(
+            f"ann_topk_bruteforce got {len(query_ids)} query ids, bound is "
+            f"{EVAL_MAX_QUERIES}: the brute-force scan is O(n*|q|) and "
+            "EVALUATION-ONLY — use the LSH/IVF/PQ operators for bulk top-k."
+        )
     ids = ", ".join(str(int(q)) for q in query_ids)
     q = embs.filter(F.expr(f"{id_col} IN ({ids})")).select(
         F.col(id_col).alias("qid"), F.col(emb_col).alias("q_emb")

@@ -1919,7 +1919,17 @@ def tile_time_cube(
     Day-of-week is the PORTABLE epoch formula ``((epoch_days) + 4) % 7``
     (0 = Sunday; 1970-01-01 was a Thursday): Spark's ``dayofweek`` is
     1-7 Sunday-first while DuckDB's is 0-6, so neither builtin can be
-    the shared definition. Session timezone is pinned UTC (oracle
+    the shared definition. Domain restriction: the formula uses
+    truncating integer division and sign-of-dividend modulo, so it is
+    only a valid weekday for ``ts >= 1970-01-01 UTC`` (pre-epoch
+    timestamps yield wrong or negative dow in BOTH engines — parity
+    holds, validity does not). Crawl/event timestamps are inherently
+    post-1970, so this is documented rather than branch-compensated;
+    the DuckDB twin applies FLOOR before the BIGINT cast because
+    DuckDB ``epoch()`` returns DOUBLE and a bare cast rounds half-up
+    (sub-second timestamps within 0.5 s of midnight would otherwise
+    land on the next day, where Spark's ``unix_timestamp`` floors).
+    Session timezone is pinned UTC (oracle
     parity). ``max_value`` rather than a float sum: double addition is
     order-dependent across engines; MAX is order-free, so every output
     column hashes bit-identically.
@@ -1969,7 +1979,7 @@ def tile_time_cube_sql_duck(
     )
     return f"""
 WITH ck AS (SELECT {cell} AS tile,
-                   ((CAST(epoch({ts_col}) AS BIGINT) // 86400) + 4) % 7 AS dow,
+                   ((CAST(FLOOR(epoch({ts_col})) AS BIGINT) // 86400) + 4) % 7 AS dow,
                    CAST(hour({ts_col}) AS INT) AS hour,
                    {user_col}, {value_col}
             FROM {src})
