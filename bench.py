@@ -94,7 +94,63 @@ def _probe_mark(name: str) -> float:
     return time.time()
 
 
+def family_bench(families: set[str]) -> None:
+    """Registry-driven per-family bench: time `queries()[k].count()` for
+    every registry key tagged with a requested family and print ONE JSON
+    line. This is the fast certification loop for a CHANGED family — the
+    full hand-tuned `main()` path (shared substrate, warm-up discipline,
+    probe gates) stays the headline record; this mode exists so a round
+    that touched only e.g. `dedup` can re-time 11 queries, not 118."""
+    import __spark_entry__ as entrymod
+
+    fam_map = entrymod.query_families()
+    assert set(fam_map) == set(entrymod.queries()), "untagged registry entries"
+    unknown = families - set(fam_map.values())
+    assert not unknown, f"unknown --family values: {sorted(unknown)}"
+    keys = [k for k, f in fam_map.items() if f in families]
+    spark = get_spark(
+        app_name="lqt-bench-family",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for k in keys:
+        t0 = _probe_mark(k)
+        rows[k] = qs[k](spark, SF_DIR).count()
+        timings[k] = round(time.time() - t0, 3)
+    spark.stop()
+    detail = {
+        "metric": "family_bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "families": sorted(families),
+        "queries": timings,
+        "result_rows": rows,
+        "probes": PROBES,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_FAMILY.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    compact = {k: v for k, v in detail.items() if k not in ("result_rows", "probes")}
+    compact["detail_file"] = detail_path.name
+    line = json.dumps(compact)
+    if len(line) >= 1500:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
+
+
 def main() -> None:
+    families = {
+        a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--family=")
+    }
+    if families:
+        family_bench(families)
+        return
     spark = get_spark(
         app_name="lqt-bench",
         master=f"local[{CPUS}]",

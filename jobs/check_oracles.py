@@ -146,8 +146,21 @@ def _flatten_canon(canon) -> list:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--types"]
     types_only = "--types" in sys.argv[1:]
+    families = {
+        a.split("=", 1)[1] for a in args if a.startswith("--family=")
+    }
+    args = [a for a in args if not a.startswith("--family=")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:]) or None
+    fam_map = entrymod.query_families()
+    # totality: every registry entry must carry a family tag, and every
+    # requested family must exist — typos fail loudly, never filter to ∅
+    assert set(fam_map) == set(entrymod.queries()), "untagged registry entries"
+    unknown = families - set(fam_map.values())
+    assert not unknown, f"unknown --family values: {sorted(unknown)}"
+    if families:
+        fam_keys = {k for k, f in fam_map.items() if f in families}
+        only = (only & fam_keys) if only else fam_keys
     spark = get_spark(
         app_name="check-oracles", master="local[8]", shuffle_partitions=16,
         extra_conf={"spark.ui.enabled": "false"},
