@@ -262,10 +262,16 @@ FROM (SELECT {id_col}, {w} AS _w FROM {src})
 
 
 # ------------------------------------------------------------- BPE trainer
+#: Bake the pending replace chain into a materialized corpus snapshot
+#: every this-many merge rounds (see train_bpe_merges).
+BPE_PERSIST_EVERY = 32
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    persist_every: int = BPE_PERSIST_EVERY,
 ) -> list[tuple[str, str]]:
     """Distributed BPE training (Sennrich et al. 2016): ``n_merges``
     rounds of [count adjacent pairs corpus-wide → take the most
@@ -273,32 +279,55 @@ def train_bpe_merges(
 
     Each round is ONE aggregate job over the corpus; the driver holds a
     single (pair, count) row per round — never a materialized corpus.
-    The corpus state between rounds is the wrapped-string column with
-    the accumulated replace chain applied lazily (re-derived from the
-    source each round: O(n_merges) string ops per row per round keeps
-    the plan a flat map, which beats checkpointing intermediates for
-    the n_merges <= 64 regime this targets; for deeper vocabularies,
-    persist the wrapped column every ~32 rounds).
+    Between rounds the corpus state is the wrapped-string column with
+    the not-yet-baked replace chain applied lazily; every
+    ``persist_every`` rounds the accumulated chain is BAKED into an
+    eager ``localCheckpoint`` snapshot (the repo's measured winner over
+    lazy/persist — operators/components.py) and the chain resets. That
+    bounds both the expression depth and the per-row string-op count at
+    O(persist_every) per scan regardless of n_merges — without the
+    bake, round r re-applied all r prior replaces to the raw source, so
+    total work grew O(n_merges² · scan). Sequential replace chains
+    compose associatively, so baking cannot change any merge decision
+    (pinned by the n_merges=64 equivalence test).
 
     Returns the rank-ordered merge list — feed it to
     ``bpe_segment_stats`` / ``apply_merges_expr``."""
     base = docs.select(F.expr(wrapped_expr(SPARK, text_col)).alias("_w"))
+    snapshot: DataFrame | None = None  # current checkpointed base, if any
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        merged = apply_merges_expr(SPARK, "_w", merges)
-        pairs = pairs_from_wrapped_expr(SPARK, f"({merged})")
-        top = (
-            base.select(F.explode(F.expr(pairs)).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < 2:
-            break
-        a, b = top[0]["pair"].split(" ", 1)
-        merges.append((a, b))
+    pending: list[tuple[str, str]] = []  # merges not yet baked into base
+    try:
+        for _ in range(n_merges):
+            merged = apply_merges_expr(SPARK, "_w", pending)
+            pairs = pairs_from_wrapped_expr(SPARK, f"({merged})")
+            top = (
+                base.select(F.explode(F.expr(pairs)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            a, b = top[0]["pair"].split(" ", 1)
+            merges.append((a, b))
+            pending.append((a, b))
+            if len(pending) >= persist_every:
+                # eager checkpoint materializes the new snapshot BEFORE
+                # the old one is released — at most two corpus snapshots
+                # ever live at once
+                base = base.select(
+                    F.expr(apply_merges_expr(SPARK, "_w", pending)).alias("_w")
+                ).localCheckpoint(eager=True)
+                if snapshot is not None:
+                    snapshot.unpersist()
+                snapshot = base
+                pending = []
+    finally:
+        if snapshot is not None:
+            snapshot.unpersist()
     return merges
 
 

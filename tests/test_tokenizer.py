@@ -87,45 +87,75 @@ def test_merges_never_cross_word_boundary(spark):
     assert _seg(spark, "that", [("t", "h")]) == (4, 3)
 
 
-def test_trainer_matches_python_reference(spark):
-    texts = [r.text for r in spark.read.parquet(DOCS).limit(80).select("text").collect()]
+def py_train(texts, n):
+    """Pure-Python reference BPE trainer (Sennrich greedy rule)."""
+    corpus = [
+        [list(w) for w in re.findall(SUBTOK_RE, (t or "").lower())]
+        for t in texts
+    ]
+    merges = []
+    for _ in range(n):
+        cnt = Counter()
+        for doc in corpus:
+            for w in doc:
+                for i in range(len(w) - 1):
+                    cnt[(w[i], w[i + 1])] += 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for doc in corpus:
+            for j, w in enumerate(doc):
+                new, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(w[i])
+                        i += 1
+                doc[j] = new
+    return merges
 
-    def py_train(texts, n):
-        corpus = [
-            [list(w) for w in re.findall(SUBTOK_RE, (t or "").lower())]
-            for t in texts
-        ]
-        merges = []
-        for _ in range(n):
-            cnt = Counter()
-            for doc in corpus:
-                for w in doc:
-                    for i in range(len(w) - 1):
-                        cnt[(w[i], w[i + 1])] += 1
-            if not cnt:
-                break
-            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
-            if best[1] < 2:
-                break
-            a, b = best[0]
-            merges.append((a, b))
-            for doc in corpus:
-                for j, w in enumerate(doc):
-                    new, i = [], 0
-                    while i < len(w):
-                        if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
-                            new.append(a + b)
-                            i += 2
-                        else:
-                            new.append(w[i])
-                            i += 1
-                    doc[j] = new
-        return merges
 
+def _texts_df(spark, n_docs=80):
+    texts = [
+        r.text
+        for r in spark.read.parquet(DOCS).limit(n_docs).select("text").collect()
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
+    return texts, df
+
+
+def test_trainer_matches_python_reference(spark):
+    texts, df = _texts_df(spark)
     assert train_bpe_merges(df, 8) == py_train(texts, 8)
+
+
+def test_trainer_deep_vocab_with_baking(spark):
+    """n_merges=64 with the corpus snapshot baked every 8 rounds: the
+    merge list must be IDENTICAL to the pure-Python reference — baking
+    composes the same sequential replace chain, so it may change plan
+    depth (bounded at persist_every string ops per scan, the O(n²)
+    trainer fix) but never a merge decision."""
+    texts, df = _texts_df(spark)
+    expected = py_train(texts, 64)
+    assert len(expected) == 64, "fixture corpus must sustain 64 merges"
+    assert train_bpe_merges(df, 64, persist_every=8) == expected
+
+
+def test_trainer_bake_interval_invariance(spark):
+    """Same merges at radically different bake intervals (1 == bake
+    every round, large == never bake)."""
+    texts, df = _texts_df(spark, n_docs=40)
+    expected = py_train(texts, 10)
+    assert train_bpe_merges(df, 10, persist_every=1) == expected
+    assert train_bpe_merges(df, 10, persist_every=1 << 30) == expected
 
 
 def test_wrapped_pairs_agree_with_python(spark):
