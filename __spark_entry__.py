@@ -1669,6 +1669,15 @@ def _q_media_frames(spark, sf_dir):
     return _media.sample_frames(_media.synth_media(_docs(spark, sf_dir)))
 
 
+def _q_image_pixel_stats(spark, sf_dir):
+    """Executable decode path: real P6 PPM payloads synthesized from
+    doc_id, decoded byte-for-byte by the pure-Python decoder inside
+    mapInPandas, per-channel pixel sums off the decoded raster. The
+    oracle recomputes the sums analytically from the synth rule —
+    total independence from the encode→decode round trip under test."""
+    return _media.image_pixel_stats(_media.synth_ppm_media(_docs(spark, sf_dir)))
+
+
 def _q_sessionize(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), 30)
 
@@ -2949,6 +2958,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s2_cap_query": _q_s2_cap_query,
         "geohash_stats": _q_geohash_stats,
         # remaining queries without a prior driver row
+        "image_pixel_stats": _q_image_pixel_stats,
         "minhash_pair_recall": _q_minhash_pair_recall,
         "simhash_pair_recall": _q_simhash_pair_recall,
         "ngram_containment_pairs": _q_ngram_containment,
@@ -3140,6 +3150,7 @@ QUERY_FAMILIES: dict[str, str] = {
     # media (2)
     "media_metadata": "media",
     "media_frames": "media",
+    "image_pixel_stats": "media",
     # relational (5)
     "q3_shipping": "relational",
     "q5_region_revenue": "relational",
@@ -3964,6 +3975,7 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
         # ---- multimodal (oracle recomputes from source text)
         "media_metadata": _media.media_metadata_sql_duck(),
         "media_frames": _media.frame_fps_sql_duck(),
+        "image_pixel_stats": _media.image_pixel_stats_sql_duck(),
         # ---- sessionization
         "sessionize": sessionize_batch_sql_duck("events", 30),
         # ---- spatio-temporal rollup
