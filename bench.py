@@ -1095,6 +1095,31 @@ def main() -> None:
     semded_rows = semantic_dedup(embs).count()
     timings["semantic_dedup"] = time.time() - t0
 
+    # --- media family: header-parse metadata, frame sampling, and the
+    # REAL decode path (P6 bytes → pure-Python decode → channel sums),
+    # all Arrow-batched mapInPandas over the documents table
+    from linear_quadtree_spark.operators.media import (
+        decode_metadata,
+        image_pixel_stats,
+        sample_frames,
+        synth_media,
+        synth_ppm_media,
+    )
+
+    docs_sf = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    t0 = _probe_mark("media_metadata")
+    media_meta_rows = decode_metadata(synth_media(docs_sf)).count()
+    timings["media_metadata"] = time.time() - t0
+
+    t0 = _probe_mark("media_frames")
+    media_frame_rows = sample_frames(synth_media(docs_sf)).count()
+    timings["media_frames"] = time.time() - t0
+
+    t0 = _probe_mark("image_pixel_stats")
+    pixel_rows = image_pixel_stats(synth_ppm_media(docs_sf)).count()
+    timings["image_pixel_stats"] = time.time() - t0
+
     result = {
         "metric": "lqt_build_throughput_rows_per_sec",
         "value": round(build_rows_per_sec, 1),
@@ -1110,6 +1135,9 @@ def main() -> None:
         "build_clean": build_clean,
         "host_probe_per_query": PROBES,
         "aux": {
+            "media_meta_rows": media_meta_rows,
+            "media_frame_rows": media_frame_rows,
+            "pixel_rows": pixel_rows,
             "hexcell_rows": hex_rows,
             "hilbert_rows": hilb_rows,
             "s2cell_rows": s2_rows,
