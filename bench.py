@@ -730,6 +730,21 @@ def main() -> None:
     )
     timings["s2_cap_query"] = time.time() - t0
 
+    t0 = _probe_mark("s2real_stats")
+    from linear_quadtree_spark.functions.s2real import (
+        s2real_parent_expr,
+        with_s2real,
+    )
+
+    s2real_rows = (
+        with_s2real(s2pts, "lon", "lat")
+        .selectExpr(f"{s2real_parent_expr(_SENG, 's2id', 8)} AS p8")
+        .groupBy("p8")
+        .count()
+        .count()
+    )
+    timings["s2real_stats"] = time.time() - t0
+
     t0 = _probe_mark("bpe_pair_stats")
     from linear_quadtree_spark.operators.tokenizer import (
         bpe_pair_stats,
@@ -1028,6 +1043,11 @@ def main() -> None:
     t0 = _probe_mark("decontaminate")
     decon_rows = decontaminate(docs).count()
     timings["decontaminate"] = time.time() - t0
+
+    t0 = _probe_mark("line_dedup")
+    from linear_quadtree_spark.operators.clean import line_dedup
+    line_dedup_rows = line_dedup(docs).count()
+    timings["line_dedup"] = time.time() - t0
 
     t0 = _probe_mark("extract_text")
     from linear_quadtree_spark.operators.crawl import extract_text

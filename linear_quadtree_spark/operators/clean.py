@@ -53,6 +53,8 @@ __all__ = [
     "boilerplate_ngrams_sql_duck",
     "decontaminate",
     "decontaminate_sql_duck",
+    "line_dedup",
+    "line_dedup_sql_duck",
 ]
 
 #: Packing bases for the run-length fold state: value*2^32 + run*2^16 + max.
@@ -365,4 +367,155 @@ SELECT c.{id_col},
        COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
        CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM cand c LEFT JOIN hits h ON c.{id_col} = h.{id_col}
+"""
+
+
+# ------------------------------------------------------ line-level dedup
+def _line_exprs(e, text_col: str, words_per_line: int):
+    """(n_lines expr over the token array, line-string expr over index
+    ``i``) — the corpus has no newlines (TESTDATA word-soup), so the C4
+    'line' unit is a deterministic fixed-width word chunk, the same
+    adaptation boilerplate_ngrams makes for its n-gram unit."""
+    w = words_per_line
+    if e.name == "spark":
+        line = f"array_join(slice(toks, i * {w} + 1, {w}), ' ')"
+    else:
+        line = f"array_to_string(toks[(i * {w} + 1):(i * {w} + {w})], ' ')"
+    n = f"({e.size('toks')} DIV {w})" if e.name == "spark" else f"({e.size('toks')} // {w})"
+    return n, line
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style line-level deduplication (Raffel et al. 2020 §2.2:
+    discard every line that occurs verbatim in >= ``min_docs`` distinct
+    documents), over fixed-width pseudo-lines (see _line_exprs) since
+    the synthetic corpus has no newlines. Returns the ONE-row corpus
+    audit the pipeline operator would log: docs/lines seen, lines
+    removed, distinct boilerplate lines, docs changed, and the total
+    length of the REBUILT texts (the rebuild — order-preserving
+    concat of surviving lines — actually runs; the length is its
+    checksum).
+
+    Scale shape (10^12 docs): explode is data-proportional; the line
+    frequency is ONE map-side-combined aggregate keyed by line hash
+    (never the line string); the duplicate set shrinks as ``min_docs``
+    grows, so at production thresholds it BROADCASTS back like
+    boilerplate_ngrams — if it ever doesn't, the anti-join degrades to
+    one more hash shuffle, never to O(n^2). The rebuild is one
+    per-doc aggregate (hash shuffle on id) with an ordered fold —
+    no window, no self-join, no Python.
+
+    Reference: no text operators exist in the reference repo (SURVEY
+    §2.9); this is north-rule payload-side processing.
+    """
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.textexpr import (
+        SPARK,
+        text_fp_expr,
+        tokens_expr,
+    )
+
+    e = SPARK
+    n_expr, line_expr = _line_exprs(e, text_col, words_per_line)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(tokens_expr(e, text_col)).alias("toks"),
+    )
+    # CASE guard: Spark's sequence() counts DOWN for n = 0 (same trap
+    # shingles_expr documents); short docs must yield zero lines.
+    seq = (
+        f"CASE WHEN {n_expr} >= 1 THEN sequence(0, {n_expr} - 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    lines = (
+        toks.select(
+            "doc_id",
+            F.expr(f"explode({seq})").alias("idx"),
+            F.col("toks"),
+        )
+        .withColumn("i", F.col("idx"))
+        .select("doc_id", "idx", F.expr(line_expr).alias("line"))
+        .withColumn("line_h", F.expr(text_fp_expr(e, "line")))
+    )
+    freq = lines.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("n_docs_line"),
+    )
+    dup = freq.filter(F.col("n_docs_line") >= min_docs).select("line_h")
+    # mark-then-aggregate, NOT anti-join-then-rejoin-totals: one
+    # broadcast left join + ONE per-doc aggregate carries totals, kept
+    # counts, and the rebuild together (the totals⋈kept variant costs
+    # an extra doc-keyed sort-merge join — plan-shape-tested away)
+    marked = lines.join(
+        F.broadcast(dup.withColumn("_dup", F.lit(1))), "line_h", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_dup").isNull().cast("long")).alias("n_kept"),
+        F.expr(
+            "length(array_join(transform(array_sort(collect_list("
+            "CASE WHEN _dup IS NULL THEN struct(idx, line) END)),"
+            " s -> s.line), ' '))"
+        ).alias("rebuilt_len"),
+    )
+    audit = (
+        per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_kept") < F.col("n_lines")).cast("long")
+            ).alias("n_docs_changed"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum(F.col("n_lines") - F.col("n_kept")).alias("n_lines_removed"),
+            F.sum("rebuilt_len").alias("rebuilt_chars"),
+        )
+        .crossJoin(
+            dup.agg(F.count(F.lit(1)).alias("n_boilerplate_lines"))
+        )
+    )
+    return audit
+
+
+def line_dedup_sql_duck(
+    src: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB twin — same pseudo-line unit, hash, threshold, rebuild."""
+    from linear_quadtree_spark.functions.textexpr import (
+        DUCK,
+        text_fp_expr,
+        tokens_expr,
+    )
+
+    e = DUCK
+    n_expr, line_expr = _line_exprs(e, text_col, words_per_line)
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {tokens_expr(e, text_col)} AS toks FROM {src}),
+idx AS (SELECT doc_id, toks, unnest(range(0, {n_expr})) AS i FROM t),
+lines AS (SELECT doc_id, i AS idx, {line_expr} AS line FROM idx),
+hashed AS (SELECT doc_id, idx, line, {text_fp_expr(e, 'line')} AS line_h FROM lines),
+freq AS (SELECT line_h, COUNT(DISTINCT doc_id) AS n_docs_line
+         FROM hashed GROUP BY 1),
+dup AS (SELECT line_h FROM freq WHERE n_docs_line >= {min_docs}),
+kept AS (SELECT h.* FROM hashed h ANTI JOIN dup d ON h.line_h = d.line_h),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_kept,
+            length(string_agg(line, ' ' ORDER BY idx)) AS rebuilt_len
+            FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM hashed GROUP BY 1),
+audit AS (SELECT COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN COALESCE(p.n_kept, 0) < tt.n_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+          CAST(SUM(tt.n_lines) AS BIGINT) AS n_lines,
+          CAST(SUM(tt.n_lines - COALESCE(p.n_kept, 0)) AS BIGINT) AS n_lines_removed,
+          CAST(SUM(COALESCE(p.rebuilt_len, 0)) AS BIGINT) AS rebuilt_chars
+          FROM totals tt LEFT JOIN per_doc p ON tt.doc_id = p.doc_id)
+SELECT a.*, d.n_boilerplate_lines FROM audit a
+CROSS JOIN (SELECT COUNT(*) AS n_boilerplate_lines FROM dup) d
 """

@@ -1,0 +1,230 @@
+"""REAL S2CellId construction (functions/s2real.py) — invariants that
+only the genuine library construction satisfies, dual-implementation
+agreement, and exact cross-engine identity on the oracle corpus.
+
+The verification story (no s2 library exists in this container —
+probed): two INDEPENDENT transcriptions of the public algorithm (the
+vectorized 4-bit-chunk table chain vs a per-level orientation descent
+that never touches the chunk tables) must agree exactly, and the
+structural properties below pin the parts a transcription error would
+break: table inversibility, within-face Hilbert adjacency, EXACT
+cross-face curve continuity (endpoint corners coincide on the cube —
+the kSwapMask per-face seeding property; the S2-STYLE module in
+functions/s2cell.py intentionally lacks this), face-cell id values,
+and nested parent ranges.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from linear_quadtree_spark.functions.s2real import (
+    S2_MAX_LEVEL,
+    lookup_tables,
+    s2real_ctes_duck,
+    s2real_leaf_np,
+    s2real_leaf_py,
+    s2real_leaf_slow_py,
+    s2real_level_py,
+    s2real_parent_expr,
+    s2real_parent_py,
+    s2real_range_py,
+    s2real_to_face_ij_py,
+    s2real_token_expr,
+    with_s2real,
+)
+from linear_quadtree_spark.functions.textexpr import DUCK, SPARK
+
+KMAX = 1 << S2_MAX_LEVEL
+MAXPOS = (1 << 60) - 1
+
+
+def test_lookup_tables_mutually_inverse():
+    lp, lij = lookup_tables()
+    assert len(lp) == len(lij) == 1024
+    for ij in range(256):
+        for o in range(4):
+            v = lp[(ij << 2) + o]
+            pos, oo = v >> 2, v & 3
+            back = lij[(pos << 2) + o]
+            assert back >> 2 == ij and back & 3 == oo
+
+
+def test_chunked_equals_independent_descent():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 10000)
+    lat = rng.uniform(-89.9, 89.9, 10000)
+    fast = s2real_leaf_np(lon, lat)
+    slow = np.array(
+        [s2real_leaf_slow_py(a, b) for a, b in zip(lon, lat)],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(fast, slow)
+    # every leaf id has the trailing marker bit and a valid face
+    assert np.all(fast & np.uint64(1) == np.uint64(1))
+    assert set((fast >> np.uint64(61)).astype(int).tolist()) <= set(range(6))
+
+
+def test_within_face_hilbert_adjacency():
+    """Consecutive positions on a face are lattice 4-neighbors — the
+    defining Hilbert-curve property; any wrong kPosToIJ row breaks it."""
+    for face in (0, 1, 5):
+        prev = s2real_to_face_ij_py((face << 61) | 1)
+        for pos in range(1, 2000):
+            cur = s2real_to_face_ij_py((face << 61) | (pos << 1) | 1)
+            assert cur[0] == face
+            assert abs(cur[1] - prev[1]) + abs(cur[2] - prev[2]) == 1
+            prev = cur
+
+
+# face ij-corner -> cube corner, from the ValidFaceXYZtoUV tables
+# (u = -1 at i = 0, u = +1 at i = kmax-1 edge; same for v/j).
+def _cube_corner(face: int, i: int, j: int) -> tuple[int, int, int]:
+    u = -1 if i == 0 else 1
+    v = -1 if j == 0 else 1
+    return {
+        0: (1, u, v),
+        1: (-u, 1, v),
+        2: (-u, -v, 1),
+        3: (-1, -v, -u),
+        4: (v, -1, -u),
+        5: (v, u, -1),
+    }[face]
+
+
+def test_cross_face_curve_continuity():
+    """The six per-face curves join into ONE continuous traversal: the
+    end corner of face f IS the start corner of face f+1 on the cube.
+    This is exactly what the `bits = face & kSwapMask` orientation
+    seeding buys; seeding every face identically fails this."""
+    for f in range(6):
+        _, i0, j0 = s2real_to_face_ij_py((f << 61) | 1)
+        _, i1, j1 = s2real_to_face_ij_py((f << 61) | (MAXPOS << 1) | 1)
+        assert (i0, j0) == (0, 0)
+        assert {i1, j1} <= {0, KMAX - 1}
+        if f < 5:
+            nxt = _cube_corner(f + 1, 0, 0)
+            assert _cube_corner(f, i1, j1) == nxt
+
+
+def test_face_cell_ids_and_parent_algebra():
+    cid = s2real_leaf_py(5.0, 47.0)
+    assert s2real_level_py(cid) == S2_MAX_LEVEL
+    for lvl in (0, 4, 12, 29):
+        p = s2real_parent_py(cid, lvl)
+        assert s2real_level_py(p) == lvl
+        lo, hi = s2real_range_py(p)
+        assert lo <= cid <= hi
+        # nesting: coarser ranges contain finer ranges
+        if lvl > 0:
+            glo, ghi = s2real_range_py(s2real_parent_py(cid, lvl - 1))
+            assert glo <= lo and hi <= ghi
+    # face cell id == face << 61 | 1 << 60 (the library constant)
+    face = cid >> 61
+    assert s2real_parent_py(cid, 0) == (face << 61) | (1 << 60)
+
+
+def test_margin_audit_and_cross_engine_identity(spark, sf_dir):
+    """On the oracle corpus: (a) every coordinate's s*2^30 keeps a
+    wide margin from the floor boundary relative to trig-ulp engine
+    divergence; (b) Spark JVM expressions and the DuckDB CTE chain
+    reproduce the numpy ids EXACTLY (same floats, same tables)."""
+    import duckdb
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    # the engine-wide synthetic geotag (mercator.lonlat_from_id_exprs)
+    frac = ((ids.astype(np.int64) * 2654435761) % 4294967296) / 4294967296.0
+    lon = -180.0 + 360.0 * frac
+    frac2 = (
+        (ids.astype(np.int64) * 2246822519 + 1013904223) % 4294967296
+    ) / 4294967296.0
+    lat = -60.0 + 120.0 * frac2
+    pdf = pd.DataFrame({"doc_id": ids, "lon": lon, "lat": lat})
+
+    truth = s2real_leaf_np(lon, lat).view(np.int64)
+
+    # (a) margin: distance of s*kmax and t*kmax from their floor edges
+    phi, lam = np.radians(lat), np.radians(lon)
+    cp = np.cos(phi)
+    x, y, z = cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+    from linear_quadtree_spark.functions.s2real import _face_uv_np, _st_np
+
+    _, u, v = _face_uv_np(x, y, z)
+    n_structural = 0
+    for w in (u, v):
+        g = _st_np(w) * KMAX
+        m = np.minimum(g - np.floor(g), np.ceil(g) - g)
+        # STRUCTURAL boundary points: ids whose hashed lon/lat lands on
+        # an exact face midline (e.g. (id*2654435761) % 2^32 == 0 puts
+        # lon at exactly -180, so u is within an ulp of 0 and s*2^30
+        # within an ulp of 2^29). Real-S2 floor semantics cannot snap
+        # these away (the style module's +0.5 dyadic snap is the
+        # deliberate divergence we do NOT take here); the exact
+        # cross-engine equality asserts below pin their cell identity
+        # deterministically instead — all engines' SIN/COS round these
+        # arguments identically on this platform, and that equality is
+        # what the oracle gate replays.
+        structural = m <= 8 * 2.0**-23
+        n_structural += int(structural.sum())
+        # everything else keeps >= 100x headroom above 8 trig ulps
+        assert m[~structural].min() > 100 * 8 * 2.0**-23
+    # the structural set stays a vanishing fraction of the corpus
+    assert n_structural <= max(4, len(ids) // 1000)
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        with_s2real(sdf, "lon", "lat")
+        .orderBy("doc_id")
+        .select("s2id")
+        .toPandas()["s2id"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, truth)
+
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    sql = (
+        "WITH "
+        + s2real_ctes_duck("pts", "lon", "lat")
+        + " SELECT s2id FROM s2rfin ORDER BY doc_id"
+    )
+    dgot = np.asarray(con.execute(sql).fetchnumpy()["s2id"], dtype=np.int64)
+    assert np.array_equal(dgot, truth)
+
+    # parent + token expressions agree across engines on the same ids
+    pexpr_s = s2real_parent_expr(SPARK, "s2id", 4)
+    tok_s = s2real_token_expr(SPARK, pexpr_s)
+    sp = (
+        with_s2real(sdf, "lon", "lat")
+        .selectExpr("doc_id", f"{pexpr_s} AS p4", f"{tok_s} AS tok")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pexpr_d = s2real_parent_expr(DUCK, "s2id", 4)
+    tok_d = s2real_token_expr(DUCK, pexpr_d)
+    dp = con.execute(
+        "WITH "
+        + s2real_ctes_duck("pts", "lon", "lat")
+        + f" SELECT doc_id, {pexpr_d} AS p4, {tok_d} AS tok"
+        " FROM s2rfin ORDER BY doc_id"
+    ).fetchdf()
+    assert np.array_equal(sp["p4"].to_numpy(), dp["p4"].to_numpy())
+    assert list(sp["tok"]) == list(dp["tok"])
+    # token invariant: lowercase hex, never ends in '0', roundtrips
+    for t, pv in zip(dp["tok"], dp["p4"].to_numpy()):
+        assert t == t.lower() and not t.endswith("0")
+        assert int(t.ljust(16, "0"), 16) == np.uint64(pv).item()
+
+
+def test_token_of_negative_face_ids():
+    """Faces 4 and 5 set bit 63 (negative BIGINT) — the bit algebra and
+    hex token must be sign-transparent."""
+    cid = s2real_leaf_py(5.0, -80.0)  # deep south -> face 5
+    assert cid >> 61 == 5
+    signed = np.uint64(cid).astype(np.int64).item()
+    assert signed < 0
+    p = s2real_parent_py(cid, 8)
+    assert s2real_level_py(p) == 8 and p >> 61 == 5
