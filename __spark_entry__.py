@@ -2792,6 +2792,53 @@ FROM hits GROUP BY 1
 """
 
 
+def _q_s2real_cap(spark, sf_dir):
+    """Spherical cap query over REAL S2 ids (round 5): pages within
+    S2_CAP_KM of each site via `s2real_cap_cover` — the S2RegionCoverer
+    essence (per-cell exact circumradius, conservative superset) —
+    merged into short signed-sortkey spans, broadcast-LEFT-SEMI range
+    join (the chain-substitution discipline), exact haversine refine.
+    The real-id twin of s2_cap_query: identical answers, library-
+    interchangeable cell ids doing the pruning."""
+    from linear_quadtree_spark.functions.mercator import haversine_km_expr
+    from linear_quadtree_spark.functions.s2real import (
+        s2real_cap_cover,
+        s2real_sortkey_expr,
+        with_s2real,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _S
+    from linear_quadtree_spark.intervals import merge_spans
+
+    spans: list[tuple[int, int]] = []
+    for _, slon, slat in HAV_SITES:
+        spans.extend(s2real_cap_cover(slon, slat, S2_CAP_KM, 4))
+    merged = list(merge_spans(spans))
+
+    leaf = with_s2real(_s2_pts(spark, sf_dir), "lon", "lat")
+    skey = s2real_sortkey_expr(_S, "s2id")
+    ranges = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in merged], "lo long, hi long"
+    )
+    cand = leaf.withColumn("_sk", F.expr(skey)).join(
+        F.broadcast(ranges),
+        (F.col("_sk") >= F.col("lo")) & (F.col("_sk") <= F.col("hi")),
+        "leftsemi",
+    )
+    sites = spark.createDataFrame(
+        HAV_SITES, "site string, slon double, slat double"
+    )
+    d = haversine_km_expr(_S, "lon", "lat", "slon", "slat")
+    return (
+        cand.crossJoin(F.broadcast(sites))
+        .filter(F.expr(d) <= F.lit(S2_CAP_KM))
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+    )
+
+
 # ------------------------------------------------ C4 line-level dedup
 def _q_line_dedup(spark, sf_dir):
     """C4-style line-level deduplication (round 5): drop every
@@ -3099,6 +3146,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # REAL S2CellId ids (new in round 5 — no prior driver row)
         "s2real_stats": _q_s2real_stats,
         "s2real_range": _q_s2real_range,
+        "s2real_cap_query": _q_s2real_cap,
         # C4 line-level dedup (new in round 5 — no prior driver row)
         "line_dedup": _q_line_dedup,
         # spatial statistics (never driver-sampled before round 5)
@@ -3268,6 +3316,7 @@ QUERY_FAMILIES: dict[str, str] = {
     # altindex (11)
     "s2real_stats": "altindex",
     "s2real_range": "altindex",
+    "s2real_cap_query": "altindex",
     "hexcell_stats": "altindex",
     "s2cell_stats": "altindex",
     "s2_cap_query": "altindex",
@@ -4246,6 +4295,7 @@ FROM pts GROUP BY 1
         "s2_cap_query": _s2_cap_oracle(),
         "s2real_stats": _s2real_stats_oracle(),
         "s2real_range": _s2real_range_oracle(),
+        "s2real_cap_query": _s2_cap_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "bpe_pair_stats": _bpe_pair_stats_oracle(),
         "bpe_segment_stats": _bpe_segment_stats_oracle(),

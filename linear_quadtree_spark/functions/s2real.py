@@ -88,6 +88,8 @@ __all__ = [
     "s2real_range_py",
     "s2real_to_face_ij_py",
     "s2real_center_py",
+    "from_face_ij_np",
+    "s2real_cap_cover",
 ]
 
 S2_MAX_LEVEL = 30
@@ -180,6 +182,28 @@ def _st_np(u):
     )
 
 
+def from_face_ij_np(face, i, j) -> np.ndarray:
+    """Vectorized `CellId::FromFaceIJ` — leaf id (uint64) from int
+    face and 30-bit i/j arrays."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    lut = np.asarray(lookup_tables()[0], dtype=np.uint64)
+    bits = face & np.uint64(_SWAP)
+    n = np.zeros_like(i)
+    for k in range(7, -1, -1):
+        sh = np.uint64(k * _LOOKUP_BITS)
+        idx = (
+            (((i >> sh) & np.uint64(15)) << np.uint64(6))
+            | (((j >> sh) & np.uint64(15)) << np.uint64(2))
+            | bits
+        )
+        val = lut[idx]
+        n |= (val >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits = val & np.uint64(3)
+    return (face << np.uint64(61)) | (n << np.uint64(1)) | np.uint64(1)
+
+
 def s2real_leaf_np(lon, lat) -> np.ndarray:
     """Vectorized leaf (level-30) S2CellId for float64 degree arrays;
     returns uint64 (view .astype/.view int64 for the BIGINT column)."""
@@ -193,24 +217,7 @@ def s2real_leaf_np(lon, lat) -> np.ndarray:
     kmax = np.int64(1 << S2_MAX_LEVEL)
     i = np.clip(np.floor(_st_np(u) * kmax), 0, kmax - 1).astype(np.uint64)
     j = np.clip(np.floor(_st_np(v) * kmax), 0, kmax - 1).astype(np.uint64)
-    lut = np.asarray(lookup_tables()[0], dtype=np.uint64)
-    bits = (face.astype(np.uint64)) & np.uint64(_SWAP)
-    n = np.zeros_like(i)
-    for k in range(7, -1, -1):
-        sh = np.uint64(k * _LOOKUP_BITS)
-        idx = (
-            (((i >> sh) & np.uint64(15)) << np.uint64(6))
-            | (((j >> sh) & np.uint64(15)) << np.uint64(2))
-            | bits
-        )
-        val = lut[idx]
-        n |= (val >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
-        bits = val & np.uint64(3)
-    return (
-        (face.astype(np.uint64) << np.uint64(61))
-        | (n << np.uint64(1))
-        | np.uint64(1)
-    )
+    return from_face_ij_np(face, i, j)
 
 
 # ------------------------------------------------- independent slow witness
@@ -549,3 +556,100 @@ def s2real_ctes_duck(
         f" ELSE _idh END AS BIGINT) AS {out} FROM s2rpack)"
     )
     return ",\n".join(parts)
+
+
+# ---------------------------------------------------------- cap covering
+def _uv_from_st_np(s):
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def _face_uv_to_xyz_np(face, u, v):
+    """Unit XYZ from per-face (u, v) — the inverse of the
+    ValidFaceXYZtoUV table, vectorized."""
+    one = np.ones_like(u)
+    x = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [one, -u, -u, -one, v],
+        default=v,
+    )
+    y = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [u, one, -v, -v, -one],
+        default=u,
+    )
+    z = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [v, v, one, -u, -u],
+        default=-one,
+    )
+    norm = np.sqrt(x * x + y * y + z * z)
+    return x / norm, y / norm, z / norm
+
+
+def s2real_cap_cover(
+    lon: float, lat: float, radius_km: float, level: int = 4
+) -> list[tuple[int, int]]:
+    """Conservative spherical-cap cover with REAL S2 ids — the
+    S2RegionCoverer essence at a fixed level: keep every level-
+    ``level`` cell whose center is within ``radius + its own exact
+    circumradius`` of the site (circumradius computed per cell from
+    its 4 true corners, not a remembered library constant — exactness
+    over memory), then merge the cells' descendant leaf ranges into a
+    short signed-SORTKEY span list for BETWEEN pruning.
+
+    Driver-side query-constant planning, O(6 * 4^level) numpy —
+    the same discipline as s2cell.s2_cap_cover and the planar cover
+    planner; the spans are a conservative SUPERSET, so an exact
+    haversine refine downstream keeps answers identical to a
+    cover-free oracle."""
+    from linear_quadtree_spark.functions.mercator import EARTH_RADIUS_KM
+    from linear_quadtree_spark.intervals import merge_spans
+
+    ang = radius_km / EARTH_RADIUS_KM
+    n = 1 << level
+    face = np.repeat(np.arange(6, dtype=np.int64), n * n)
+    ic = np.tile(np.repeat(np.arange(n, dtype=np.int64), n), 6)
+    jc = np.tile(np.arange(n, dtype=np.int64), 6 * n)
+
+    def cell_xyz(si, ti):
+        u = _uv_from_st_np(si)
+        v = _uv_from_st_np(ti)
+        return _face_uv_to_xyz_np(face, u, v)
+
+    cx, cy, cz = cell_xyz((ic + 0.5) / n, (jc + 0.5) / n)
+    phi, lam = math.radians(lat), math.radians(lon)
+    qx = math.cos(phi) * math.cos(lam)
+    qy = math.cos(phi) * math.sin(lam)
+    qz = math.sin(phi)
+    dcenter = np.arccos(np.clip(cx * qx + cy * qy + cz * qz, -1.0, 1.0))
+    circum = np.zeros_like(dcenter)
+    for ds, dt in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        kx, ky, kz = cell_xyz((ic + ds) / n, (jc + dt) / n)
+        corner = np.arccos(np.clip(cx * kx + cy * ky + cz * kz, -1.0, 1.0))
+        circum = np.maximum(circum, corner)
+    keep = dcenter <= ang + circum
+    if not keep.any():
+        return []
+    shift = S2_MAX_LEVEL - level
+    i30 = (ic[keep].astype(np.uint64) << np.uint64(shift)) + np.uint64(
+        1 << (shift - 1)
+    )
+    j30 = (jc[keep].astype(np.uint64) << np.uint64(shift)) + np.uint64(
+        1 << (shift - 1)
+    )
+    leaves = from_face_ij_np(face[keep], i30, j30)
+    spans = []
+    for leaf in leaves.tolist():
+        cell = s2real_parent_py(int(leaf), level)
+        lo, hi = s2real_range_py(cell)
+
+        def sk(v: int) -> int:
+            w = v ^ (1 << 63)
+            return w - (1 << 64) if w >= (1 << 63) else w
+
+        spans.append((sk(lo), sk(hi)))
+    return list(merge_spans(spans))

@@ -228,3 +228,37 @@ def test_token_of_negative_face_ids():
     assert signed < 0
     p = s2real_parent_py(cid, 8)
     assert s2real_level_py(p) == 8 and p >> 61 == 5
+
+
+def test_cap_cover_conservative_and_short():
+    """Every point within the cap must fall inside a covered span
+    (conservative superset), and the merged span list stays short
+    (the pruning property)."""
+    from linear_quadtree_spark.functions.s2real import s2real_cap_cover
+
+    site_lon, site_lat, km = 139.69, 35.69, 1200.0
+    spans = s2real_cap_cover(site_lon, site_lat, km, level=4)
+    assert 0 < len(spans) <= 64  # short BETWEEN list, not a scan
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-85, 85, 20000)
+    # haversine distances
+    p1, p2 = np.radians(lat), math.radians(site_lat)
+    dphi = np.radians(lat - site_lat)
+    dlam = np.radians(lon - site_lon)
+    a = (
+        np.sin(dphi / 2) ** 2
+        + np.cos(p1) * math.cos(p2) * np.sin(dlam / 2) ** 2
+    )
+    dkm = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+    inside = dkm <= km
+    ids = s2real_leaf_np(lon, lat)
+    sk = (ids ^ np.uint64(1 << 63)).view(np.int64)
+    covered = np.zeros(len(sk), dtype=bool)
+    for lo, hi in spans:
+        covered |= (sk >= lo) & (sk <= hi)
+    # conservative: no in-cap point escapes the cover
+    assert not (inside & ~covered).any()
+    # useful: the cover prunes most of the sphere
+    assert covered.mean() < 0.25
