@@ -90,6 +90,7 @@ __all__ = [
     "s2real_center_py",
     "from_face_ij_np",
     "s2real_cap_cover",
+    "s2real_region_cover",
 ]
 
 S2_MAX_LEVEL = 30
@@ -651,5 +652,98 @@ def s2real_cap_cover(
             w = v ^ (1 << 63)
             return w - (1 << 64) if w >= (1 << 63) else w
 
+        spans.append((sk(lo), sk(hi)))
+    return list(merge_spans(spans))
+
+
+def s2real_region_cover(
+    lon: float,
+    lat: float,
+    radius_km: float,
+    max_level: int = 8,
+    max_cells: int = 48,
+) -> list[tuple[int, int]]:
+    """Adaptive spherical-cap cover — the genuine S2RegionCoverer
+    algorithm shape: a priority queue seeded with the six face cells
+    that always subdivides the LARGEST still-refinable intersecting
+    cell next, takes fully-contained cells (center-dist + circumradius
+    <= cap angle) whole, and freezes to the conservative side when the
+    ``max_cells`` budget or ``max_level`` is reached. Mixed-level
+    output: big interior chunks cost one span while the cap rim
+    refines — tighter than any fixed-level cover at equal budget.
+    Per-cell geometry is exact (center + 4 true corners), not a
+    remembered library metric constant. Driver-side query planning,
+    O(cells visited) python — the s2_cap_cover/kNN-planner
+    discipline."""
+    import heapq
+
+    from linear_quadtree_spark.functions.mercator import EARTH_RADIUS_KM
+    from linear_quadtree_spark.intervals import merge_spans
+
+    ang = radius_km / EARTH_RADIUS_KM
+    phi, lam = math.radians(lat), math.radians(lon)
+    q = (
+        math.cos(phi) * math.cos(lam),
+        math.cos(phi) * math.sin(lam),
+        math.sin(phi),
+    )
+
+    def cell_geom(face: int, ic: int, jc: int, level: int):
+        n = 1 << level
+        f = np.asarray([face] * 5, dtype=np.int64)
+        ss = np.asarray(
+            [(ic + 0.5) / n, ic / n, ic / n, (ic + 1) / n, (ic + 1) / n]
+        )
+        tt = np.asarray(
+            [(jc + 0.5) / n, jc / n, (jc + 1) / n, jc / n, (jc + 1) / n]
+        )
+        x, y, z = _face_uv_to_xyz_np(
+            f, _uv_from_st_np(ss), _uv_from_st_np(tt)
+        )
+        dots = np.clip(x * q[0] + y * q[1] + z * q[2], -1.0, 1.0)
+        dist = np.arccos(dots)
+        circum = float(np.max(np.arccos(np.clip(
+            x[1:] * x[0] + y[1:] * y[0] + z[1:] * z[0], -1.0, 1.0))))
+        return float(dist[0]), circum
+
+    out_cells: list[tuple[int, int, int, int]] = []
+    heap: list = []
+    seq = 0  # tiebreaker so tuple compare never reaches the payload
+    for f in range(6):
+        center, circum = cell_geom(f, 0, 0, 0)
+        if center <= ang + circum:
+            heapq.heappush(heap, (-circum, seq, f, 0, 0, 0, center))
+            seq += 1
+    while heap:
+        negc, _, face, ic, jc, level, center = heapq.heappop(heap)
+        circum = -negc
+        contained = center + circum <= ang
+        if (
+            contained
+            or level == max_level
+            or len(out_cells) + len(heap) + 4 > max_cells
+        ):
+            out_cells.append((face, ic, jc, level))
+            continue
+        for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            ci, cj = ic * 2 + di, jc * 2 + dj
+            ccenter, ccircum = cell_geom(face, ci, cj, level + 1)
+            if ccenter <= ang + ccircum:
+                heapq.heappush(
+                    heap, (-ccircum, seq, face, ci, cj, level + 1, ccenter)
+                )
+                seq += 1
+
+    def sk(v: int) -> int:
+        w = v ^ (1 << 63)
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    spans = []
+    for face, ic, jc, level in out_cells:
+        shift = S2_MAX_LEVEL - level
+        i30 = (ic << shift) + (1 << (shift - 1)) if shift else ic
+        j30 = (jc << shift) + (1 << (shift - 1)) if shift else jc
+        leaf = int(from_face_ij_np([face], [i30], [j30])[0])
+        lo, hi = s2real_range_py(s2real_parent_py(leaf, level))
         spans.append((sk(lo), sk(hi)))
     return list(merge_spans(spans))

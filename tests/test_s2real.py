@@ -315,3 +315,47 @@ def test_saved_layout_pushdown(spark, sf_dir, tmp_path):
     # semi-join discipline exists for)
     exp = sorted(r["doc_id"] for r in all_rows if lo <= r["sk"] <= hi)
     assert got == exp and len(got) > 0
+
+
+def test_region_cover_adaptive():
+    """The S2RegionCoverer-shape planner: conservative at every
+    budget, never exceeds max_cells pre-merge, and more budget never
+    loosens the cover (volume is monotone non-increasing)."""
+    from linear_quadtree_spark.functions.s2real import (
+        s2real_cap_cover,
+        s2real_region_cover,
+    )
+
+    site_lon, site_lat, km = 139.69, 35.69, 1200.0
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-85, 85, 20000)
+    p1, p2 = np.radians(lat), math.radians(site_lat)
+    dphi = np.radians(lat - site_lat)
+    dlam = np.radians(lon - site_lon)
+    a = (
+        np.sin(dphi / 2) ** 2
+        + np.cos(p1) * math.cos(p2) * np.sin(dlam / 2) ** 2
+    )
+    inside = 2 * 6371.0088 * np.arcsin(np.sqrt(a)) <= km
+    sk = (s2real_leaf_np(lon, lat) ^ np.uint64(1 << 63)).view(np.int64)
+
+    def volume(spans):
+        return sum(h - l + 1 for l, h in spans)
+
+    prev_vol = None
+    for mc in (32, 48, 96):
+        spans = s2real_region_cover(
+            site_lon, site_lat, km, max_level=10, max_cells=mc
+        )
+        covered = np.zeros(len(sk), dtype=bool)
+        for lo, hi in spans:
+            covered |= (sk >= lo) & (sk <= hi)
+        assert not (inside & ~covered).any()  # conservative
+        v = volume(spans)
+        if prev_vol is not None:
+            assert v <= prev_vol  # budget buys tightness, never loses it
+        prev_vol = v
+    # at generous budget the adaptive cover is strictly tighter than
+    # the fixed-level-4 cover
+    assert prev_vol < volume(s2real_cap_cover(site_lon, site_lat, km, 4))
