@@ -306,8 +306,7 @@ def s2real_to_face_ij_py(cell_id: int) -> tuple[int, int, int]:
     bits = face & _SWAP
     i = j = 0
     for k in range(7, -1, -1):
-        nbits = _LOOKUP_BITS  # every chunk is 4 position-bit pairs
-        chunk = (pos >> (k * 2 * _LOOKUP_BITS)) & ((1 << (2 * nbits)) - 1)
+        chunk = (pos >> (k * 2 * _LOOKUP_BITS)) & ((1 << (2 * _LOOKUP_BITS)) - 1)
         val = lut_ij[(chunk << 2) + bits]
         ij = val >> 2
         i += (ij >> _LOOKUP_BITS) << (k * _LOOKUP_BITS)
