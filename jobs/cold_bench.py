@@ -68,6 +68,34 @@ def phase_build() -> None:
     tbl.save_partitioned(SUBSTRATE, level=PARTITION_LEVEL)
     n = spark.read.parquet(f"{SUBSTRATE}/main").count()
     print(f"BUILT substrate {SUBSTRATE}: {n} main rows", file=sys.stderr)
+
+    # round-5 continuation: REAL-S2-sorted corpus for the cap tier —
+    # sortkey-range-partitioned + sorted files give per-file/row-group
+    # sk min/max, the spherical twin of the zs layout above
+    from pyspark.sql import functions as F
+
+    from linear_quadtree_spark.functions.mercator import lonlat_from_id_exprs
+    from linear_quadtree_spark.functions.s2real import (
+        s2real_sortkey_expr,
+        with_s2real,
+    )
+    from linear_quadtree_spark.functions.textexpr import SPARK as _SENG
+
+    lon, lat = lonlat_from_id_exprs(_SENG, "doc_id")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.expr(lon).alias("lon"), F.expr(lat).alias("lat")
+    )
+    s2 = with_s2real(docs, "lon", "lat").withColumn(
+        "sk", F.expr(s2real_sortkey_expr(_SENG, "s2id"))
+    )
+    (
+        s2.repartitionByRange(8, "sk")
+        .sortWithinPartitions("sk")
+        .write.mode("overwrite")
+        .parquet(f"{SUBSTRATE}/s2real")
+    )
+    n2 = spark.read.parquet(f"{SUBSTRATE}/s2real").count()
+    print(f"BUILT s2real substrate: {n2} rows", file=sys.stderr)
     spark.stop()
 
 
@@ -125,6 +153,42 @@ def phase_query() -> None:
     t0 = _probe_mark("tile_stats_z8")
     rows["tile_stats_z8"] = tile_stats(tbl, zoom=8).count()
     timings["tile_stats_z8"] = round(time.time() - t0, 3)
+
+    # REAL-S2 tier: cap-cover spans BETWEEN-pruned on the STORED
+    # sortkey column (PushedFilters -> row-group stats; the saved-
+    # layout plan test's claim, timed) vs the same table's full scan
+    from linear_quadtree_spark.functions.s2real import s2real_region_cover
+
+    s2tbl = spark.read.parquet(f"{SUBSTRATE}/s2real")
+
+    t0 = _probe_mark("s2real_full_scan")
+    rows["s2real_full_scan"] = s2tbl.count()
+    timings["s2real_full_scan"] = round(time.time() - t0, 3)
+
+    # planning (driver-side cover + predicate construction) is a FIXED
+    # per-query cost, timed separately from the pruned scan so the tiny
+    # corpus table doesn't make planning read as scan cost
+    t0 = _probe_mark("s2real_cap_plan")
+    spans: list = []
+    for slon, slat in ((139.69, 35.69), (-0.13, 51.51), (-74.01, 40.71)):
+        spans.extend(
+            s2real_region_cover(slon, slat, 1200.0, max_level=8, max_cells=48)
+        )
+    from linear_quadtree_spark.intervals import merge_spans
+
+    merged = merge_spans(spans)
+    # ONE SQL text expression, not a chain of Column ops: building the
+    # OR-tree via pyspark operators costs ~3 py4j round-trips per span
+    # (measured ~1 s for 141 spans); one expr() call costs one
+    cond = F.expr(
+        " OR ".join(f"(sk BETWEEN {lo} AND {hi})" for lo, hi in merged)
+    )
+    rows["s2real_cap_plan"] = len(merged)
+    timings["s2real_cap_plan"] = round(time.time() - t0, 3)
+
+    t0 = _probe_mark("s2real_cap_scan")
+    rows["s2real_cap_scan"] = s2tbl.filter(cond).count()
+    timings["s2real_cap_scan"] = round(time.time() - t0, 3)
 
     spark.stop()
 

