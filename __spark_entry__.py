@@ -2794,15 +2794,17 @@ FROM hits GROUP BY 1
 
 def _q_s2real_cap(spark, sf_dir):
     """Spherical cap query over REAL S2 ids (round 5): pages within
-    S2_CAP_KM of each site via `s2real_cap_cover` — the S2RegionCoverer
-    essence (per-cell exact circumradius, conservative superset) —
-    merged into short signed-sortkey spans, broadcast-LEFT-SEMI range
-    join (the chain-substitution discipline), exact haversine refine.
-    The real-id twin of s2_cap_query: identical answers, library-
-    interchangeable cell ids doing the pruning."""
+    S2_CAP_KM of each site via `s2real_region_cover` — the genuine
+    S2RegionCoverer algorithm (priority-queue rim refinement,
+    contained cells whole, mixed-level spans, per-cell exact
+    circumradius, conservative superset) — merged into signed-sortkey
+    spans, broadcast-LEFT-SEMI range join (the chain-substitution
+    discipline), exact haversine refine. The real-id twin of
+    s2_cap_query: identical answers, library-interchangeable cell
+    ids doing the pruning."""
     from linear_quadtree_spark.functions.mercator import haversine_km_expr
     from linear_quadtree_spark.functions.s2real import (
-        s2real_cap_cover,
+        s2real_region_cover,
         s2real_sortkey_expr,
         with_s2real,
     )
@@ -2811,7 +2813,9 @@ def _q_s2real_cap(spark, sf_dir):
 
     spans: list[tuple[int, int]] = []
     for _, slon, slat in HAV_SITES:
-        spans.extend(s2real_cap_cover(slon, slat, S2_CAP_KM, 4))
+        spans.extend(
+            s2real_region_cover(slon, slat, S2_CAP_KM, max_level=8, max_cells=48)
+        )
     merged = list(merge_spans(spans))
 
     leaf = with_s2real(_s2_pts(spark, sf_dir), "lon", "lat")
