@@ -91,6 +91,7 @@ __all__ = [
     "from_face_ij_np",
     "s2real_cap_cover",
     "s2real_region_cover",
+    "s2real_edge_neighbors_py",
 ]
 
 S2_MAX_LEVEL = 30
@@ -768,3 +769,57 @@ def s2real_region_cover(
         lo, hi = s2real_range_py(s2real_parent_py(leaf, level))
         spans.append((sk(lo), sk(hi)))
     return list(merge_spans(spans))
+
+
+def s2real_edge_neighbors_py(cell_id: int, level: int) -> list[int]:
+    """The four edge neighbors of a level-``level`` cell —
+    `S2CellId::GetEdgeNeighbors` semantics, including cross-face
+    wrap, WITHOUT transcribing the library's FromFaceIJWrap tables:
+    an out-of-face neighbor center is constructed GEOMETRICALLY (its
+    uv coordinate runs past ±1, which still lands on a well-defined
+    cube point), normalized to the sphere, and re-encoded through the
+    ordinary forward path — the face selection then lands it on the
+    adjacent face automatically. Exactness: cell centers sit half a
+    cell from any boundary, so the re-encode is ulp-safe. Driver-side
+    algebra (covers, ring expansion); O(1) per call."""
+    face, i, j = s2real_to_face_ij_py(
+        cell_id | 1 if cell_id % 2 == 0 else cell_id
+    )
+    # to_face_ij expects a leaf path; the center leaf of a cell at
+    # `level` shares its high bits, so reconstruct from the cell's own
+    # (face, i, j) truncated to the level grid
+    shift = S2_MAX_LEVEL - level
+    ic, jc = i >> shift, j >> shift
+    n = 1 << level
+    out = []
+    for di, dj in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+        ni, nj = ic + di, jc + dj
+        if 0 <= ni < n and 0 <= nj < n:
+            i30 = (ni << shift) + (1 << (shift - 1)) if shift else ni
+            j30 = (nj << shift) + (1 << (shift - 1)) if shift else nj
+            leaf = int(from_face_ij_np([face], [i30], [j30])[0])
+        else:
+            # geometric wrap: center st one half-cell outside the face
+            s = (ni + 0.5) / n
+            t = (nj + 0.5) / n
+            u = _uv_from_st(min(1.0, max(0.0, s))) if 0.0 <= s <= 1.0 else (
+                1.0 + 2.0 * (s - 1.0) if s > 1.0 else -1.0 + 2.0 * s
+            )
+            v = _uv_from_st(min(1.0, max(0.0, t))) if 0.0 <= t <= 1.0 else (
+                1.0 + 2.0 * (t - 1.0) if t > 1.0 else -1.0 + 2.0 * t
+            )
+            xyz = {
+                0: (1.0, u, v),
+                1: (-u, 1.0, v),
+                2: (-u, -v, 1.0),
+                3: (-1.0, -v, -u),
+                4: (v, -1.0, -u),
+                5: (v, u, -1.0),
+            }[face]
+            r = math.sqrt(sum(c * c for c in xyz))
+            x, y, z = (c / r for c in xyz)
+            lat = math.degrees(math.asin(max(-1.0, min(1.0, z))))
+            lon = math.degrees(math.atan2(y, x))
+            leaf = int(s2real_leaf_np([lon], [lat])[0])
+        out.append(s2real_parent_py(leaf, level))
+    return out

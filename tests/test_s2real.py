@@ -359,3 +359,32 @@ def test_region_cover_adaptive():
     # at generous budget the adaptive cover is strictly tighter than
     # the fixed-level-4 cover
     assert prev_vol < volume(s2real_cap_cover(site_lon, site_lat, km, 4))
+
+
+def test_edge_neighbors_including_cross_face():
+    """GetEdgeNeighbors semantics via geometric re-encode: 4 distinct
+    neighbors, never self, SYMMETRIC (a is b's neighbor iff b is a's),
+    and a face-edge cell's neighbor set crosses onto an adjacent face."""
+    from linear_quadtree_spark.functions.s2real import (
+        s2real_edge_neighbors_py,
+    )
+
+    # interior cell
+    c = s2real_parent_py(s2real_leaf_py(5.0, 47.0), 8)
+    nb = s2real_edge_neighbors_py(c, 8)
+    assert len(set(nb)) == 4 and c not in nb
+    assert all(c in s2real_edge_neighbors_py(x, 8) for x in nb)
+
+    # a cell on a face edge: scan longitudes until i or j hits the rim
+    edge_cell = None
+    for lon in np.linspace(-180.0, 180.0, 2000):
+        cid = s2real_parent_py(s2real_leaf_py(float(lon), 10.0), 6)
+        _, i, j = s2real_to_face_ij_py(cid | 1)
+        if (i >> 24) == 0 or (j >> 24) == 0 or (i >> 24) == 63 or (j >> 24) == 63:
+            edge_cell = cid
+            break
+    assert edge_cell is not None
+    nb2 = s2real_edge_neighbors_py(edge_cell, 6)
+    assert len(set(nb2)) == 4
+    assert len({x >> 61 for x in nb2}) > 1  # crosses a face boundary
+    assert all(edge_cell in s2real_edge_neighbors_py(x, 6) for x in nb2)
